@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed with a count()-style action (df.count() after the
+full plan) so results materialize without driver-side pandas conversion
+cost dominating the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pb_etl_spark.registry import all_queries
+from pb_etl_spark.session import get_spark
+
+HEADLINE = [
+    "star_join_revenue",
+    "groupby_agg",
+    "filter_pushdown",
+    "maxabs_normalize",
+    "left_join",
+    "window_topk_per_group",
+    "sort_limit",
+    "json_extract_agg",
+    "tumbling_window",
+    "session_window",
+    "dedup_exact",
+    "text_quality",
+    "knn_cosine",
+    "backtest_rates",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    queries = all_queries()
+
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

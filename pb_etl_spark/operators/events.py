@@ -1,0 +1,151 @@
+"""Event-table operators: JSON property extraction and time-window
+aggregations (tumbling / sliding / session).
+
+These are the batch twins of the Structured Streaming operators in
+``pb_etl_spark.streaming`` — ``F.window`` / ``F.session_window`` produce
+identical results over a bounded DataFrame, which is what makes them
+oracle-checkable; the streaming module wires the same expressions to
+``readStream`` + watermarks.
+
+Window starts are emitted as formatted strings (session tz is UTC, see
+session.py) so the Spark↔DuckDB comparison is timezone-representation-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pb_etl_spark.catalog import read_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType(), True)])
+
+
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` column with an explicit schema (from_json is
+    JVM-side, codegen-friendly — no Python in the loop) and aggregate the
+    extracted key per event type."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("props_s", F.from_json("props", PROPS_SCHEMA))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(F.col("props_s.k").cast("double")), 6).alias("avg_k"),
+            F.sum(F.col("props_s.k")).alias("sum_k"),
+        )
+    )
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (epoch-aligned, so equivalent to
+    date_trunc('hour') in the oracle)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour width, 30-minute slide — every event lands in
+    exactly two windows. Oracle reproduces it as a UNION ALL of the two
+    half-hour-floored starts."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 5-minute inactivity gap
+    (F.session_window). The oracle derives identical sessions with the
+    classic lag/gap-flag/cumulative-sum idiom."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    "json_extract_agg": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type
+    """,
+    "tumbling_window": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "sliding_window": """
+        WITH starts AS (
+            SELECT make_timestamp(CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000)
+                       AS window_start, value
+            FROM events
+            UNION ALL
+            SELECT make_timestamp((CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800)
+                       * 1000000) AS window_start, value
+            FROM events
+        )
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM starts GROUP BY 1
+    """,
+    "session_window": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             < INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_session
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    """,
+}
+
+QUERIES = {
+    "json_extract_agg": q_json_extract_agg,
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "session_window": q_session_window,
+}

@@ -1,0 +1,235 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Two tiers (SURVEY.md §7 phase 4 / training-data surface):
+
+- Brute-force cosine top-k — the exact baseline. Query vectors are a tiny
+  broadcast side; the scan side streams once. ``F.aggregate``/``F.zip_with``
+  keep the dot product JVM-side (no Python), so cost ≈ one pass over the
+  corpus per query batch.
+- LSH-bucketed ANN (random hyperplane signatures) — the scale path: sign-bit
+  signatures bucket the corpus, candidates come from same-bucket join, exact
+  cosine re-ranks candidates only. At 100 TB the bucket join replaces the
+  full cross product; recall tunes with #planes/#tables.
+
+DuckDB oracle uses list_cosine_similarity for the exact tier; the LSH tier
+is checked against the exact tier in tests (recall ≥ threshold), since the
+hash family is engine-specific.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pb_etl_spark.catalog import read_table
+
+N_QUERY_VECS = 5  # vec_id < 5 are the query set for the checkable top-k
+TOP_K = 5
+
+
+def _dot(a, b):
+    """JVM-side dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus, dot/
+    norm JVM-side, per-query row_number ≤ k. One corpus scan total."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            (_dot(F.col("q_vec"), F.col("n_vec"))
+             / (_norm(F.col("q_vec")) * _norm(F.col("n_vec")))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"), F.round("cos", 6).alias("cos"))
+    )
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked brute-force cosine top-5 for query vectors vec_id<5."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk(emb, queries)
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array math + grouped agg: per-label count and mean L2 norm."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", _norm(F.col("embedding").cast("array<double>")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH.
+
+    Signature = sign bits of <v, r_j> packed to a BIGINT per table; corpus
+    and queries bucket by (table, signature); same-bucket pairs are exact-
+    re-ranked. The candidate join shuffles only (id, bucket) pairs — at
+    100 TB this is the difference between a cross product and a key join.
+    Hyperplanes are a deterministic seeded driver-side constant (n_tables ×
+    n_planes × dim doubles ≈ KBs) baked into the plan as literals.
+    """
+    rnd = _deterministic_gaussians(seed, n_tables * n_planes * dim)
+
+    def signature(vec, t: int):
+        bits = []
+        for p in range(n_planes):
+            base = (t * n_planes + p) * dim
+            plane = rnd[base : base + dim]
+            dot = None
+            proj = F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x * y,
+            )
+            dot = F.aggregate(proj, F.lit(0.0), lambda acc, v: acc + v)
+            bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        sig = bits[0]
+        for b in bits[1:]:
+            sig = sig + b
+        return sig
+
+    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        vec = F.col(vec_col).cast("array<double>")
+        parts = []
+        base = df.select(
+            F.col(id_col).alias(f"{prefix}_id"), vec.alias(f"{prefix}_vec")
+        )
+        for t in range(n_tables):
+            parts.append(
+                base.select(
+                    f"{prefix}_id",
+                    f"{prefix}_vec",
+                    F.lit(t).alias("tbl"),
+                    signature(F.col(f"{prefix}_vec"), t).alias("sig"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    cb = bucketed(corpus, "n")
+    qb = bucketed(queries, "q")
+    cands = (
+        cb.join(F.broadcast(qb), ["tbl", "sig"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "q_vec", "n_id", "n_vec")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    scored = cands.select(
+        "q_id",
+        "n_id",
+        (_dot(F.col("q_vec"), F.col("n_vec"))
+         / (_norm(F.col("q_vec")) * _norm(F.col("n_vec")))).alias("cos"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"), F.round("cos", 6).alias("cos"))
+    )
+
+
+def _deterministic_gaussians(seed: int, n: int) -> list[float]:
+    """Seeded standard normals via a splitmix-style LCG + Box-Muller —
+    reproducible across runs without numpy state."""
+    out: list[float] = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    def next_u():
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        return ((state >> 11) & ((1 << 53) - 1)) / float(1 << 53)
+    while len(out) < n:
+        u1, u2 = next_u(), next_u()
+        if u1 <= 1e-12:
+            continue
+        r = math.sqrt(-2.0 * math.log(u1))
+        out.append(r * math.cos(2 * math.pi * u2))
+        out.append(r * math.sin(2 * math.pi * u2))
+    return out[:n]
+
+
+ORACLES: dict[str, str] = {
+    "knn_cosine": f"""
+        WITH pairs AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])) AS cos
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ), ranked AS (
+            SELECT q_id, n_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, n_id ASC) AS rank
+            FROM pairs
+        )
+        SELECT q_id, n_id, rank, ROUND(cos, 6) AS cos
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "embedding_norms": """
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))), 6)
+                   AS avg_norm
+        FROM embeddings GROUP BY label
+    """,
+}
+
+QUERIES = {
+    "knn_cosine": q_knn_cosine,
+    "embedding_norms": q_embedding_norms,
+}

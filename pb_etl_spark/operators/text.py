@@ -1,0 +1,162 @@
+"""Text-analysis operators over the ``documents`` table: token statistics,
+quality scoring, language-ID heuristic, fingerprinting, exact dedup.
+
+Part of the training-data-pipeline surface (dedup / quality filtering /
+lang-ID are what a 100 TB corpus pipeline runs before training). Everything
+here is built-in ``pyspark.sql.functions`` — array lambdas (``F.filter``,
+``F.array_distinct``, ``F.transform``) run JVM-side inside codegen; there is
+no Python UDF in any of these paths, so throughput is the Parquet scan rate.
+
+Oracle parity: every expression is chosen to have an exactly-equivalent
+DuckDB formulation (same split semantics, same rounding), so these are all
+hash-checkable — not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pb_etl_spark.catalog import read_table
+
+# Tiny per-language marker vocabularies for the n-gram/stopword language-ID
+# heuristic. Deterministic and shared verbatim with the oracle SQL.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "fast"],
+    "de": ["der", "und", "die", "das", "ein"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def _tokens(col: str = "text"):
+    """Split on single spaces — identical semantics in Spark and DuckDB
+    (consecutive spaces yield empty tokens in both; documents are
+    single-spaced)."""
+    return F.split(F.col(col), " ")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats (training-data quality features)."""
+    doc = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return doc.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            (F.length("text") - F.size(toks) + 1) / F.size(toks), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + distinct-token ratio. Low stopword
+    ratio or low lexical diversity flags machine-generated/boilerplate text."""
+    doc = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return doc.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(n_stop / F.size(toks), 6).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("distinct_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-vocabulary language-ID heuristic: count per-language marker
+    tokens, argmax with a fixed precedence (en > de > es). Returns the
+    prediction next to the labeled lang for downstream accuracy checks."""
+    doc = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    def _marker_count(markers: list[str]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        # single-arg lambda: F.filter would treat a second parameter as the
+        # element index, not a closure slot
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    counts = {lang: _marker_count(m) for lang, m in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (counts["en"] >= counts["de"]) & (counts["en"] >= counts["es"]), F.lit("en")
+        )
+        .when(counts["de"] >= counts["es"], F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return doc.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of the lowercased text (stable across
+    engines, unlike xxhash64/DuckDB-hash). The join key for exact dedup at
+    scale — group on the 16-byte digest, not the document body."""
+    doc = read_table(spark, sf_dir, "documents")
+    return doc.select("doc_id", F.md5(F.lower(F.col("text"))).alias("fingerprint"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication via group-by on the content fingerprint, keeping
+    the smallest doc_id (deterministic winner, unlike dropDuplicates which
+    keeps an arbitrary partition-order row). At scale this shuffles 16-byte
+    digests + ids — not document bodies."""
+    doc = read_table(spark, sf_dir, "documents")
+    return (
+        doc.select("doc_id", F.md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "text_stats": """
+        SELECT doc_id,
+               LENGTH(text) AS n_chars_calc,
+               LEN(string_split(text, ' ')) AS n_tokens,
+               ROUND(CAST(LENGTH(text) - LEN(string_split(text, ' ')) + 1 AS DOUBLE)
+                     / LEN(string_split(text, ' ')), 6) AS avg_token_len
+        FROM documents
+    """,
+    "text_quality": """
+        SELECT doc_id,
+               LEN(toks) AS n_tokens,
+               ROUND(CAST(LEN(list_filter(toks,
+                   t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                   / LEN(toks), 6) AS stopword_ratio,
+               ROUND(CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks), 6)
+                   AS distinct_ratio
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+    "lang_id": """
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   LEN(list_filter(toks, t -> t IN ('the','a','of','and','fast'))) AS c_en,
+                   LEN(list_filter(toks, t -> t IN ('der','und','die','das','ein'))) AS c_de,
+                   LEN(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS c_es
+            FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        )
+        SELECT doc_id, lang,
+               CASE WHEN c_en >= c_de AND c_en >= c_es THEN 'en'
+                    WHEN c_de >= c_es THEN 'de'
+                    ELSE 'es' END AS predicted_lang
+        FROM scored
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, md5(LOWER(text)) AS fingerprint FROM documents
+    """,
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+}
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+}

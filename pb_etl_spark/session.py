@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+One place to set the scale-aware defaults (AQE, shuffle partitions, Arrow,
+UTC session timezone). Library code never hard-codes a master: tests and
+bench pass ``local[N]``; on a real cluster the session comes from
+spark-submit and ``getOrCreate`` picks it up.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "pb_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    - AQE on: runtime partition coalescing, skew-join splitting, and
+      dynamic join-strategy switching — the knobs that keep a fixed
+      logical plan efficient from sf0.001 up to 100 TB.
+    - ``spark.sql.shuffle.partitions`` sized to local cores here; on a
+      cluster AQE coalesces from this initial number, so a larger initial
+      value (e.g. 2000) is the only change needed.
+    - Session timezone UTC so timestamp semantics match the DuckDB oracle
+      and are cluster-location-independent.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    conf = {
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by Spark 4.x
+        # natively; read as raw nanos and convert in the catalog layer.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

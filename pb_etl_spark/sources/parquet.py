@@ -1,0 +1,58 @@
+"""Parquet dataset source/sink with completion-flag semantics
+(SURVEY.md §2.1 S4-S6).
+
+The reference writes Parquet datasets then touches a ``_SUCCESS`` flag, and
+guards reads on the flag's existence (/root/reference/pb_etl/luigi/dask/
+target.py:92-126,139-148,158-187). Spark's committer already emits
+``_SUCCESS`` atomically at job commit, so the sink is plain
+``df.write.parquet``; this module adds the guarded-read / existence checks
+the incremental layer (pb_etl_spark.plans) relies on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+SUCCESS_FLAG = "_SUCCESS"
+
+
+def dataset_exists(path: str, flag: str | None = SUCCESS_FLAG) -> bool:
+    """True when the dataset at ``path`` is complete.
+
+    ``flag=None`` means "any file present counts" — parity with the
+    reference's external-CSV targets (tasks.py:110, target.py:100-111).
+    """
+    if flag is None:
+        return os.path.isdir(path) and any(os.scandir(path))
+    return os.path.exists(os.path.join(path, flag))
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write a DataFrame as a Parquet dataset directory.
+
+    ``compression=None`` keeps Spark's default (snappy) — the reference's
+    gzip (tasks.py:183) was a byte-size choice, not a semantic one; snappy
+    decodes faster and is the at-scale default. ``partition_by`` enables
+    partition pruning on downstream reads.
+    """
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str, require_flag: bool = True) -> DataFrame:
+    """Guarded Parquet read: refuse incomplete datasets (target.py:139-148)."""
+    if require_flag and not dataset_exists(path):
+        raise FileNotFoundError(f"dataset at {path} is missing or incomplete (no {SUCCESS_FLAG})")
+    return spark.read.parquet(path)

@@ -1,0 +1,109 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over the
+same sf directory, then compares row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted by all
+columns, NaN/None unified). Use while iterating:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from pb_etl_spark.catalog import BENCH_TABLES
+from pb_etl_spark.registry import all_oracles, all_queries
+from pb_etl_spark.session import get_spark
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in BENCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if list(sorted(sdf.columns)) != list(sorted(odf.columns)):
+        problems.append(f"columns: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount: spark={len(sdf)} oracle={len(odf)}")
+    a, b = canon(sdf), canon(odf)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                av = pd.to_numeric(av, errors="coerce").astype(float).round(9)
+                bv = pd.to_numeric(bv, errors="coerce").astype(float).round(9)
+                neq = ~((av == bv) | (av.isna() & bv.isna()))
+            else:
+                neq = ~((av.astype(str) == bv.astype(str)))
+            if neq.any():
+                i = int(neq.idxmax())
+                problems.append(
+                    f"values differ in col {c}: {int(neq.sum())} rows, first at row {i}: "
+                    f"spark={a[c].iloc[i]!r} oracle={b[c].iloc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle", master="local[8]", shuffle_partitions=8)
+    con = duck_con(sf_dir)
+    queries, oracles = all_queries(), all_oracles()
+    failed = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            print(f"OK   {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{len(failed)} failures: {failed}" if failed else "\nall green")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
