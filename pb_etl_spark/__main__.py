@@ -1,0 +1,3 @@
+from pb_etl_spark.cli import main
+
+raise SystemExit(main())

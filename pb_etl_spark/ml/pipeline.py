@@ -1,0 +1,109 @@
+"""Feature encoding + binary classifier + scoring (SURVEY.md §2.6 M1-M7).
+
+Re-expresses the reference's TF feature-column + Keras path as a Spark ML
+``Pipeline`` so fit/transform state management, serialization, and
+distributed scoring are engine-native:
+
+- M1 numeric features  -> VectorAssembler over num_col (tasks.py:275-276)
+- M2 categorical one-hot -> StringIndexer(handleInvalid="keep") + OneHotEncoder
+  per categorical. The reference's loop quirk only encodes the LAST
+  categorical (tasks.py:278-288); we encode all 10 as its README declares —
+  documented divergence (SURVEY.md §2.6).
+- M3 train/val split   -> df.randomSplit([0.8, 0.2], seed) (tasks.py:290)
+- M5 training          -> LogisticRegression (binary, sigmoid probability
+  output — rate-level parity with the unseeded Keras net, tasks.py:300-332;
+  per-row parity is impossible by construction, SURVEY.md §7 risk 1)
+- M6 scoring           -> model.transform + vector_to_array → Y_hat DOUBLE
+  (tasks.py:374-385), fully distributed, no Python in the loop
+- M7 metrics           -> training summary dict (tasks.py:332-342)
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pb_etl_spark.schemas import CAT_COLS, LABEL_COL, NUM_COLS
+
+DEFAULT_SEED = 42
+PREDICTION_COL = "Y_hat"
+
+
+def build_pipeline(
+    cat_cols: list[str] | None = None,
+    num_cols: list[str] | None = None,
+    label_col: str = LABEL_COL,
+    max_iter: int = 50,
+) -> Pipeline:
+    """Feature-encode + classify pipeline. handleInvalid='keep' gives
+    unseen test-set categories their own bucket (the reference's
+    vocabulary-list encoding would OOV them to zeros — same spirit)."""
+    cat_cols = CAT_COLS if cat_cols is None else cat_cols
+    num_cols = NUM_COLS if num_cols is None else num_cols
+    stages = []
+    for c in cat_cols:
+        stages.append(
+            StringIndexer(inputCol=c, outputCol=f"{c}__idx", handleInvalid="keep")
+        )
+    stages.append(
+        OneHotEncoder(
+            inputCols=[f"{c}__idx" for c in cat_cols],
+            outputCols=[f"{c}__oh" for c in cat_cols],
+            handleInvalid="keep",
+        )
+    )
+    stages.append(
+        VectorAssembler(
+            inputCols=num_cols + [f"{c}__oh" for c in cat_cols],
+            outputCol="features",
+            handleInvalid="keep",
+        )
+    )
+    stages.append(
+        LogisticRegression(
+            featuresCol="features",
+            labelCol=label_col,
+            maxIter=max_iter,
+            probabilityCol="probability",
+        )
+    )
+    return Pipeline(stages=stages)
+
+
+def train_model(
+    train_df: DataFrame,
+    seed: int = DEFAULT_SEED,
+    val_fraction: float = 0.2,
+    **pipeline_kwargs,
+) -> tuple[PipelineModel, dict]:
+    """M3+M5: split, fit, and report metrics. The val split mirrors the
+    reference's sklearn train_test_split(test_size=0.2) (tasks.py:290) but
+    seeded — determinism is a feature the reference lacks."""
+    train, val = train_df.randomSplit([1.0 - val_fraction, val_fraction], seed=seed)
+    model = build_pipeline(**pipeline_kwargs).fit(train)
+    lr_model = model.stages[-1]
+    metrics = {
+        "train_rows": train.count(),
+        "val_rows": val.count(),
+        "iterations": len(lr_model.summary.objectiveHistory),
+        "objective_history": [float(x) for x in lr_model.summary.objectiveHistory],
+        "train_auc": float(lr_model.summary.areaUnderROC),
+    }
+    try:
+        val_auc = float(lr_model.evaluate(model.transform(val).select("features", LABEL_COL)).areaUnderROC) if val.count() else None
+        metrics["val_auc"] = val_auc
+    except Exception:  # tiny fixtures can have single-class splits
+        metrics["val_auc"] = None
+    return model, metrics
+
+
+def score(model: PipelineModel, df: DataFrame, key_col: str = "TRANSACTION_ID") -> DataFrame:
+    """M6: distributed scoring → {key, Y_hat} where Y_hat = P(label=1)."""
+    return model.transform(df).select(
+        key_col,
+        vector_to_array(F.col("probability")).getItem(1).alias(PREDICTION_COL),
+    )
