@@ -1,0 +1,180 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+pipelines.
+
+The Spark-side contracts — schemas, UDF signatures, batch shapes,
+partitioning — are real and tested; the codec step itself is STUBBED
+(this environment has no image/audio libraries): ``decode_image`` parses a
+deterministic fake header, and ``_real_decode`` raises NotImplementedError
+until a codec library (PIL/librosa/av) is importable. Swapping in a real
+codec changes only the inner function body — batching, schema, and
+distribution are unchanged.
+
+Why mapInPandas: binary payloads stay in Arrow record batches end-to-end
+(no per-row Python), partition-parallel, and the UDF can emit a different
+row count than it receives (frame sampling explodes 1 video row → N frame
+rows).
+
+Fake media format (deterministic, used by tests and the synthesizer):
+``b"FAKEMEDI" + width(4, big-endian) + height(4) + channels(4) + payload``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"FAKEMEDI"
+HEADER_LEN = len(MAGIC) + 12
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("source", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ])),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_payload_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_DIM = 16
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def encode_fake_media(width: int, height: int, channels: int, payload: bytes) -> bytes:
+    """Build a fake-media blob (test/synthesizer helper)."""
+    return (
+        MAGIC
+        + width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + channels.to_bytes(4, "big")
+        + payload
+    )
+
+
+def _parse_header(content: bytes) -> tuple[int, int, int, int]:
+    if content[: len(MAGIC)] != MAGIC:
+        raise ValueError("not a fake-media blob")
+    w = int.from_bytes(content[8:12], "big")
+    h = int.from_bytes(content[12:16], "big")
+    c = int.from_bytes(content[16:20], "big")
+    return w, h, c, len(content) - HEADER_LEN
+
+
+def _real_decode(content: bytes):  # pragma: no cover - stub by design
+    """Real codec hook. STUB: no PIL/librosa/av in this environment."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real media decoding requires an image/audio library; "
+            "only the deterministic fake-media format is supported here"
+        ) from e
+    raise NotImplementedError("wire PIL decode here when available")
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode header metadata from the binary column (Arrow-batched)."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, c, n = _parse_header(bytes(content))
+                rows.append((mid, w, h, c, n))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "n_payload_bytes"]
+            )
+
+    return df.mapInPandas(fn, schema=DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Deterministic fake feature extractor: payload bytes → fixed-dim
+    float vector (byte-histogram folded to ``dim`` buckets, L1-normalized).
+    A real model swaps the inner loop for batched inference; the Arrow
+    plumbing and output schema stay identical."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                payload = np.frombuffer(bytes(content)[HEADER_LEN:], dtype=np.uint8)
+                hist = np.bincount(payload % dim, minlength=dim).astype("float32")
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+                ids.append(mid)
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return df.mapInPandas(fn, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """1 video row → N frame rows: payload split into equal strides, one
+    output row per sampled frame (demonstrates row-count-changing
+    mapInPandas — the shape a real frame sampler has)."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(content)[HEADER_LEN:]
+                stride = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    chunk = payload[i * stride : (i + 1) * stride]
+                    if not chunk:
+                        break
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(chunk)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    return df.mapInPandas(fn, schema=FRAMES_SCHEMA)
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Pure-JVM metadata aggregation over the binary column (no decode):
+    bytes and counts per kind — the cheap pre-filter a 100 TB media
+    pipeline runs before any codec work."""
+    return df.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.avg(F.length("content")).alias("avg_bytes"),
+    )

@@ -12,11 +12,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pb_etl_spark.operators import events, relational, similarity, text
+from pb_etl_spark.operators import dedup, events, relational, similarity, text
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, events, text, similarity]
+_MODULES = [relational, events, text, similarity, dedup]
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,148 @@
+"""Structured Streaming operators over the events stream: tumbling /
+sliding / session windows with watermarked late-data handling, plus a
+custom stateful operator via ``applyInPandasWithState``.
+
+The window expressions are shared with their batch twins in
+``pb_etl_spark.operators.events`` — ``F.window`` / ``F.session_window``
+compute identically over a bounded input, which is how the batch oracle
+validates the streaming semantics (tests assert stream == batch on the
+same fixture).
+
+Scale/runtime posture: watermarks bound state (late rows beyond the
+watermark are dropped, closed windows are evicted); aggregation state lives
+in the state store partitioned by group key, so throughput scales with
+executors exactly like a batch shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files. The
+    parquet TIMESTAMP(NANOS) caveat (see catalog.read_table) applies: with
+    nanosAsLong set, ts arrives as bigint and is converted here."""
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+    sdf = spark.readStream.schema(schema).parquet(events_dir)
+    return sdf.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1-hour counts per event type (streaming twin of
+    operators.events.q_tumbling_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Sliding 1h/30min counts (streaming twin of q_sliding_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Per-user session windows with an inactivity gap (streaming twin of
+    q_session_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# --- custom stateful operator ---------------------------------------------
+
+USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def _user_totals_fn(key, pdf_iter, state) -> Iterator:
+    """Running per-user totals — arbitrary stateful logic the built-in
+    aggs can't express is written exactly like this (Arrow-batched pandas,
+    explicit GroupState)."""
+    import pandas as pd
+
+    n, total = state.get() if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+    )
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: cumulative per-user event count
+    and value total via applyInPandasWithState (update mode)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> "DataFrame":
+    """Drain all available input into an in-memory table; returns the
+    result table. Test/dev helper — production sinks are parquet/kafka via
+    the same writeStream call."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

@@ -1,0 +1,140 @@
+"""Dedup semantics on synthetic planted near-duplicates: MinHash-LSH must
+recover what exact Jaccard finds; SimHash fingerprints of near-dups must be
+close in Hamming distance; LSH ANN must recall brute-force neighbors."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _corpus(spark, n_base=60, seed=3):
+    """Word-salad docs + planted near-duplicates (1-2 word edits)."""
+    rng = random.Random(seed)
+    vocab = ("spark data table query join filter group sort merge window "
+             "stream batch row column key value hash scan agg fast slow").split()
+    rows = []
+    for i in range(n_base):
+        words = [rng.choice(vocab) for _ in range(50)]
+        rows.append((i, " ".join(words)))
+        if i % 4 == 0:  # plant a near-dup with 2 substitutions
+            dup = list(words)
+            for _ in range(2):
+                dup[rng.randrange(len(dup))] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(dup)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return _corpus(spark)
+
+
+def _exact_pairs(spark, docs, threshold=0.5):
+    from pb_etl_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(docs)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = (
+        common.join(cnt.alias("ca"), F.col("da") == F.col("ca.doc_id"))
+        .join(cnt.alias("cb"), F.col("db") == F.col("cb.doc_id"))
+        .withColumn("jac", F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c")))
+        .filter(F.col("jac") >= threshold)
+    )
+    return {(r["da"], r["db"]) for r in out.collect()}
+
+
+def test_planted_dups_found_exact(spark, docs):
+    pairs = _exact_pairs(spark, docs)
+    planted = {(i, 1000 + i) for i in range(0, 60, 4)}
+    assert planted <= pairs
+
+
+def test_minhash_lsh_recall(spark, docs):
+    """LSH banding (4 bands × 4 rows) must recover ≥90% of exact
+    high-Jaccard pairs — the standard recall/efficiency trade."""
+    from pb_etl_spark.operators import dedup
+
+    sig = dedup.minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), dedup._band_expr(b).alias("band_val"))
+                for b in range(dedup.N_BANDS)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "bv.band_idx", "bv.band_val")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
+    cand_pairs = {(r["da"], r["db"]) for r in cand.collect()}
+    exact = _exact_pairs(spark, docs, threshold=0.8)
+    assert exact, "fixture should contain high-jaccard pairs"
+    recall = len(exact & cand_pairs) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} on {len(exact)} exact pairs"
+
+
+def test_simhash_near_dups_close(spark, docs):
+    # q_simhash_fingerprints reads the documents table; compute the same
+    # fingerprint expression directly on the synthetic corpus instead
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")) \
+        .withColumn("h", F.md5(F.col("tok")))
+    sums = [
+        F.sum(F.when(F.substring(F.col("h"), j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(32)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    bits = [F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(32)]
+    fp = {r["doc_id"]: r["simhash"] for r in agg.select("doc_id", F.concat(*bits).alias("simhash")).collect()}
+
+    def hamming(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    rng = random.Random(5)
+    planted = [(i, 1000 + i) for i in range(0, 60, 4)]
+    dup_dists = [hamming(fp[a], fp[b]) for a, b in planted]
+    rand_dists = [
+        hamming(fp[rng.randrange(60)], fp[rng.randrange(60)]) for _ in range(50)
+    ]
+    assert sum(dup_dists) / len(dup_dists) < sum(rand_dists) / max(len(rand_dists), 1)
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    """LSH ANN candidates must recall most brute-force top-5 neighbors on
+    clustered vectors (random vectors have no structure to find)."""
+    rng = random.Random(9)
+    rows = []
+    vid = 0
+    for cluster in range(10):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for _ in range(20):
+            rows.append((vid, [c + rng.gauss(0, 0.15) for c in center]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from pb_etl_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = lsh_ann_topk(emb, queries, k=5, n_planes=8, n_tables=6)
+    e = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"ANN recall {recall:.2f}"
