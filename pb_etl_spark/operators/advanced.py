@@ -1,0 +1,208 @@
+"""Advanced aggregation + subquery surface: cube / grouping sets / pivot,
+scalar + correlated + IN subqueries, statistical aggregates, exact
+percentiles, min_by/max_by.
+
+Subquery queries are written through ``spark.sql`` over registered views —
+same Catalyst plans as the DataFrame API, and it exercises the SQL front
+end the engine also exposes. Statistical aggregates use the standard
+sample-variance definitions shared by Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pb_etl_spark.catalog import read_table, register_views
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys: all 4 grouping combinations in one pass
+    (Catalyst Expand — no 4 separate scans)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL front end."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS spend
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list keeps the plan
+    static — no driver-side distinct scan)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above 1.5× the global average price."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_big,
+               ROUND(AVG(o_totalprice), 6) AS avg_big_price
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: customers having at least one urgent open order."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O'
+        )
+        """
+    )
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery: parts that appear in returned lineitems."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        """
+    )
+
+
+def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance, correlation,
+    sample covariance."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). The approx_percentile variant is the
+    100 TB path (t-digest, no full sort) — tested separately since its
+    values are engine-specific."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("qty_p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("price_p99"),
+    )
+
+
+def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates: per-customer orderkey of the cheapest
+    order and price of the newest orderkey. (o_totalprice is tie-free per
+    customer in this data; max_by's ordering key is the unique orderkey —
+    both deterministic.)"""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_orderkey"),
+        F.round(F.max_by("o_totalprice", "o_orderkey"), 2).alias("latest_order_price"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "cube_agg": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS spend
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "pivot_agg": """
+        SELECT l_returnflag,
+               ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+               ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "scalar_subquery": """
+        SELECT o_orderstatus, COUNT(*) AS n_big,
+               ROUND(AVG(o_totalprice), 6) AS avg_big_price
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+    """,
+    "exists_correlated": """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O'
+        )
+    """,
+    "in_subquery": """
+        SELECT p_partkey, p_brand
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+    """,
+    "stats_aggs": """
+        SELECT ROUND(STDDEV_SAMP(l_quantity), 6) AS qty_stddev,
+               ROUND(VAR_SAMP(l_quantity), 6) AS qty_var,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar
+        FROM lineitem
+    """,
+    "percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+               ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "min_max_by": """
+        SELECT o_custkey,
+               min_by(o_orderkey, o_totalprice) AS cheapest_orderkey,
+               ROUND(max_by(o_totalprice, o_orderkey), 2) AS latest_order_price
+        FROM orders GROUP BY o_custkey
+    """,
+}
+
+QUERIES = {
+    "cube_agg": q_cube_agg,
+    "grouping_sets": q_grouping_sets,
+    "pivot_agg": q_pivot_agg,
+    "scalar_subquery": q_scalar_subquery,
+    "exists_correlated": q_exists_correlated,
+    "in_subquery": q_in_subquery,
+    "stats_aggs": q_stats_aggs,
+    "percentiles": q_percentiles,
+    "min_max_by": q_min_max_by,
+}

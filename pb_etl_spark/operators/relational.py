@@ -62,16 +62,16 @@ def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left equi-join, small right side broadcast (J1/J2 parity). The
-    reference's attr⋈tscore is 1:1 left on TRANSACTION_ID; here
-    orders⋈customer is the same shape. customer ≪ orders, so broadcast-hash
-    — no shuffle of the fact side at any scale where the dim fits."""
+    """Left equi-join (J1/J2 parity). The reference's attr⋈tscore is 1:1
+    left on TRANSACTION_ID; here orders⋈customer is the same shape. No
+    forced broadcast: customer grows with SF, so the strategy is left to
+    Catalyst/AQE (broadcast-hash while it fits, sort-merge beyond)."""
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
         .select(
             "o_orderkey",
             F.round("o_totalprice", 2).alias("totalprice"),
@@ -104,8 +104,10 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: star-schema join lineitem⋈orders⋈customer⋈nation⋈region →
-    revenue by region. Dims broadcast; the single shuffle is the final
-    group-by on 5 keys (AQE coalesces post-shuffle partitions)."""
+    revenue by region. Broadcast hints only on provably-bounded dims
+    (region=5, nation=25 rows); customer grows with SF, so Catalyst/AQE
+    picks broadcast-vs-SMJ from observed size. The only guaranteed shuffle
+    is the final 5-key group-by."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -115,7 +117,7 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read_table(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")

@@ -1,0 +1,140 @@
+"""Temporal join operators Spark lacks as built-ins, composed from existing
+DataFrame ops (SURVEY.md custom-operator rule (a): composition before UDFs):
+
+- **As-of join** — for each purchase event, the most recent signup of the
+  same user at-or-before it. Implemented as union + last-over-window: tag
+  both sides, sort per user by (ts, side), carry the last left-side
+  timestamp forward. One shuffle on the user key, O(n log n) per key, no
+  join blow-up — the scale-correct pattern (a join on user + inequality
+  would be quadratic in per-user event counts). Oracle: DuckDB's native
+  ASOF JOIN.
+
+- **Range join** — same-user event pairs within a 60-second band.
+  Implemented with time bucketing: each right row is probed against its
+  bucket and both neighbors, so the join is an equi-join on
+  (user, bucket) and the exact |Δt| predicate filters residuals. Shuffle
+  is linear in events ×3, never the per-user cross product. Oracle: plain
+  inequality join (fine at oracle scale).
+
+All time math uses exact integer microseconds (unix_micros/epoch_us) —
+float epoch seconds cannot represent microsecond timestamps exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pb_etl_spark.catalog import read_table
+
+RANGE_BAND_US = 60_000_000  # 60 seconds
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str = "ts") -> DataFrame:
+    """Generic as-of: for every row of ``right``, attach ``asof_ts`` — the
+    latest ``ts_col`` from ``left`` with left.ts <= right.ts, matched on
+    ``on`` (null when no earlier left row exists). Left side sorts before
+    right at equal timestamps, so exact-tie matches are included."""
+    rt_keyed = right.withColumn("__rid", F.monotonically_increasing_id())
+    lt = left.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast("long").alias("__rid"),
+    )
+    rt = rt_keyed.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        "__rid",
+    )
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = lt.unionByName(rt).withColumn(
+        "asof_ts",
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w),
+    )
+    matched = carried.filter(F.col("__side") == 1).select("__rid", "asof_ts")
+    return rt_keyed.join(matched, "__rid", "left").drop("__rid")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of: per purchase event, the latest same-user signup at-or-before
+    it (null when none)."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup")
+    out = asof_join(signups, purchases, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+    )
+
+
+def range_join_pairs(
+    events: DataFrame, band_us: int = RANGE_BAND_US, key: str = "user_id"
+) -> DataFrame:
+    """Same-key event pairs with |Δt| ≤ band: bucket to band-width epochs,
+    probe neighbor buckets, filter exact. Pair identity (a.event_id <
+    b.event_id) guarantees each pair appears exactly once — the bucket
+    offset between two events is unique."""
+    base = events.select(
+        key,
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    ).withColumn("bucket", F.floor(F.col("us") / band_us))
+    probe = base.withColumn(
+        "bucket", F.explode(F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1))
+    )
+    a = base.alias("a")
+    b = probe.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .filter(F.abs(F.col("a.us") - F.col("b.us")) <= band_us)
+        .select(
+            F.col(f"a.{key}").alias(key),
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            F.abs(F.col("a.us") - F.col("b.us")).alias("delta_us"),
+        )
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within 60 seconds."""
+    return range_join_pairs(read_table(spark, sf_dir, "events"))
+
+
+ORACLES: dict[str, str] = {
+    "asof_join": """
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND s.ts <= p.ts
+    """,
+    "range_join": """
+        SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+               ABS(epoch_us(a.ts) - epoch_us(b.ts)) AS delta_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+    """,
+}
+
+QUERIES = {
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+}

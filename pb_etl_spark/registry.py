@@ -12,11 +12,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pb_etl_spark.operators import dedup, events, relational, similarity, text
+from pb_etl_spark.operators import (
+    advanced,
+    dedup,
+    events,
+    relational,
+    scalar_funcs,
+    similarity,
+    temporal,
+    text,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, events, text, similarity, dedup]
+_MODULES = [relational, events, text, similarity, dedup, scalar_funcs, advanced, temporal]
 
 
 def all_queries() -> dict[str, QueryFn]:

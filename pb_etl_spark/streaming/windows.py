@@ -45,9 +45,8 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         ]
     )
     sdf = spark.readStream.schema(schema).parquet(events_dir)
-    return sdf.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    # integer `div` (not `/`): nanos exceed double's exact integer range
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
