@@ -1,0 +1,180 @@
+"""Composite analytical queries (TPC-H-shaped) and remaining window/array
+surface: multi-join + agg + top-k pipelines, ranking/distribution window
+functions, explode/lateral, and approximate sketches.
+
+The approx sketches (HLL count-distinct, t-digest percentiles) are the
+100 TB substitutes for their exact counterparts — no full shuffle of
+distinct values, no full sort. Their outputs are engine-specific, so they
+carry no DuckDB oracle; tests assert tolerance against the exact values
+(tests/test_approx.py), and the driver records the rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pb_etl_spark.catalog import read_table
+
+
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered 3-way join → grouped revenue → top 10.
+    Filters reach all three scans; the topk is TakeOrderedAndProject."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1999-01-01"
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join with a date band → per-nation
+    revenue. Bounded dims broadcast-hinted; fact-side joins left to AQE."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/distribution window battery: rank, dense_rank, ntile,
+    percent_rank, cume_dist, first_value, nth_value over a deterministic
+    (unique-key) ordering."""
+    o = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.first_value("o_totalprice").over(wf), 2).alias("max_in_status"),
+        F.round(F.nth_value("o_totalprice", 2).over(wf), 2).alias("second_price"),
+    )
+
+
+def q_explode_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode / lateral: one row per token per document (bounded slice),
+    with the token's position — the unnest shape used by shingling and
+    inverted-index builds."""
+    doc = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.split(F.col("text"), " ")
+    return doc.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct per group — the 100 TB path (constant
+    memory, no distinct shuffle). No oracle: sketch values are
+    engine-specific; tests bound the error vs exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (bounded-error summaries, mergeable — no
+    full sort at scale). No oracle; tolerance-tested vs exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("price_p50_approx"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("price_p95_approx"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "tpch_q3_shipping": """
+        SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+          AND l_shipdate > TIMESTAMP '1996-03-15'
+        GROUP BY l_orderkey, orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "tpch_q5_region_volume": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN (SELECT o_orderkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01') o
+          ON l_orderkey = o.o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "window_ranking": """
+        SELECT o_orderkey, o_orderstatus,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cdist,
+               ROUND(FIRST_VALUE(o_totalprice) OVER wf, 2) AS max_in_status,
+               ROUND(NTH_VALUE(o_totalprice, 2) OVER wf, 2) AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey),
+               wf AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "explode_history": """
+        SELECT doc_id, CAST(t.pos - 1 AS BIGINT) AS pos, t.tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents WHERE doc_id < 20) t
+    """,
+}
+
+QUERIES = {
+    "tpch_q3_shipping": q_tpch_q3_shipping,
+    "tpch_q5_region_volume": q_tpch_q5_region_volume,
+    "window_ranking": q_window_ranking,
+    "explode_history": q_explode_history,
+    "approx_distinct": q_approx_distinct,
+    "approx_percentiles": q_approx_percentiles,
+}

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pb_etl_spark.operators import (
     advanced,
+    composite,
     dedup,
     events,
     relational,
@@ -25,7 +26,17 @@ from pb_etl_spark.operators import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, events, text, similarity, dedup, scalar_funcs, advanced, temporal]
+_MODULES = [
+    relational,
+    events,
+    text,
+    similarity,
+    dedup,
+    scalar_funcs,
+    advanced,
+    temporal,
+    composite,
+]
 
 
 def all_queries() -> dict[str, QueryFn]:
