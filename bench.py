@@ -43,8 +43,10 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     queries = all_queries()
 
-    # warm the JVM + parquet footers with one cheap action
+    # steady-state warm-up: JIT/codegen + parquet footer caches, untimed
+    # (one cheap scan + one representative join/agg plan)
     spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
+    queries["star_join_revenue"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -130,6 +130,36 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id: state is bounded by the
+    watermark (duplicates arriving later than the watermark are not
+    caught — the documented trade for bounded state at scale)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static dimension
+    (broadcast per micro-batch — no stream-side state)."""
+    return events.join(F.broadcast(user_dim), "user_id", "left")
+
+
+def write_parquet_stream(sdf: DataFrame, out_dir: str, checkpoint_dir: str):
+    """foreachBatch parquet sink: exactly-once via checkpointed batch ids;
+    each micro-batch lands as an idempotent append."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> "DataFrame":

@@ -1,0 +1,109 @@
+"""Scale features: salted aggregation/join equivalence, bucketed
+co-located joins (no shuffle in the plan), results sink + REST serving."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from pb_etl_spark.catalog import read_table
+from tests.conftest import SF_DIR
+
+
+def test_salted_groupby_equals_direct(spark):
+    from pb_etl_spark.operators.skew import salted_groupby
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    salted = salted_groupby(
+        li,
+        ["l_returnflag"],
+        {
+            "total_qty": ("l_quantity", "sum"),
+            "n": ("l_quantity", "count"),
+            "min_qty": ("l_quantity", "min"),
+            "max_qty": ("l_quantity", "max"),
+        },
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("total_qty"),
+        F.count("l_quantity").alias("n"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    s = {r["l_returnflag"]: (r["total_qty"], r["n"], r["min_qty"], r["max_qty"]) for r in salted.collect()}
+    d = {r["l_returnflag"]: (r["total_qty"], r["n"], r["min_qty"], r["max_qty"]) for r in direct.collect()}
+    assert s == d
+
+
+def test_salted_join_equals_direct(spark):
+    from pb_etl_spark.operators.skew import salted_join
+
+    orders = read_table(spark, SF_DIR, "orders")
+    cust = read_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    salted = salted_join(orders, cust, "o_custkey", "c_custkey")
+    direct = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    assert salted.count() == direct.count()
+    s = salted.groupBy("c_mktsegment").count().collect()
+    d = direct.groupBy("c_mktsegment").count().collect()
+    assert {(r["c_mktsegment"], r["count"]) for r in s} == {
+        (r["c_mktsegment"], r["count"]) for r in d
+    }
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key co-locates matching rows:
+    the join plan must contain no Exchange (the 100 TB co-located-join
+    pattern; local twin of storage-partitioned joins)."""
+    orders = read_table(spark, SF_DIR, "orders")
+    li = read_table(spark, SF_DIR, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path: the point is that bucketed SMJ
+        # needs NO shuffle exchange (broadcast would mask it at this SF)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_results_sink_and_rest(spark, tmp_path):
+    from pb_etl_spark.sinks.results import ResultsServer, read_results, write_results
+
+    report = spark.createDataFrame([(0.41, 0.39)], "expected double, actual double")
+    db = str(tmp_path / "results.db")
+    assert write_results(report, db) == 1
+    # overwrite semantics: second load replaces, not appends (etl.py:33-39)
+    assert write_results(report, db) == 1
+    assert len(read_results(db)) == 1
+
+    with ResultsServer(db) as srv:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/api/results/") as r:
+            data = json.loads(r.read())
+        assert data == [{"expected": 0.41, "actual": 0.39}]
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/nope")
