@@ -126,7 +126,84 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery over documents: replace, count, match-test — the
+    cleaning primitives of a text pipeline, all codegen'd JVM-side."""
+    doc = read_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), "[0-9]+", "#").alias("digits_masked"),
+        F.regexp_count(F.col("text"), F.lit("[aeiou]")).cast("long").alias("vowels"),
+        F.col("text").rlike("ipsum").alias("has_ipsum"),
+        F.regexp_replace(F.col("text"), "\\s+", " ").alias("ws_normalized"),
+    )
+
+
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content hashes (md5/sha256 hex) — the fingerprint
+    primitives behind exact dedup and content-addressed caching."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("name_sha256"),
+        F.md5(F.concat_ws("|", "c_name", "c_mktsegment").cast("binary")).alias(
+            "row_fingerprint"
+        ),
+    )
+
+
+def q_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN battery: band a continuous measure, nested conditions,
+    boolean composition — the categorical-feature shape of an ETL stage."""
+    o = read_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(price < 50000, "small")
+        .when(price < 150000, "medium")
+        .when(price < 300000, "large")
+        .otherwise("jumbo")
+        .alias("price_band"),
+        F.when(
+            (F.col("o_orderstatus") == "F") & (price >= 200000), "big_closed"
+        )
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_class"),
+        ((F.col("o_orderstatus") != "P") | (price > 100000)).alias("flag"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "regex_funcs": """
+        SELECT doc_id,
+               regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked,
+               LEN(regexp_extract_all(text, '[aeiou]')) AS vowels,
+               regexp_matches(text, 'ipsum') AS has_ipsum,
+               regexp_replace(text, '\\s+', ' ', 'g') AS ws_normalized
+        FROM documents
+    """,
+    "hash_funcs": """
+        SELECT c_custkey,
+               md5(c_name) AS name_md5,
+               sha256(c_name) AS name_sha256,
+               md5(c_name || '|' || c_mktsegment) AS row_fingerprint
+        FROM customer
+    """,
+    "case_bucketing": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'medium'
+                    WHEN o_totalprice < 300000 THEN 'large'
+                    ELSE 'jumbo' END AS price_band,
+               CASE WHEN o_orderstatus = 'F' AND o_totalprice >= 200000
+                        THEN 'big_closed'
+                    WHEN o_orderstatus = 'O' THEN 'open'
+                    ELSE 'other' END AS status_class,
+               (o_orderstatus != 'P' OR o_totalprice > 100000) AS flag
+        FROM orders
+    """,
     "string_funcs": """
         SELECT c_custkey,
                UPPER(c_name) AS upper_name,
@@ -196,6 +273,9 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "regex_funcs": q_regex_funcs,
+    "hash_funcs": q_hash_funcs,
+    "case_bucketing": q_case_bucketing,
     "string_funcs": q_string_funcs,
     "date_funcs": q_date_funcs,
     "math_funcs": q_math_funcs,

@@ -184,6 +184,122 @@ def lsh_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into Voronoi cells
+    around centroids; a query probes only its ``n_probe`` nearest cells and
+    exact-re-ranks that slice.
+
+    Scale shape: centroid assignment is one Arrow-batched pandas UDF pass
+    over the corpus (centroid matrix is a tiny closure constant shipped to
+    executors); the candidate join is a key equi-join on cell id — at 100 TB
+    the corpus would be written partitioned by ``cell`` so a probe prunes
+    ~(n_probe/n_centroids) of the files before any compute. Centroids are
+    seeded from the first ``n_centroids`` vectors by id and refined with
+    ``refine_iters`` distributed Lloyd steps (posexplode → per-dimension
+    mean), which is k-means without any driver-side iteration over rows.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+    )
+    seed_rows = (
+        c.orderBy("n_id").limit(n_centroids).select("n_vec").collect()
+    )
+    centroids = np.array([r["n_vec"] for r in seed_rows])
+
+    def make_assign(cents: np.ndarray):
+        @pandas_udf("int")
+        def assign(vecs):
+            import pandas as pd
+
+            m = np.stack(vecs.to_numpy())
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.argmin(axis=1))
+
+        return assign
+
+    for _ in range(refine_iters):
+        assigned = c.withColumn("cell", make_assign(centroids)(F.col("n_vec")))
+        means = (
+            assigned.select("cell", F.posexplode("n_vec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("mean_val"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("pairs"))
+            .select("cell", F.transform("pairs", lambda p: p.mean_val).alias("centroid"))
+            .collect()
+        )
+        for r in means:
+            centroids[r["cell"]] = np.array(r["centroid"])
+
+    assign_final = make_assign(centroids)
+    corpus_cells = c.withColumn("cell", assign_final(F.col("n_vec")))
+
+    def make_probe(cents: np.ndarray, probes: int):
+        @pandas_udf("array<int>")
+        def probe(vecs):
+            import pandas as pd
+
+            m = np.stack(vecs.to_numpy())
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(list(d.argsort(axis=1)[:, :probes]))
+
+        return probe
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("cell", F.explode(make_probe(centroids, n_probe)(F.col("q_vec"))))
+
+    cands = (
+        corpus_cells.join(F.broadcast(q), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "q_vec", "n_id", "n_vec")
+    )
+    scored = cands.select(
+        "q_id",
+        "n_id",
+        (_dot(F.col("q_vec"), F.col("n_vec"))
+         / (_norm(F.col("q_vec")) * _norm(F.col("n_vec")))).alias("cos"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"), F.round("cos", 6).alias("cos"))
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 for vec_id<5. No oracle: the hash
+    family is engine-specific; tests bound recall vs the exact tier."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    # 6 planes × 8 tables: dense enough to produce candidates at the
+    # smallest test SF (150 vectors); at scale you'd raise planes with |corpus|
+    return lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), n_planes=6, n_tables=8
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-5 for vec_id<5. No oracle:
+    cell membership is engine-specific; tests bound recall vs exact."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < N_QUERY_VECS))
+
+
 def _deterministic_gaussians(seed: int, n: int) -> list[float]:
     """Seeded standard normals via a splitmix-style LCG + Box-Muller —
     reproducible across runs without numpy state."""
@@ -232,4 +348,6 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "embedding_norms": q_embedding_norms,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }

@@ -138,3 +138,27 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, f"ANN recall {recall:.2f}"
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF ANN (probe 4 of 10 cells on 10-cluster data) must recall most
+    brute-force top-5 neighbors: same-cluster neighbors share a cell."""
+    rng = random.Random(17)
+    rows = []
+    vid = 0
+    for cluster in range(10):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for _ in range(20):
+            rows.append((vid, [c + rng.gauss(0, 0.15) for c in center]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from pb_etl_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_ann_topk(emb, queries, k=5, n_centroids=10, n_probe=4)
+    e = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"IVF recall {recall:.2f}"
