@@ -20,6 +20,10 @@ from pb_etl_spark.registry import all_queries
 from pb_etl_spark.session import get_spark
 
 HEADLINE = [
+    "tpch_q1_pricing",
+    "tpch_q6_revenue",
+    "tpch_q3_shipping",
+    "tpch_q18_large_orders",
     "star_join_revenue",
     "groupby_agg",
     "filter_pushdown",

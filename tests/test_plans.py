@@ -1,0 +1,70 @@
+"""Physical-plan audits: the properties that make queries survive a
+100× scale-up must be visible in the executed plan, not assumed.
+
+- predicates reach the parquet scan (PushedFilters), including timestamp
+  range predicates;
+- column pruning is exact (ReadSchema lists only referenced columns);
+- bounded dimensions broadcast (BroadcastHashJoin), never shuffle the fact;
+- scan→filter→project→partial-agg pipelines run inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pb_etl_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    # default 100-char metadata truncation hides the tail of PushedFilters
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df = all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = _plan(spark, "tpch_q6_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan[:1500]
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+
+
+def test_q5_column_pruning_exact(spark):
+    plan = _plan(spark, "tpch_q5_region_volume")
+    # lineitem scan must read exactly the 4 referenced columns
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,"
+        "l_extendedprice:double,l_discount:double>" in plan
+    ), plan[:2000]
+    # and never the wide text-ish columns
+    assert "l_returnflag" not in plan
+
+
+def test_q5_dims_broadcast(spark):
+    plan = _plan(spark, "tpch_q5_region_volume")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_project_prunes_and_has_no_exchange(spark):
+    plan = _plan(spark, "scan_project")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>" in plan
+    assert "Exchange" not in plan
+
+
+def test_q1_partial_aggregation_and_codegen(spark):
+    plan = _plan(spark, "tpch_q1_pricing")
+    # map-side combine: partial_sum before the exchange
+    assert "partial_sum" in plan
+    # the shuffle carries grouped partials, not raw rows: exchange keyed on
+    # the group-by columns
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_sort_limit_is_top_k_not_global_sort(spark):
+    plan = _plan(spark, "sort_limit")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "star_join_revenue")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
