@@ -85,6 +85,23 @@ def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_not_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS (anti-join plan): customers with no
+    finished order — Catalyst rewrites to a broadcast/shuffled anti join,
+    never a per-row subquery execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        )
+        """
+    )
+
+
 def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN subquery: parts that appear in returned lineitems."""
     register_views(spark, sf_dir)
@@ -168,6 +185,14 @@ ORACLES: dict[str, str] = {
               AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O'
         )
     """,
+    "not_exists_correlated": """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        )
+    """,
     "in_subquery": """
         SELECT p_partkey, p_brand
         FROM part
@@ -201,6 +226,7 @@ QUERIES = {
     "pivot_agg": q_pivot_agg,
     "scalar_subquery": q_scalar_subquery,
     "exists_correlated": q_exists_correlated,
+    "not_exists_correlated": q_not_exists_correlated,
     "in_subquery": q_in_subquery,
     "stats_aggs": q_stats_aggs,
     "percentiles": q_percentiles,

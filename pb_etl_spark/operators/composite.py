@@ -197,6 +197,28 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share (promo vs total) in one
+    aggregate pass over the part⋈lineitem join — CASE inside SUM, no
+    second scan for the denominator."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-06-01") & (F.col("l_shipdate") < "1996-09-01")
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0))
+                / F.sum(disc_price),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ count-distinct per group — the 100 TB path (constant
     memory, no distinct shuffle). No oracle: sketch values are
@@ -255,6 +277,16 @@ ORACLES: dict[str, str] = {
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
+    """,
+    "tpch_q14_promo": """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6)
+                   AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+          AND l_shipdate < TIMESTAMP '1996-09-01'
     """,
     "tpch_q18_large_orders": """
         SELECT c_custkey, c_name, o_orderkey,
@@ -325,6 +357,7 @@ QUERIES = {
     "tpch_q6_revenue": q_tpch_q6_revenue,
     "tpch_q10_returns": q_tpch_q10_returns,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
+    "tpch_q14_promo": q_tpch_q14_promo,
     "tpch_q3_shipping": q_tpch_q3_shipping,
     "tpch_q5_region_volume": q_tpch_q5_region_volume,
     "window_ranking": q_window_ranking,

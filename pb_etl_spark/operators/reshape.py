@@ -1,0 +1,110 @@
+"""Reshaping + collection-aggregate surface: unpivot (wide→long melt),
+collection aggregates (sorted distinct lists), and range-frame windows.
+
+The reference has no reshaping at all (SURVEY.md §2.7); these are the
+Spark built-ins a training-data pipeline leans on for metric long-tables
+and per-key rollups. All JVM-side: unpivot is a Catalyst Expand (one scan,
+no shuffle), collect aggregates are hash-agg buffers, range frames are
+window-exec with a sliding frame bound — no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pb_etl_spark.catalog import read_table
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of three lineitem measures via unpivot (Expand:
+    one scan emits 3 rows/input row; no shuffle, no UDF)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round("value", 2).alias("value"),
+    )
+
+
+def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates per group: sorted distinct list (rendered as
+    a joined string for a deterministic cross-engine value), plus counts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.count_distinct("l_linestatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on days: per customer, rolling 30-day order spend.
+    Unlike a ROWS frame, peers are bounded by the *value* of the ordering
+    key — the shape of every trailing-window business metric."""
+    o = read_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        day.cast("long").alias("day_no"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "unpivot_measures": """
+        SELECT l_orderkey, l_linenumber, measure, ROUND(value, 2) AS value
+        FROM (
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   l_quantity AS value FROM lineitem WHERE l_orderkey <= 200
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   l_extendedprice FROM lineitem WHERE l_orderkey <= 200
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   l_discount FROM lineitem WHERE l_orderkey <= 200
+        )
+    """,
+    "collect_agg": """
+        SELECT l_returnflag,
+               string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+                   AS statuses,
+               COUNT(DISTINCT l_linestatus) AS n_statuses,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "window_range_frame": """
+        SELECT o_orderkey, o_custkey,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   AS day_no,
+               ROUND(SUM(o_totalprice) OVER w, 2) AS spend_30d,
+               COUNT(*) OVER w AS orders_30d
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+}
+
+QUERIES = {
+    "unpivot_measures": q_unpivot_measures,
+    "collect_agg": q_collect_agg,
+    "window_range_frame": q_window_range_frame,
+}

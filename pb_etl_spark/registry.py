@@ -18,6 +18,7 @@ from pb_etl_spark.operators import (
     dedup,
     events,
     relational,
+    reshape,
     scalar_funcs,
     similarity,
     temporal,
@@ -28,6 +29,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = [
     relational,
+    reshape,
     events,
     text,
     similarity,
