@@ -81,6 +81,30 @@ def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer equi-join between two grouped summaries: per-nation
+    customer counts vs per-nation supplier counts — unmatched sides
+    surface as NULL-padded rows (the reconciliation-report shape)."""
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS): customers that have at least one order.
     Semi avoids materializing the join — one bit per probe row."""
@@ -348,6 +372,17 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice, c_name, c_mktsegment
         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
     """,
+    "full_outer_join": """
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+               COALESCE(n_customers, 0) AS n_customers,
+               COALESCE(n_suppliers, 0) AS n_suppliers
+        FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+              FROM customer GROUP BY c_nationkey) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+              FROM supplier GROUP BY s_nationkey) s
+          USING (nationkey)
+    """,
     "semi_join": """
         SELECT c_custkey, c_mktsegment FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -466,6 +501,7 @@ QUERIES = {
     "scan_project": q_scan_project,
     "filter_pushdown": q_filter_pushdown,
     "left_join": q_left_join,
+    "full_outer_join": q_full_outer_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "star_join_revenue": q_star_join_revenue,

@@ -145,6 +145,41 @@ def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(user_dim), "user_id", "left")
 
 
+def stream_stream_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "30 minutes",
+    join_horizon: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with a bounded event-time range: a click
+    joins views by the same user within the preceding ``join_horizon``.
+
+    Both sides are watermarked, and the range condition lets the state
+    store evict buffered rows once the watermark passes the horizon —
+    without it, stream-stream join state grows forever.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    return c.join(
+        v,
+        F.expr(
+            f"""
+            c_user = v_user AND
+            view_ts <= click_ts AND
+            view_ts >= click_ts - INTERVAL {join_horizon}
+            """
+        ),
+    )
+
+
 def write_parquet_stream(sdf: DataFrame, out_dir: str, checkpoint_dir: str):
     """foreachBatch parquet sink: exactly-once via checkpointed batch ids;
     each micro-batch lands as an idempotent append."""

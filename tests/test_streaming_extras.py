@@ -79,3 +79,77 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     written = spark.read.parquet(out_dir)
     assert written.count() == read_table(spark, SF_DIR, "events").count()
     assert "ts" in written.columns
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream range join must equal the identical batch join on the
+    same bounded input (click ⋈ view per user within 1 hour back)."""
+    from pb_etl_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        stream_stream_join,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "a.parquet")
+    stream = read_event_stream(spark, str(d))
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    out = run_to_memory(
+        stream_stream_join(clicks, views), "t_ssj", output_mode="append"
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    batch = bc.join(
+        bv,
+        F.expr(
+            "c_user = v_user AND view_ts <= click_ts "
+            "AND view_ts >= click_ts - INTERVAL 1 HOUR"
+        ),
+    )
+    assert out.count() == batch.count() > 0
+    s = {(r["click_id"], r["view_id"]) for r in out.collect()}
+    b = {(r["click_id"], r["view_id"]) for r in batch.collect()}
+    assert s == b
+
+
+def test_jsonl_roundtrip_and_partitioned_write(spark, tmp_path):
+    """JSONL sink→source round-trip preserves values under the declared
+    schema; a partitioned write produces prunable directories."""
+    from pyspark.sql import types as T
+
+    from pb_etl_spark.sources.json import read_jsonl, write_jsonl
+
+    orders = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_jsonl")
+    write_jsonl(orders, path, partition_by=["o_orderstatus"])
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = read_jsonl(spark, path, schema)
+    assert back.count() == orders.count()
+    # partition column comes back from the directory layout, pruned reads work
+    pruned = spark.read.schema(schema).json(path + "/o_orderstatus=F")
+    n_f = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == n_f
+    assert (
+        back.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0]["s"]
+        == orders.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0]["s"]
+    )
