@@ -81,6 +81,20 @@ def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sample: 20% of 'O', 10% of 'F', 5% of 'P' orders,
+    summarized per status. ``sampleBy`` is one scan with per-row Bernoulli
+    draws — no shuffle, no count-first pass; the summary downstream is the
+    class-balance report a training-data split emits. No oracle: sampling
+    is engine-specific; tests bound the fractions."""
+    o = read_table(spark, sf_dir, "orders")
+    sample = o.sampleBy("o_orderstatus", {"O": 0.2, "F": 0.1, "P": 0.05}, seed=42)
+    return sample.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
 def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer equi-join between two grouped summaries: per-nation
     customer counts vs per-nation supplier counts — unmatched sides
@@ -502,6 +516,7 @@ QUERIES = {
     "filter_pushdown": q_filter_pushdown,
     "left_join": q_left_join,
     "full_outer_join": q_full_outer_join,
+    "stratified_sample": q_stratified_sample,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "star_join_revenue": q_star_join_revenue,

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pb_etl_spark.operators import (
     advanced,
+    clustering,
     composite,
     dedup,
     events,
@@ -38,6 +39,7 @@ _MODULES = [
     advanced,
     temporal,
     composite,
+    clustering,
 ]
 
 

@@ -162,3 +162,18 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, f"IVF recall {recall:.2f}"
+
+
+def test_connected_components_known_graph(spark):
+    """Hand-built graph: {1,2,3} chained, {4,5} paired, {6} isolated —
+    labels must converge to the component minimum."""
+    from pb_etl_spark.operators.clustering import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components(verts, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}

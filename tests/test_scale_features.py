@@ -107,3 +107,24 @@ def test_results_sink_and_rest(spark, tmp_path):
         assert data == [{"expected": 0.41, "actual": 0.39}]
         with pytest.raises(urllib.error.HTTPError):
             urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/nope")
+
+
+def test_stratified_sample_fractions(spark):
+    """Sampled class sizes must track the requested fractions (±50% rel
+    tolerance at small SF) and be reproducible under the fixed seed."""
+    from pb_etl_spark.operators.relational import q_stratified_sample
+
+    want = {"O": 0.2, "F": 0.1, "P": 0.05}
+    totals = {
+        r["o_orderstatus"]: r["n"]
+        for r in read_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r["o_orderstatus"]: r["n_sampled"] for r in q_stratified_sample(spark, SF_DIR).collect()}
+    for status, frac in want.items():
+        expect = totals[status] * frac
+        assert got.get(status, 0) == pytest.approx(expect, rel=0.5), (status, got)
+    again = {r["o_orderstatus"]: r["n_sampled"] for r in q_stratified_sample(spark, SF_DIR).collect()}
+    assert got == again
