@@ -219,6 +219,93 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority for orders with ≥1
+    returned line — EXISTS becomes a left-semi join (one bit per order,
+    no lineitem payload through the shuffle)."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    returned = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    zero-order customers — left join preserves them, two grouped passes
+    (per-customer count, then histogram of counts)."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning the
+    join. Catalyst pushes the common per-side conjuncts below the join and
+    evaluates the residual disjunction after it — expressed once,
+    declaratively."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count/sum of above-average-balance
+    customers with no urgent orders — scalar subquery (broadcast 1-row
+    agg) + anti join + grouped agg. (The synthetic data gives every
+    customer at least one order, so the idle predicate is 'no 1-URGENT
+    order' to keep the result non-degenerate at every SF.)"""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ count-distinct per group — the 100 TB path (constant
     memory, no distinct shuffle). No oracle: sketch values are
@@ -287,6 +374,44 @@ ORACLES: dict[str, str] = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-06-01'
           AND l_shipdate < TIMESTAMP '1996-09-01'
+    """,
+    "tpch_q4_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "tpch_q13_custdist": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q19_disjunctive": """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
+           OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 5)
+           OR (p_brand = 'Brand#3' AND p_size <= 30)
+    """,
+    "tpch_q22_idle_balances": """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
     """,
     "tpch_q18_large_orders": """
         SELECT c_custkey, c_name, o_orderkey,
@@ -358,6 +483,10 @@ QUERIES = {
     "tpch_q10_returns": q_tpch_q10_returns,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q14_promo": q_tpch_q14_promo,
+    "tpch_q4_priority": q_tpch_q4_priority,
+    "tpch_q13_custdist": q_tpch_q13_custdist,
+    "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+    "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
     "tpch_q3_shipping": q_tpch_q3_shipping,
     "tpch_q5_region_volume": q_tpch_q5_region_volume,
     "window_ranking": q_window_ranking,

@@ -189,6 +189,23 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-record dedup: keep the latest event per (user, type) by
+    (ts, event_id) — one window pass; the CDC-compaction shape. At scale
+    this is the same plan as SCD-1 upsert resolution."""
+    from pyspark.sql.window import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
 _SHINGLE_CTE = """
     toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
     idx AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i FROM toks),
@@ -280,6 +297,15 @@ ORACLES: dict[str, str] = {
     ) + """ AS simhash
         FROM sums
     """,
+    "dedup_keep_latest": """
+        SELECT user_id, event_type, event_id, ROUND(value, 6) AS value
+        FROM (
+            SELECT user_id, event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
     "embedding_near_dup": f"""
         SELECT a.vec_id AS ia, b.vec_id AS ib,
                ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -296,4 +322,5 @@ QUERIES = {
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "embedding_near_dup": q_embedding_near_dup,
+    "dedup_keep_latest": q_dedup_keep_latest,
 }

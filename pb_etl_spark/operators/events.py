@@ -94,7 +94,100 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization without session_window: per user, a session break is
+    a >30-minute gap (lag), session ids are a running sum of breaks, then
+    per-session rollup. Two window passes over one user-partitioned
+    shuffle — the general pattern when session logic is richer than a
+    fixed gap (e.g. campaign-aware breaks)."""
+    from pyspark.sql.window import Window as W
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        # exact integer micros on both engines (fractional epoch seconds
+        # truncate differently); NTZ→LTZ cast is identity under UTC session tz
+        "ts_us",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+    )
+    w_user = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = F.col("ts_us") - F.lag("ts_us").over(w_user)
+    with_breaks = ev.withColumn(
+        "is_break", F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    with_sessions = with_breaks.withColumn(
+        "session_no",
+        F.sum("is_break").over(
+            w_user.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        with_sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+    )
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: users whose first 'view' precedes a later 'click' — per-user
+    min timestamps compared, one grouped pass + conditional aggregation."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_viewers"),
+        F.sum(
+            (
+                F.col("first_view").isNotNull()
+                & F.col("first_click").isNotNull()
+                & (F.col("first_view") < F.col("first_click"))
+            ).cast("long")
+        ).alias("n_converted"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "sessionize_lag": """
+        WITH breaks AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                             OR LAG(epoch_us(ts)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_break
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts_us, value,
+                   CAST(SUM(is_break) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_no
+            FROM breaks
+        )
+        SELECT user_id, session_no,
+               COUNT(*) AS n_events,
+               CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us,
+               ROUND(SUM(value), 6) AS session_value
+        FROM sess GROUP BY user_id, session_no
+    """,
+    "funnel_conversion": """
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click
+            FROM events GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               COUNT(first_view) AS n_viewers,
+               SUM(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
+                             AND first_view < first_click
+                        THEN 1 ELSE 0 END) AS n_converted
+        FROM per_user
+    """,
     "json_extract_agg": """
         SELECT event_type,
                COUNT(*) AS n_events,
@@ -148,4 +241,6 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
+    "sessionize_lag": q_sessionize_lag,
+    "funnel_conversion": q_funnel_conversion,
 }

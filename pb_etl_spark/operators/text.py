@@ -111,7 +111,54 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (bounded slice): tf from one
+    grouped pass, df from a distinct pass, idf = ln(N/df), per-doc top-k
+    via window. The inverted-index/feature-weighting shape of a text
+    pipeline — all joins on the token key, no Python."""
+    from pyspark.sql.window import Window as W
+
+    doc = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    n_docs = doc.count()  # bounded scalar (one agg), baked as a literal
+    tok = doc.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(df_, "tok")
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "tfidf", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "tfidf_top_terms": """
+        WITH doc AS (SELECT * FROM documents WHERE doc_id < 50),
+        n AS (SELECT COUNT(*) AS n_docs FROM doc),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM doc),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(*) AS df
+               FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok),
+        scored AS (
+            SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                   ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (tok) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, tok ASC) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, tok, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
     "text_stats": """
         SELECT doc_id,
                LENGTH(text) AS n_chars_calc,
@@ -159,4 +206,5 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
