@@ -35,8 +35,13 @@ def connected_components(
     cluster_id is the component's minimum id. One shuffle round per
     iteration; lineage truncated per round so the plan stays O(1) deep.
     """
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # materialize the edge list once: each round re-evaluates its plan, and
+    # edges often come from an expensive upstream (LSH candidate generation)
+    # that must not re-run per iteration
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
     )
     labels = vertices.select(F.col("id"), F.col("id").alias("cluster_id"))
     for _ in range(max_rounds):
