@@ -169,6 +169,88 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.mapInPandas(fn, schema=FRAMES_SCHEMA)
 
 
+def media_table_from_documents(spark, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from ``documents``: the text
+    payload is wrapped in a fake-media blob with header fields computed
+    from doc_id (width = id%64+16, height = id%48+16, channels = id%3+1),
+    kind cycling image/audio/video. Encoding runs distributed in
+    mapInPandas — the testdata has no binary column, so this is the
+    synthesizer for the multimodal path (blob format documented above)."""
+    from pb_etl_spark.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = str(text).encode("utf-8")
+                blob = encode_fake_media(
+                    int(did) % 64 + 16, int(did) % 48 + 16, int(did) % 3 + 1, payload
+                )
+                rows.append((int(did), kinds[int(did) % 3], blob))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return docs.mapInPandas(fn, schema=schema)
+
+
+def q_media_decode(spark, sf_dir: str) -> DataFrame:
+    """Round-trip through the binary path: encode documents into fake-media
+    blobs, decode headers back with the Arrow mapInPandas decoder. The
+    oracle predicts the decoded metadata directly from documents — so the
+    whole binary encode→decode plumbing is value-checked, not rows-only."""
+    media = media_table_from_documents(spark, sf_dir)
+    return decode_media(media).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "n_payload_bytes",
+    )
+
+
+def q_media_feature_agg(spark, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing over the binary column: byte-histogram
+    features per item, aggregated per kind. No oracle (byte-level UTF-8
+    histograms aren't SQL-expressible); tests pin exact vectors for known
+    payloads and the driver records the rows-only check."""
+    media = media_table_from_documents(spark, sf_dir)
+    feats = extract_features(media)
+    joined = media.select("media_id", "kind").join(feats, "media_id")
+    return joined.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+        F.round(F.avg(F.element_at("features", 2)), 6).alias("avg_f1"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "media_decode": """
+        SELECT doc_id AS media_id,
+               CAST(doc_id % 64 + 16 AS BIGINT) AS width,
+               CAST(doc_id % 48 + 16 AS BIGINT) AS height,
+               CAST(doc_id % 3 + 1 AS BIGINT) AS channels,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_payload_bytes
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "media_decode": q_media_decode,
+    "media_feature_agg": q_media_feature_agg,
+}
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Pure-JVM metadata aggregation over the binary column (no decode):
     bytes and counts per kind — the cheap pre-filter a 100 TB media

@@ -18,6 +18,7 @@ from pb_etl_spark.operators import (
     composite,
     dedup,
     events,
+    multimodal,
     relational,
     reshape,
     scalar_funcs,
@@ -40,6 +41,7 @@ _MODULES = [
     temporal,
     composite,
     clustering,
+    multimodal,
 ]
 
 
