@@ -150,7 +150,37 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-active day, distinct
+    active users per (cohort, day-offset) for the first week. Two grouped
+    passes + one join on user_id — the standard retention-curve shape."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("active_day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("active_day", "cohort_day").cast("long"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"), "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "cohort_retention": """
+        WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS active_day FROM events),
+        first AS (SELECT user_id, MIN(active_day) AS cohort_day
+                  FROM ev GROUP BY user_id),
+        activity AS (SELECT DISTINCT user_id, active_day FROM ev)
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+               date_diff('day', cohort_day, active_day) AS day_offset,
+               COUNT(DISTINCT user_id) AS n_active
+        FROM activity JOIN first USING (user_id)
+        WHERE date_diff('day', cohort_day, active_day) <= 7
+        GROUP BY 1, 2
+    """,
     "sessionize_lag": """
         WITH breaks AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
@@ -243,4 +273,5 @@ QUERIES = {
     "session_window": q_session_window,
     "sessionize_lag": q_sessionize_lag,
     "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
 }

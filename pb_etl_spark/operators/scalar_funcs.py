@@ -126,6 +126,22 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery over a bounded lineitem slice: and/or/xor/shifts —
+    the partition-bucketing and bitmap primitives."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("and_255"),
+        k.bitwiseOR(F.lit(4096)).alias("or_4096"),
+        k.bitwiseXOR(F.lit(1023)).alias("xor_1023"),
+        F.shiftleft(k, 2).alias("shl_2"),
+        F.shiftright(k, 3).alias("shr_3"),
+    )
+
+
 def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex battery over documents: replace, count, match-test — the
     cleaning primitives of a text pipeline, all codegen'd JVM-side."""
@@ -176,6 +192,15 @@ def q_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "bitwise_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey & 255 AS and_255,
+               l_orderkey | 4096 AS or_4096,
+               xor(l_orderkey, 1023) AS xor_1023,
+               l_orderkey << 2 AS shl_2,
+               l_orderkey >> 3 AS shr_3
+        FROM lineitem WHERE l_orderkey <= 400
+    """,
     "regex_funcs": """
         SELECT doc_id,
                regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked,
@@ -273,6 +298,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "bitwise_funcs": q_bitwise_funcs,
     "regex_funcs": q_regex_funcs,
     "hash_funcs": q_hash_funcs,
     "case_bucketing": q_case_bucketing,
