@@ -286,10 +286,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 for vec_id<5. No oracle: the hash
     family is engine-specific; tests bound recall vs the exact tier."""
     emb = read_table(spark, sf_dir, "embeddings")
-    # 6 planes × 8 tables: dense enough to produce candidates at the
-    # smallest test SF (150 vectors); at scale you'd raise planes with |corpus|
+    # plane count scales with |corpus| (≈log2(n) - 2): bucket occupancy
+    # stays O(1) as the corpus grows, so candidate sets — and the re-rank
+    # cost — stay bounded from 150 vectors to 10^9
+    import math
+
+    n = emb.count()
+    planes = max(4, min(16, int(math.log2(max(n, 2))) - 2))
     return lsh_ann_topk(
-        emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), n_planes=6, n_tables=8
+        emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), n_planes=planes, n_tables=8
     )
 
 
