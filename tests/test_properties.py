@@ -1,0 +1,154 @@
+"""Property-based tests (hypothesis): operator semantics must hold on
+arbitrary generated inputs, not just the synthetic fixtures.
+
+Each property pins a custom operator against an independent model of its
+semantics — pandas for the as-of join, brute-force Python for salting and
+components — over randomized small inputs. Spark sessions are expensive,
+so examples are bounded (max_examples kept small; deadline disabled since
+JVM actions have multi-ms jitter).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_salted_groupby_equals_python_model(spark, rows, n_salts):
+    from pb_etl_spark.operators.skew import salted_groupby
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r["k"]: (r["s"], r["n"], r["mn"], r["mx"])
+        for r in salted_groupby(
+            df,
+            ["k"],
+            {"s": ("v", "sum"), "n": ("v", "count"), "mn": ("v", "min"), "mx": ("v", "max")},
+            n_salts=n_salts,
+        ).collect()
+    }
+    model: dict[str, list[int]] = {}
+    for k, v in rows:
+        model.setdefault(k, []).append(v)
+    want = {k: (sum(vs), len(vs), min(vs), max(vs)) for k, vs in model.items()}
+    assert got == want
+
+
+@given(
+    left_ts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    right_ts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_model(spark, left_ts, right_ts):
+    """Our union+window as-of must attach, per right row, the latest left
+    ts ≤ right ts on the same key (ties included, None when no earlier
+    left row) — checked against a brute-force model over multiple keys."""
+    from pb_etl_spark.operators.temporal import asof_join
+
+    left_rows = sorted(set(left_ts))
+    right_rows = sorted(set(right_ts))
+    left = spark.createDataFrame(left_rows, "key long, ts long")
+    right = spark.createDataFrame(right_rows, "key long, ts long")
+    got = {
+        (r["key"], r["ts"]): r["asof_ts"]
+        for r in asof_join(left, right, on="key", ts_col="ts").collect()
+    }
+    want = {}
+    for k, t in right_rows:
+        cands = [lt for lk, lt in left_rows if lk == k and lt <= t]
+        want[(k, t)] = max(cands) if cands else None
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from pb_etl_spark.operators.clustering import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(15)], "id long")
+    if edges:
+        edf = spark.createDataFrame(edges, "src long, dst long")
+    else:
+        edf = spark.createDataFrame([], "src long, dst long")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(verts, edf).collect()}
+
+    parent = list(range(15))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: label = min member of the component
+    comp: dict[int, list[int]] = {}
+    for i in range(15):
+        comp.setdefault(find(i), []).append(i)
+    want = {i: min(members) for root, members in comp.items() for i in members}
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.001, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_max_normalize_bounds_and_unit_max(spark, vals):
+    """Fit-on-train max normalization (reference E1 semantics, positive
+    features): every transformed value ≤ 1 and the max maps to exactly 1."""
+    from pb_etl_spark.operators.normalize import apply_maxabs, fit_maxabs
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = apply_maxabs(df, fit_maxabs(df, ["x"]), ["x"])
+    got = [r["x"] for r in out.collect()]
+    assert all(g <= 1.0 + 1e-12 for g in got)
+    assert max(got) == pytest.approx(1.0)
