@@ -107,3 +107,46 @@ def score(model: PipelineModel, df: DataFrame, key_col: str = "TRANSACTION_ID") 
         key_col,
         vector_to_array(F.col("probability")).getItem(1).alias(PREDICTION_COL),
     )
+
+
+def score_with_external_model(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    feature_cols: list[str],
+    key_col: str = "TRANSACTION_ID",
+    batch_size: int = 1024,
+) -> DataFrame:
+    """M6 alternative path: score with a model that lives OUTSIDE Spark ML
+    (the reference's Keras net, tasks.py:374-385) via ``predict_batch_udf``
+    — Arrow-batched numpy inference, one model instance per executor
+    (loaded in make_predict_fn, not per row/batch), never row-at-a-time.
+
+    Here the external 'model' is a logistic layer carried as plain weights,
+    standing in for any framework model: swapping in TF/PyTorch changes
+    only make_predict_fn's body (load SavedModel, call it), while the
+    batching, Arrow transfer, and plan shape are already the 100 TB ones.
+    """
+    import numpy as np
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import DoubleType
+
+    w = np.asarray(weights, dtype="float64")
+    b = float(bias)
+
+    def make_predict_fn():
+        # executor-side one-time setup (model load goes here)
+        def predict(inputs: "np.ndarray") -> "np.ndarray":
+            z = inputs @ w + b
+            return 1.0 / (1.0 + np.exp(-z))
+
+        return predict
+
+    udf = predict_batch_udf(
+        make_predict_fn,
+        return_type=DoubleType(),
+        batch_size=batch_size,
+        input_tensor_shapes=[[len(feature_cols)]],
+    )
+    features = F.array(*[F.col(c).cast("double") for c in feature_cols])
+    return df.select(key_col, udf(features).alias(PREDICTION_COL))

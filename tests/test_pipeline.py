@@ -126,3 +126,33 @@ def test_salt_determinism(pipeline_run):
     g = build_graph(root=pipeline_run["root"], seed=42)
     assert g.salt() == build_graph(root=pipeline_run["root"], seed=42).salt()
     assert len(g.salt()) == 6
+
+
+def test_score_with_external_model_matches_closed_form(spark):
+    """predict_batch_udf path must equal the closed-form sigmoid computed
+    JVM-side (same weights), proving the Arrow batching is value-exact."""
+    from pyspark.sql import functions as F
+
+    from pb_etl_spark.ml.pipeline import score_with_external_model
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7) - 3.0, float(i % 5) / 2.0) for i in range(1000)],
+        "TRANSACTION_ID long, f1 double, f2 double",
+    )
+    w = [0.8, -1.3]
+    b = 0.25
+    got = score_with_external_model(df, w, b, ["f1", "f2"])
+    want = df.select(
+        "TRANSACTION_ID",
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(-(F.col("f1") * w[0] + F.col("f2") * w[1] + F.lit(b)))
+            )
+        ).alias("Y_hat"),
+    )
+    g = {r["TRANSACTION_ID"]: r["Y_hat"] for r in got.collect()}
+    e = {r["TRANSACTION_ID"]: r["Y_hat"] for r in want.collect()}
+    assert g.keys() == e.keys()
+    assert all(abs(g[k] - e[k]) < 1e-12 for k in g)
