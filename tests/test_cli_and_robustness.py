@@ -1,0 +1,69 @@
+"""CLI entry-point smoke + malformed-input robustness.
+
+The reference's only entry points are ``python -m pb_etl`` and the Django
+management command (SURVEY.md §3); our CLI is the same contract. Bad CSV
+rows must degrade to PERMISSIVE nulls, never fail the scan — at 100 TB a
+single corrupt row aborting a job is operationally unacceptable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tests.fixtures import write_fixtures
+
+
+def test_cli_main_runs_pipeline_and_prints_report(spark, tmp_path, capsys):
+    from pb_etl_spark.cli import main
+
+    root = str(tmp_path / "external")
+    workdir = str(tmp_path / "workdir")
+    write_fixtures(root)
+    rc = main(["--workdir", workdir, "--root", root, "--full"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {"report", "ran", "skipped"}
+    assert {"expected", "actual"} <= set(out["report"])
+    assert 0.0 <= out["report"]["actual"] <= 1.0
+
+
+def test_csv_malformed_rows_degrade_to_nulls(spark, tmp_path):
+    from pb_etl_spark.sources.csv import read_csv_dataset
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    (d / "part0.csv").write_text(
+        "id,val\n"
+        "1,10.5\n"
+        "2,not_a_number\n"  # malformed numeric
+        "3,30.0\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    df = read_csv_dataset(spark, str(d), schema)
+    rows = {r["id"]: r["val"] for r in df.collect()}
+    assert rows[1] == 10.5 and rows[3] == 30.0
+    assert rows[2] is None  # PERMISSIVE: bad cell nulled, row kept
+
+
+def test_success_flag_guard_refuses_partial_dataset(spark, tmp_path):
+    from pb_etl_spark.sources.parquet import read_parquet, write_parquet
+
+    path = str(tmp_path / "ds")
+    df = spark.range(10).select(F.col("id"))
+    write_parquet(df, path)
+    assert read_parquet(spark, path).count() == 10
+    os.remove(os.path.join(path, "_SUCCESS"))
+    try:
+        read_parquet(spark, path)
+        raise AssertionError("guarded read must refuse a flag-less dataset")
+    except FileNotFoundError:
+        pass
