@@ -67,7 +67,81 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over an aggregate: monthly revenue, previous month, and
+    absolute growth — agg first (tiny result), window second (over the
+    ~24-row monthly series, not the fact table)."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = W.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.round(F.col("revenue") - F.coalesce(F.lag("revenue").over(w), F.lit(0.0)), 2).alias(
+            "growth"
+        ),
+    )
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct JSON round-trip: pack order fields into a struct,
+    serialize with to_json, parse back with from_json (explicit schema),
+    extract — values must survive bit-exact. The serialization path every
+    event producer/consumer pair exercises."""
+    from pyspark.sql import types as T
+
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    packed = o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("key"),
+                F.col("o_orderstatus").alias("status"),
+                F.round("o_totalprice", 2).alias("price"),
+            )
+        ).alias("js"),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.from_json("js", schema).alias("s"),
+    ).select(
+        "o_orderkey",
+        F.col("s.key").alias("key"),
+        F.col("s.status").alias("status"),
+        F.col("s.price").alias("price"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "monthly_growth": """
+        WITH monthly AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue,
+               LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+               ROUND(revenue - COALESCE(LAG(revenue) OVER (ORDER BY month), 0.0), 2)
+                   AS growth
+        FROM monthly
+    """,
+    "json_roundtrip": """
+        SELECT o_orderkey,
+               o_orderkey AS key,
+               o_orderstatus AS status,
+               ROUND(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderkey <= 300
+    """,
     "unpivot_measures": """
         SELECT l_orderkey, l_linenumber, measure, ROUND(value, 2) AS value
         FROM (
@@ -104,6 +178,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "monthly_growth": q_monthly_growth,
+    "json_roundtrip": q_json_roundtrip,
     "unpivot_measures": q_unpivot_measures,
     "collect_agg": q_collect_agg,
     "window_range_frame": q_window_range_frame,
