@@ -128,3 +128,31 @@ def test_stratified_sample_fractions(spark):
         assert got.get(status, 0) == pytest.approx(expect, rel=0.5), (status, got)
     again = {r["o_orderstatus"]: r["n_sampled"] for r in q_stratified_sample(spark, SF_DIR).collect()}
     assert got == again
+
+
+def test_cluster_by_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered parquet files must carry disjoint min/max stats on
+    the cluster key — the property that makes footer-level data skipping
+    effective for selective predicates."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pb_etl_spark.sources.parquet import write_parquet
+
+    orders = read_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_clustered")
+    write_parquet(
+        orders.repartition(8), path, cluster_by=["o_orderkey"], n_files=6
+    )
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("o_orderkey")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) > 1, "expected multiple output files"
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert lo_next > hi_prev, f"overlapping file ranges: {ranges}"
