@@ -369,6 +369,33 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return big.union(rich).distinct()
 
 
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): order-priority multiset of open
+    orders ∩ multiset of high-value orders — duplicates preserved up to
+    the min multiplicity, summarized per priority for a stable result."""
+    orders = read_table(spark, sf_dir, "orders")
+    open_p = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    rich_p = orders.filter(F.col("o_totalprice") > 400000).select("o_orderpriority")
+    return (
+        open_p.intersectAll(rich_p)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): multiplicity-aware difference of the
+    same two priority multisets, summarized per priority."""
+    orders = read_table(spark, sf_dir, "orders")
+    open_p = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    rich_p = orders.filter(F.col("o_totalprice") > 400000).select("o_orderpriority")
+    return (
+        open_p.exceptAll(rich_p)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 ORACLES: dict[str, str] = {
     "scan_project": """
         SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
@@ -509,6 +536,20 @@ ORACLES: dict[str, str] = {
         UNION
         SELECT p_brand FROM part WHERE p_retailprice > 1500
     """,
+    "set_intersect_all": """
+        SELECT o_orderpriority, COUNT(*) AS n FROM (
+            SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT ALL
+            SELECT o_orderpriority FROM orders WHERE o_totalprice > 400000
+        ) GROUP BY o_orderpriority
+    """,
+    "set_except_all": """
+        SELECT o_orderpriority, COUNT(*) AS n FROM (
+            SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT ALL
+            SELECT o_orderpriority FROM orders WHERE o_totalprice > 400000
+        ) GROUP BY o_orderpriority
+    """,
 }
 
 QUERIES = {
@@ -535,4 +576,6 @@ QUERIES = {
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
     "union_distinct": q_union_distinct,
+    "set_intersect_all": q_set_intersect_all,
+    "set_except_all": q_set_except_all,
 }

@@ -153,3 +153,37 @@ def test_jsonl_roundtrip_and_partitioned_write(spark, tmp_path):
         back.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0]["s"]
         == orders.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0]["s"]
     )
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Restarting the parquet-sink stream with the same checkpoint after
+    new input arrives must process ONLY the new file — no reprocessing,
+    no duplicates (exactly-once across restarts)."""
+    from pb_etl_spark.streaming.windows import write_parquet_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = read_table(spark, SF_DIR, "events")  # ts already nanos→timestamp
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(str(src / "batch1"))
+
+    def stream():
+        return spark.readStream.schema(ev.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+
+    # run 1: sees only batch1
+    q = write_parquet_stream(stream(), out_dir, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == half1.count()
+
+    # new data lands; run 2 with the SAME checkpoint
+    half2.coalesce(1).write.parquet(str(src / "batch2"))
+    q = write_parquet_stream(stream(), out_dir, ckpt)
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
