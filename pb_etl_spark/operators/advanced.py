@@ -114,6 +114,84 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates per group: bool_and / bool_or / conditional
+    counts — the data-quality-assertion shape (\"is every row in this
+    partition valid?\") that runs as a cheap partial-aggregated pass."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bool_and(F.col("l_shipdate").isNotNull()).alias("all_dated"),
+    )
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): keys where NULL must match NULL —
+    the reconciliation-join semantics SQL's = silently drops. Built by
+    nulling a derived key on both sides and joining with eqNullSafe."""
+    o = read_table(spark, sf_dir, "orders")
+    # derived key: priority digit for urgent/high, NULL otherwise
+    keyed = o.withColumn(
+        "prio_key",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            F.substring("o_orderpriority", 1, 1),
+        ),
+    )
+    summary = keyed.groupBy("prio_key").agg(F.count(F.lit(1)).alias("n_orders"))
+    classes = spark.createDataFrame(
+        [("1", "urgent"), ("2", "high"), (None, "routine")],
+        "prio_key string, class string",
+    )
+    return (
+        summary.join(
+            F.broadcast(classes), summary.prio_key.eqNullSafe(classes.prio_key)
+        )
+        .select("class", "n_orders")
+    )
+
+
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct pack/extract battery: nested field construction and access
+    stay columnar (no serialization) — the typed-record shape of event
+    payloads."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.struct(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        ).alias("when"),
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("status").alias("status"),
+        s.getField("price").alias("price"),
+        s.getField("when").getField("yr").alias("yr"),
+        s.getField("when").getField("mo").alias("mo"),
+    )
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket = floor(price/50k) — one grouped pass
+    (integer arithmetic, no CASE ladder), the distribution-profile query
+    run before choosing normalization or clipping bounds."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / 50000).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
 def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: sample stddev/variance, correlation,
     sample covariance."""
@@ -198,6 +276,44 @@ ORACLES: dict[str, str] = {
         FROM part
         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
     """,
+    "bool_aggs": """
+        SELECT l_returnflag,
+               BOOL_AND(l_quantity > 0) AS all_positive_qty,
+               BOOL_OR(l_discount > 0.09) AS any_deep_discount,
+               BOOL_AND(l_shipdate IS NOT NULL) AS all_dated
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "null_safe_join": """
+        WITH keyed AS (
+            SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN SUBSTRING(o_orderpriority, 1, 1) END AS prio_key
+            FROM orders
+        ),
+        summary AS (
+            SELECT prio_key, COUNT(*) AS n_orders FROM keyed GROUP BY prio_key
+        ),
+        classes(prio_key, class) AS (
+            VALUES ('1', 'urgent'), ('2', 'high'), (NULL, 'routine')
+        )
+        SELECT class, n_orders
+        FROM summary JOIN classes
+          ON summary.prio_key IS NOT DISTINCT FROM classes.prio_key
+    """,
+    "struct_funcs": """
+        SELECT o_orderkey,
+               o_orderstatus AS status,
+               ROUND(o_totalprice, 2) AS price,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+               CAST(MONTH(o_orderdate) AS BIGINT) AS mo
+        FROM orders WHERE o_orderkey <= 300
+    """,
+    "price_histogram": """
+        SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+               COUNT(*) AS n_orders,
+               ROUND(MIN(o_totalprice), 2) AS lo,
+               ROUND(MAX(o_totalprice), 2) AS hi
+        FROM orders GROUP BY 1
+    """,
     "stats_aggs": """
         SELECT ROUND(STDDEV_SAMP(l_quantity), 6) AS qty_stddev,
                ROUND(VAR_SAMP(l_quantity), 6) AS qty_var,
@@ -227,6 +343,10 @@ QUERIES = {
     "scalar_subquery": q_scalar_subquery,
     "exists_correlated": q_exists_correlated,
     "not_exists_correlated": q_not_exists_correlated,
+    "bool_aggs": q_bool_aggs,
+    "null_safe_join": q_null_safe_join,
+    "struct_funcs": q_struct_funcs,
+    "price_histogram": q_price_histogram,
     "in_subquery": q_in_subquery,
     "stats_aggs": q_stats_aggs,
     "percentiles": q_percentiles,
