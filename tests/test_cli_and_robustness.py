@@ -67,3 +67,18 @@ def test_success_flag_guard_refuses_partial_dataset(spark, tmp_path):
         raise AssertionError("guarded read must refuse a flag-less dataset")
     except FileNotFoundError:
         pass
+
+
+def test_env_var_redirects_external_root(spark, tmp_path, monkeypatch):
+    """$PB_ETL_SPARK_DATA_ROOT must redirect every named external source
+    (parity with the reference's FINAL_PROJ_BUCKET override used by its
+    test suite, test_pset.py:154)."""
+    from pb_etl_spark.catalog import data_root, read_external
+
+    root = str(tmp_path / "redirected")
+    write_fixtures(root)
+    monkeypatch.setenv("PB_ETL_SPARK_DATA_ROOT", root)
+    assert data_root() == root
+    attr = read_external(spark, "train_attr")
+    assert attr.count() > 0
+    assert "TRANSACTION_ID" in attr.columns
