@@ -122,7 +122,93 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trailing_rows_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame: 3-row trailing average per customer ordered by
+    (date, key) — O(frame) per row, state never exceeds the frame."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    # integer-cents arithmetic end-to-end: windowed double-sums associate
+    # differently across engines (segment tree vs sequential) and even
+    # ROUND(double, 2) differs at binary half-boundaries — exact integers
+    # sidestep both (avg emitted as whole cents)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.withColumn("__cents", cents).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("__cents").over(w) / F.count(F.lit(1)).over(w))
+        .cast("long")
+        .alias("avg_cents_3"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
+
+
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over embeddings: transform / filter /
+    exists / aggregate lambdas run inside codegen — the no-UDF way to do
+    per-element math on array columns."""
+    e = read_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x),
+            6,
+        ).alias("sum_sq"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.exists(v, lambda x: x > 2.5).alias("has_gt_2_5"),
+        F.round(F.array_max(F.transform(v, F.abs)), 6).alias("max_abs"),
+    )
+
+
+def q_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic over events: shifted timestamps and exact
+    integer-minute differences (micros-exact on both engines)."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        F.date_format(ts + F.expr("INTERVAL 90 MINUTES"), "yyyy-MM-dd HH:mm:ss").alias(
+            "plus_90m"
+        ),
+        F.date_format(ts - F.expr("INTERVAL 1 DAY"), "yyyy-MM-dd HH:mm:ss").alias(
+            "minus_1d"
+        ),
+        (F.unix_micros(ts) / F.lit(60_000_000)).cast("long").alias("epoch_min"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "trailing_rows_avg": """
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER w
+                          * 1.0 / COUNT(*) OVER w, 0) AS BIGINT) AS avg_cents_3,
+               COUNT(*) OVER w AS n_in_frame
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "higher_order_funcs": """
+        SELECT vec_id,
+               ROUND(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                   x -> x * x), 'sum'), 6) AS sum_sq,
+               LEN(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_positive,
+               LEN(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 2.5)) > 0
+                   AS has_gt_2_5,
+               ROUND(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                   x -> ABS(x)), 'max'), 6) AS max_abs
+        FROM embeddings
+    """,
+    "interval_funcs": """
+        SELECT event_id,
+               strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus_90m,
+               strftime(ts - INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS minus_1d,
+               CAST(FLOOR(epoch_us(ts) / 60000000) AS BIGINT) AS epoch_min
+        FROM events WHERE event_id < 500
+    """,
     "monthly_growth": """
         WITH monthly AS (
             SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
@@ -178,6 +264,9 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "trailing_rows_avg": q_trailing_rows_avg,
+    "higher_order_funcs": q_higher_order_funcs,
+    "interval_funcs": q_interval_funcs,
     "monthly_growth": q_monthly_growth,
     "json_roundtrip": q_json_roundtrip,
     "unpivot_measures": q_unpivot_measures,
