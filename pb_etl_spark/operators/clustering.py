@@ -68,8 +68,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # fail loud: returning unconverged labels would silently split
+    # components whose diameter exceeds max_rounds
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds; "
+        "raise max_rounds (diameter of the largest component exceeds it)"
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

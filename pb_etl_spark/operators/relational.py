@@ -353,12 +353,15 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: customer keys with no orders (set-op twin of q_anti_join)."""
+    """EXCEPT: customer keys with no orders (set-op twin of q_anti_join).
+    ``subtract`` is EXCEPT DISTINCT — drops a key if it appears on the
+    right at all (exceptAll().distinct() would instead keep keys whose
+    left multiplicity merely exceeds the right's)."""
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
-    return cust.select(F.col("c_custkey").alias("custkey")).exceptAll(
+    return cust.select(F.col("c_custkey").alias("custkey")).subtract(
         orders.select(F.col("o_custkey").alias("custkey"))
-    ).distinct()
+    )
 
 
 def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,8 +35,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str = "ts") ->
     """Generic as-of: for every row of ``right``, attach ``asof_ts`` — the
     latest ``ts_col`` from ``left`` with left.ts <= right.ts, matched on
     ``on`` (null when no earlier left row exists). Left side sorts before
-    right at equal timestamps, so exact-tie matches are included."""
-    rt_keyed = right.withColumn("__rid", F.monotonically_increasing_id())
+    right at equal timestamps, so exact-tie matches are included.
+
+    ``__rid`` is materialized (localCheckpoint) before the plan branches:
+    monotonically_increasing_id is nondeterministic, and the two branches
+    (window input, final join) would otherwise re-evaluate it
+    independently — a shuffle retry could then stitch asof_ts onto the
+    wrong rows."""
+    rt_keyed = right.withColumn(
+        "__rid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     lt = left.select(
         F.col(on).alias("__k"),
         F.col(ts_col).alias("__ts"),

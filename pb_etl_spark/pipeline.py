@@ -109,7 +109,11 @@ def _final_results(spark: SparkSession, _out: None, deps: dict[str, str]) -> dic
         F.avg(F.col(LABEL_COL).cast("double")).alias("actual"),
         F.avg("Y_hat").alias("expected"),
     ).collect()[0]
-    return {"actual": float(row["actual"]), "expected": float(row["expected"])}
+    # avg() over an empty backtest is NULL — surface None, don't crash
+    return {
+        "actual": None if row["actual"] is None else float(row["actual"]),
+        "expected": None if row["expected"] is None else float(row["expected"]),
+    }
 
 
 # --- graph assembly --------------------------------------------------------

@@ -39,7 +39,12 @@ def write_results(df: DataFrame, db_path: str, table: str = RESULTS_TABLE) -> in
         placeholders = ", ".join("?" for _ in cols)
         con.executemany(
             f"INSERT INTO {table} VALUES ({placeholders})",
-            [tuple(float(r[c]) for c in cols) for r in rows],
+            # NULLs pass through (e.g. avg() over an empty backtest);
+            # sqlite coerces the rest
+            [
+                tuple(None if r[c] is None else float(r[c]) for c in cols)
+                for r in rows
+            ],
         )
         con.commit()
     return len(rows)

@@ -181,11 +181,14 @@ def stream_stream_join(
 
 
 def write_parquet_stream(sdf: DataFrame, out_dir: str, checkpoint_dir: str):
-    """foreachBatch parquet sink: exactly-once via checkpointed batch ids;
-    each micro-batch lands as an idempotent append."""
+    """foreachBatch parquet sink with real exactly-once semantics: each
+    micro-batch overwrites its own ``batch_id=N`` directory, so a batch
+    replayed after a crash-before-checkpoint rewrites the same path instead
+    of appending duplicates (plain append would be at-least-once).
+    Readers see one dataset via partition discovery on ``out_dir``."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
         sdf.writeStream.foreachBatch(sink)

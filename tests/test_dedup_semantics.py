@@ -177,3 +177,29 @@ def test_connected_components_known_graph(spark):
         r["id"]: r["cluster_id"] for r in connected_components(verts, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_word_shingles_short_docs_yield_nothing(spark):
+    """Documents with fewer than n tokens must produce zero shingles (the
+    descending-sequence crash/bogus-shingle regression)."""
+    from pb_etl_spark.operators.dedup import word_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "solo"), (3, ""), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["sh"]) for r in word_shingles(docs, n=3).collect()}
+    assert got == {(4, "a b c"), (4, "b c d")}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from pb_etl_spark.operators.clustering import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, chain, max_rounds=2)
