@@ -2,15 +2,18 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is executed with a count()-style action (df.count() after the
-full plan) so results materialize without driver-side pandas conversion
-cost dominating the measurement.
+Each query is executed with a noop-format write: unlike ``count()`` —
+which Catalyst rewrites to Aggregate(count(1)) and then PRUNES the
+query's own aggregates/projections out of the plan — the noop sink
+materializes every output column (full real work), with no driver-side
+pandas conversion or disk cost in the measurement.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -47,10 +50,11 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     queries = all_queries()
 
-    # steady-state warm-up: JIT/codegen + parquet footer caches, untimed
-    # (one cheap scan + one representative join/agg plan)
+    # steady-state warm-up: JIT/codegen + parquet footer caches, untimed.
+    # Warm with a NON-headline query so no timed entry gets a free warm
+    # second run the others don't.
     spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
-    queries["star_join_revenue"](spark, sf_dir).count()
+    queries["semi_join"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -58,13 +62,14 @@ def main() -> None:
         fn = queries[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    m = re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir.rstrip("/"))
+    sf = float(m.group(1)) if m else 0.0
     print(
         json.dumps(
             {

@@ -17,15 +17,14 @@ def spark():
 
     s = get_spark("tests", master="local[4]", shuffle_partitions=4)
     yield s
+    s.stop()
 
 
 @pytest.fixture(scope="session")
 def duck():
-    import duckdb
+    # shared with the CLI gate so the view definitions can't drift
+    from tools.check_oracle import duck_con
 
-    from pb_etl_spark.catalog import BENCH_TABLES
-
-    con = duckdb.connect()
-    for t in BENCH_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    con = duck_con(SF_DIR)
     yield con
+    con.close()

@@ -10,13 +10,14 @@ columns, NaN/None unified). Use while iterating:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pb_etl_spark.catalog import BENCH_TABLES
 from pb_etl_spark.registry import all_oracles, all_queries
@@ -37,6 +38,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif df[c].dtype.kind == "f":
+            # sort on the same rounded values compare() uses — raw-float
+            # sort keys below tolerance could order ties differently per
+            # engine and misalign the row-by-row diff
+            df[c] = df[c].round(9)
     df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
     return df
 
@@ -73,6 +79,11 @@ def main() -> int:
     spark = get_spark("check_oracle", master="local[8]", shuffle_partitions=8)
     con = duck_con(sf_dir)
     queries, oracles = all_queries(), all_oracles()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo must not become a silent 'all green'
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     failed = []
     for name, fn in queries.items():
         if only and name not in only:
