@@ -178,7 +178,13 @@ def media_table_from_documents(spark, sf_dir: str) -> DataFrame:
     synthesizer for the multimodal path (blob format documented above)."""
     from pb_etl_spark.catalog import read_table
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread docs before the Python encode stage — a compact input file
+    # would otherwise run all Arrow batches in one task
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
