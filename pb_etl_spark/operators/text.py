@@ -111,6 +111,40 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLL_B = 1_000_003  # polynomial base
+ROLL_M = (1 << 31) - 1  # Mersenne modulus keeps products < 2^52 (exact)
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp–Rabin rolling-hash fingerprints, winnowing-style selection:
+    4-token window hashes by Horner's rule over 32-bit token codes
+    (mod 2^31-1 keeps every product in exact-integer range on both
+    engines), then the minimum hash per 8-token block is kept as the
+    document's fingerprint set — the plagiarism/near-dup sketch that is
+    robust to insertions between blocks. All integer math: oracle-exact."""
+    from pyspark.sql.window import Window as W
+
+    doc = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = doc.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    code = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    c0 = code
+    c1 = F.lead(code, 1).over(w)
+    c2 = F.lead(code, 2).over(w)
+    c3 = F.lead(code, 3).over(w)
+    h = (
+        ((((c0 % ROLL_M) * ROLL_B + c1) % ROLL_M) * ROLL_B + c2) % ROLL_M
+    ) * ROLL_B + c3
+    return (
+        tok.select("doc_id", "pos", (h % ROLL_M).alias("wh"), c3.alias("c3"))
+        .filter(F.col("c3").isNotNull())
+        .groupBy("doc_id", F.floor(F.col("pos") / 8).cast("long").alias("block"))
+        .agg(F.min("wh").alias("fp"))
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document (bounded slice): tf from one
     grouped pass, df from a distinct pass, idf = ln(N/df), per-doc top-k
@@ -140,6 +174,34 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "rolling_fingerprint": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id < 100
+        ),
+        coded AS (
+            SELECT doc_id, pos,
+                   CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS c
+            FROM tok
+        ),
+        win AS (
+            SELECT doc_id, pos, c AS c0,
+                   LEAD(c, 1) OVER w AS c1,
+                   LEAD(c, 2) OVER w AS c2,
+                   LEAD(c, 3) OVER w AS c3
+            FROM coded
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        )
+        SELECT doc_id,
+               CAST(FLOOR(pos / 8) AS BIGINT) AS block,
+               MIN(((((((c0 % {ROLL_M}) * {ROLL_B} + c1) % {ROLL_M})
+                      * {ROLL_B} + c2) % {ROLL_M}) * {ROLL_B} + c3) % {ROLL_M})
+                   AS fp
+        FROM win WHERE c3 IS NOT NULL
+        GROUP BY doc_id, block
+    """,
     "tfidf_top_terms": """
         WITH doc AS (SELECT * FROM documents WHERE doc_id < 50),
         n AS (SELECT COUNT(*) AS n_docs FROM doc),
@@ -207,4 +269,5 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "rolling_fingerprint": q_rolling_fingerprint,
 }
