@@ -116,30 +116,37 @@ ROLL_M = (1 << 31) - 1  # Mersenne modulus keeps products < 2^52 (exact)
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Karp–Rabin rolling-hash fingerprints, winnowing-style selection:
-    4-token window hashes by Horner's rule over 32-bit token codes
-    (mod 2^31-1 keeps every product in exact-integer range on both
-    engines), then the minimum hash per 8-token block is kept as the
-    document's fingerprint set — the plagiarism/near-dup sketch that is
-    robust to insertions between blocks. All integer math: oracle-exact."""
+    """Karp–Rabin rolling-hash fingerprints with fixed-block min-hash
+    selection: 4-token window hashes by Horner's rule over 32-bit token
+    codes (mod 2^31-1 keeps every product in exact-integer range on both
+    engines), then the minimum window hash per 8-token position block is
+    kept as the document's fingerprint set. Edits shift downstream block
+    boundaries (unlike true winnowing's local guarantee) — the sketch
+    detects shared prefixes/blocks, not arbitrary-offset overlap. All
+    integer math: oracle-exact. Token codes are computed BEFORE the
+    window so each token is hashed once and the doc_id shuffle carries
+    8-byte longs, not token strings."""
     from pyspark.sql.window import Window as W
 
     doc = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     tok = doc.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long").alias("c"),
     )
-    code = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     w = W.partitionBy("doc_id").orderBy("pos")
-    c0 = code
-    c1 = F.lead(code, 1).over(w)
-    c2 = F.lead(code, 2).over(w)
-    c3 = F.lead(code, 3).over(w)
+    c0 = F.col("c")
+    c1 = F.lead("c", 1).over(w)
+    c2 = F.lead("c", 2).over(w)
+    c3 = F.lead("c", 3).over(w)
     h = (
         ((((c0 % ROLL_M) * ROLL_B + c1) % ROLL_M) * ROLL_B + c2) % ROLL_M
     ) * ROLL_B + c3
     return (
-        tok.select("doc_id", "pos", (h % ROLL_M).alias("wh"), c3.alias("c3"))
-        .filter(F.col("c3").isNotNull())
+        tok.select("doc_id", "pos", (h % ROLL_M).alias("wh"))
+        .filter(F.col("wh").isNotNull())
         .groupBy("doc_id", F.floor(F.col("pos") / 8).cast("long").alias("block"))
         .agg(F.min("wh").alias("fp"))
     )
