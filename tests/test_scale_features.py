@@ -185,3 +185,49 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
         4: ("d", 40.0, "new"),
     }
     assert dataset_exists(target)
+
+
+def test_scd2_merge_tracks_history(spark):
+    """SCD2: a changed key closes its current row at the update ts and
+    opens a new one; unchanged and identical-attr keys are untouched;
+    new keys open fresh; history rows are never modified."""
+    from datetime import datetime
+
+    from pb_etl_spark.operators.cdc import scd2_merge
+
+    t0, t1, t2 = (
+        datetime(2024, 1, 1),
+        datetime(2024, 2, 1),
+        datetime(2024, 3, 1),
+    )
+    far = datetime(9999, 12, 31, 23, 59, 59)
+    dim = spark.createDataFrame(
+        [
+            (1, "alice", "NY", t0, t1, False),   # history row
+            (1, "alice", "SF", t1, far, True),   # current
+            (2, "bob", "LA", t0, far, True),     # current, will change
+            (3, "carol", "TX", t0, far, True),   # current, identical update
+        ],
+        "id long, name string, city string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "bob", "SEA", t2),     # change
+            (3, "carol", "TX", t2),    # no-op (identical attrs)
+            (4, "dave", "CHI", t2),    # brand-new key
+        ],
+        "id long, name string, city string, effective_ts timestamp",
+    )
+    out = scd2_merge(dim, updates, "id", attr_cols=["name", "city"])
+    rows = {
+        (r["id"], r["city"], r["is_current"]): (r["valid_from"], r["valid_to"])
+        for r in out.collect()
+    }
+    assert len(rows) == 6
+    assert rows[(1, "NY", False)] == (t0, t1)          # history untouched
+    assert rows[(1, "SF", True)] == (t1, far)          # unchanged current
+    assert rows[(2, "LA", False)] == (t0, t2)          # closed at update ts
+    assert rows[(2, "SEA", True)] == (t2, far)         # new version
+    assert rows[(3, "TX", True)] == (t0, far)          # identical → no-op
+    assert rows[(4, "CHI", True)] == (t2, far)         # insert
