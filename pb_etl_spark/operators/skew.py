@@ -46,6 +46,69 @@ def salted_groupby(
     )
 
 
+def q_skew_salted_agg(spark, sf_dir: str):
+    """Registry entry: the salted two-phase aggregation over lineitem —
+    results are exactly the direct groupBy's, so the oracle is plain SQL;
+    what's different is the plan (hot keys spread over 8 reducers)."""
+    from pb_etl_spark.catalog import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return salted_groupby(
+        li,
+        ["l_returnflag"],
+        {
+            "total_qty": ("l_quantity", "sum"),
+            "n_rows": ("l_quantity", "count"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+    ).select(
+        "l_returnflag",
+        F.round("total_qty", 2).alias("total_qty"),
+        "n_rows",
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+def q_skew_salted_join(spark, sf_dir: str):
+    """Registry entry: hot-key-safe join orders⋈customer, summarized per
+    market segment — equal to the direct join, executed salted."""
+    from pb_etl_spark.catalog import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(orders, cust, "o_custkey", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("segment_spend"),
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    "skew_salted_agg": """
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 2) AS total_qty,
+               COUNT(l_quantity) AS n_rows,
+               ROUND(MAX(l_extendedprice), 2) AS max_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "skew_salted_join": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS segment_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+}
+
+QUERIES = {
+    "skew_salted_agg": q_skew_salted_agg,
+    "skew_salted_join": q_skew_salted_join,
+}
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

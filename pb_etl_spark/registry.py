@@ -23,6 +23,7 @@ from pb_etl_spark.operators import (
     reshape,
     scalar_funcs,
     similarity,
+    skew,
     temporal,
     text,
 )
@@ -42,6 +43,7 @@ _MODULES = [
     composite,
     clustering,
     multimodal,
+    skew,
 ]
 
 
