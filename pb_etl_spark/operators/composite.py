@@ -371,6 +371,66 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly revenue —
+    conditional-sum / total-sum per group computed in a single aggregate
+    pass over the joined fact (no second scan for the denominator)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below 40% of their part's
+    average quantity — the correlated AVG subquery becomes one grouped
+    pass re-joined to the fact (never a per-row subquery)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    brand_parts = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    li_b = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+    avg_qty = li_b.groupBy("l_partkey").agg(
+        (0.4 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li_b.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ count-distinct per group — the 100 TB path (constant
     memory, no distinct shuffle). No oracle: sketch values are
@@ -497,6 +557,40 @@ ORACLES: dict[str, str] = {
         GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year
     """,
+    "tpch_q8_market_share": """
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               ROUND(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "tpch_q17_small_qty": """
+        WITH li_b AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#1'
+        ),
+        thresholds AS (
+            SELECT l_partkey, 0.4 * AVG(l_quantity) AS qty_threshold
+            FROM li_b GROUP BY l_partkey
+        )
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM li_b JOIN thresholds USING (l_partkey)
+        WHERE l_quantity < qty_threshold
+    """,
     "tpch_q15_top_supplier": """
         WITH revenue AS (
             SELECT l_suppkey,
@@ -581,6 +675,8 @@ QUERIES = {
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
+    "tpch_q17_small_qty": q_tpch_q17_small_qty,
     "tpch_q14_promo": q_tpch_q14_promo,
     "tpch_q4_priority": q_tpch_q4_priority,
     "tpch_q13_custdist": q_tpch_q13_custdist,
