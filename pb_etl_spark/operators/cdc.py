@@ -34,7 +34,17 @@ def scd2_merge(
     Per key at most ONE update row is applied (callers pre-compact a batch
     with keep-latest); changed keys get their current row closed at the
     update timestamp and a new open row; brand-new keys get an open row;
-    attribute-identical updates are no-ops.
+    attribute-identical updates are no-ops; a STALE update (ts not after
+    the current row's valid_from) is ignored — applying it would invert
+    the closed interval and corrupt point-in-time queries.
+
+    Plan shape: the existing-key path is current LEFT JOIN updates on the
+    business key — equi-join, broadcastable when the batch is a trickle;
+    inserts come from an anti-join of updates against current. (A single
+    full_outer join would silently defeat broadcast: BroadcastHashJoin
+    does not support full outer.) Presence is tracked with explicit
+    marker literals, not column-NULL-ness, so NULL timestamps in the data
+    cannot silently drop rows.
     """
     attr_cols = attr_cols or [
         c
@@ -45,40 +55,54 @@ def scd2_merge(
         F.col(key),
         *[F.col(c).alias(f"__u_{c}") for c in attr_cols],
         F.col(ts_col).alias("__u_ts"),
+        F.lit(True).alias("__u_present"),
     )
 
     current = dim.filter(F.col("is_current"))
     history = dim.filter(~F.col("is_current"))
 
-    joined = current.join(F.broadcast(up), key, "full_outer")
-    changed = F.col("__u_ts").isNotNull() & (
-        F.col("valid_from").isNull()  # brand-new key
-        | ~F.struct(*[F.col(c) for c in attr_cols]).eqNullSafe(
+    joined = current.join(F.broadcast(up), key, "left")
+    applied = (
+        F.coalesce(F.col("__u_present"), F.lit(False))
+        & (F.col("__u_ts") > F.col("valid_from"))  # stale updates ignored
+        & ~F.struct(*[F.col(c) for c in attr_cols]).eqNullSafe(
             F.struct(*[F.col(f"__u_{c}") for c in attr_cols])
         )
     )
 
-    # current rows that survive untouched (no update, or identical attrs)
-    untouched = joined.filter(~changed & F.col("valid_from").isNotNull()).select(
-        dim.columns
-    )
+    # current rows that survive untouched (no update, identical attrs,
+    # or stale update)
+    untouched = joined.filter(~applied).select(dim.columns)
     # current rows closed by a change
-    closed = (
-        joined.filter(changed & F.col("valid_from").isNotNull())
-        .select(
-            F.col(key),
-            *[F.col(c) for c in attr_cols],
-            F.col("valid_from"),
-            F.col("__u_ts").alias("valid_to"),
-            F.lit(False).alias("is_current"),
-        )
+    closed = joined.filter(applied).select(
+        F.col(key),
+        *[F.col(c) for c in attr_cols],
+        F.col("valid_from"),
+        F.col("__u_ts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
     )
-    # new open versions (changed keys + brand-new keys)
-    opened = joined.filter(changed).select(
+    # new versions for changed keys
+    reopened = joined.filter(applied).select(
         F.col(key),
         *[F.col(f"__u_{c}").alias(c) for c in attr_cols],
         F.col("__u_ts").alias("valid_from"),
         F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    return history.unionByName(untouched).unionByName(closed).unionByName(opened)
+    # brand-new keys: anti-join against the current slice
+    inserts = (
+        up.join(current.select(key), key, "left_anti")
+        .select(
+            F.col(key),
+            *[F.col(f"__u_{c}").alias(c) for c in attr_cols],
+            F.col("__u_ts").alias("valid_from"),
+            F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return (
+        history.unionByName(untouched)
+        .unionByName(closed)
+        .unionByName(reopened)
+        .unionByName(inserts)
+    )

@@ -66,6 +66,10 @@ def connected_components(
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        # release the previous round's checkpoint blocks — otherwise
+        # executor storage accumulates O(rounds) copies of the vertex set
+        if labels is not vertices:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             return labels
@@ -108,7 +112,7 @@ def _pairs_cte() -> str:
     pipeline from operators.dedup so both engines see identical edges)."""
     from pb_etl_spark.operators.dedup import ORACLES
 
-    inner = ORACLES["minhash_near_dup_pairs"].strip().rstrip()
+    inner = ORACLES["minhash_near_dup_pairs"].strip()
     return f"pair_q AS ({inner})"
 
 

@@ -16,7 +16,7 @@ AQE's skew-join splitting handles sort-merge skew automatically
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_SALTS = 8
@@ -119,7 +119,14 @@ def salted_join(
 ) -> DataFrame:
     """Hot-key equi-join: salt the fact side, replicate the dim side across
     all salts, join on (key, salt). Correct for inner and left (fact-side)
-    joins; dim rows are duplicated n_salts times — use only when dim ≪ fact."""
+    joins ONLY — right/full outer would surface each matched dim key's
+    n_salts-1 unmatched replicas as spurious null-fact rows, so those are
+    rejected. Dim rows are duplicated n_salts times — use when dim ≪ fact."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} — "
+            "replicated dim rows would corrupt right/full outer results"
+        )
     f = fact.withColumn("__salt", (F.rand(seed=0) * n_salts).cast("int"))
     d = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -61,6 +61,8 @@ def write_parquet(
         else:
             df = df.repartitionByRange(*cluster_by)
         df = df.sortWithinPartitions(*cluster_by)
+    elif n_files:
+        df = df.repartition(n_files)
     writer = df.write.mode(mode)
     if compression:
         writer = writer.option("compression", compression)
@@ -87,29 +89,55 @@ def upsert_parquet(
     target rows survive. Schema evolves additively (new update columns
     are NULL on old rows, and vice versa, via unionByName).
 
+    Updates must contain at most one row per key (enforced — multiple
+    matches would silently duplicate, where Delta/Iceberg MERGE errors);
+    pre-compact a CDC batch with keep-latest first.
+
     Plan shape: one anti-join (target minus updated keys) + union — the
-    keys-only side of the anti-join broadcasts when updates are small, so
-    a trickle upsert never shuffles the full target. The rewrite goes to
-    a versioned staging directory first and swaps in atomically
-    (rename), so readers never observe a half-written dataset — the
-    flat-file twin of Delta/Iceberg MERGE without a transaction log.
+    keys-only side is left unhinted so AQE broadcasts it when the batch
+    is small and falls back to a shuffle for backfill-sized batches. The
+    rewrite goes to a staging directory, the old version is renamed
+    aside, staging renamed in, then the old version deleted — readers
+    can race a rename (brief FileNotFound, retryable) but never observe
+    half-written data, and a crash leaves a recoverable directory. Stale
+    staging/old dirs from crashed runs are swept on entry.
     """
+    import glob
     import shutil
     import uuid
 
+    from pyspark.sql import functions as F
+
     keys = [key] if isinstance(key, str) else list(key)
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "upsert_parquet: update batch has multiple rows for at least one "
+            "key — pre-compact with keep-latest before merging"
+        )
+    for stale in glob.glob(f"{target}__staging_*") + glob.glob(f"{target}__old_*"):
+        shutil.rmtree(stale, ignore_errors=True)
     if dataset_exists(target):
         current = spark.read.parquet(target)
-        from pyspark.sql import functions as F
-
-        survivors = current.join(
-            F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
-        )
+        survivors = current.join(updates.select(*keys).distinct(), keys, "left_anti")
         merged = survivors.unionByName(updates, allowMissingColumns=True)
     else:
         merged = updates
-    staging = f"{target}__staging_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(staging)
+    token = uuid.uuid4().hex[:8]
+    staging = f"{target}__staging_{token}"
+    try:
+        merged.write.mode("overwrite").parquet(staging)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    old = f"{target}__old_{token}"
     if os.path.exists(target):
-        shutil.rmtree(target)
+        os.rename(target, old)
     os.rename(staging, target)
+    shutil.rmtree(old, ignore_errors=True)

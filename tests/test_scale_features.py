@@ -231,3 +231,41 @@ def test_scd2_merge_tracks_history(spark):
     assert rows[(2, "SEA", True)] == (t2, far)         # new version
     assert rows[(3, "TX", True)] == (t0, far)          # identical → no-op
     assert rows[(4, "CHI", True)] == (t2, far)         # insert
+
+
+def test_scd2_ignores_stale_updates(spark):
+    """A late-arriving update with ts <= the current row's valid_from must
+    be a no-op (applying it would invert the closed interval)."""
+    from datetime import datetime
+
+    from pb_etl_spark.operators.cdc import scd2_merge
+
+    t0, t_old = datetime(2024, 2, 1), datetime(2024, 1, 15)
+    far = datetime(9999, 12, 31, 23, 59, 59)
+    dim = spark.createDataFrame(
+        [(1, "x", t0, far, True)],
+        "id long, v string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "stale", t_old)], "id long, v string, effective_ts timestamp"
+    )
+    out = scd2_merge(dim, updates, "id", attr_cols=["v"]).collect()
+    assert len(out) == 1
+    assert out[0]["v"] == "x" and out[0]["is_current"]
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    from pb_etl_spark.sources.parquet import upsert_parquet
+
+    ups = spark.createDataFrame([(1, "a"), (1, "b")], "id long, v string")
+    with pytest.raises(ValueError, match="multiple rows"):
+        upsert_parquet(spark, str(tmp_path / "t"), ups, "id")
+
+
+def test_salted_join_rejects_outer(spark):
+    from pb_etl_spark.operators.skew import salted_join
+
+    orders = read_table(spark, SF_DIR, "orders")
+    cust = read_table(spark, SF_DIR, "customer")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(orders, cust, "o_custkey", "c_custkey", how="full_outer")
