@@ -168,6 +168,24 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENUINELY STREAMING tumbling aggregation: Structured Streaming
+    file source → watermark → windowed agg → availableNow drain into a
+    memory sink. On bounded input the result equals the batch twin, so it
+    shares q_tumbling_window's oracle — the streaming execution path
+    itself is value-checked against DuckDB, not just its batch shadow."""
+    from pb_etl_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    sdf = read_event_stream(spark, sf_dir, glob="events.parquet")
+    return run_to_memory(
+        tumbling_counts(sdf), "q_stream_tumbling_window", output_mode="complete"
+    )
+
+
 ORACLES: dict[str, str] = {
     "cohort_retention": """
         WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS active_day FROM events),
@@ -232,6 +250,13 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "stream_tumbling_window": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
     "sliding_window": """
         WITH starts AS (
             SELECT make_timestamp(CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000)
@@ -274,4 +299,5 @@ QUERIES = {
     "sessionize_lag": q_sessionize_lag,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
+    "stream_tumbling_window": q_stream_tumbling_window,
 }

@@ -34,17 +34,24 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over a directory of event parquet files. The
-    parquet TIMESTAMP(NANOS) caveat (see catalog.read_table) applies: with
-    nanosAsLong set, ts arrives as bigint and is converted here."""
+def read_event_stream(
+    spark: SparkSession, events_dir: str, glob: str | None = None
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files
+    (``glob`` narrows to matching files — the source requires a directory
+    base path). The parquet TIMESTAMP(NANOS) caveat (see
+    catalog.read_table) applies: with nanosAsLong set, ts arrives as
+    bigint and is converted here."""
     schema = T.StructType(
         [
             f if f.name != "ts" else T.StructField("ts", T.LongType())
             for f in EVENTS_SCHEMA.fields
         ]
     )
-    sdf = spark.readStream.schema(schema).parquet(events_dir)
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    sdf = reader.parquet(events_dir)
     # integer `div` (not `/`): nanos exceed double's exact integer range
     return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
