@@ -186,6 +186,39 @@ def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (gap-based, per user) drained with
+    availableNow — shares the batch twin's oracle; the streaming
+    session-merge state machinery itself is value-checked."""
+    from pb_etl_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        session_counts,
+    )
+
+    sdf = read_event_stream(spark, sf_dir, glob="events.parquet")
+    return run_to_memory(
+        session_counts(sdf), "q_stream_session_window", output_mode="complete"
+    )
+
+
+def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cumulative per-user totals. No oracle — the float accumulation order
+    inside explicit state is engine-specific (the driver records the
+    rows-only check; tests assert equality with the batch aggregate)."""
+    from pb_etl_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        user_totals_stateful,
+    )
+
+    sdf = read_event_stream(spark, sf_dir, glob="events.parquet")
+    return run_to_memory(
+        user_totals_stateful(sdf), "q_stream_user_totals", output_mode="update"
+    )
+
+
 ORACLES: dict[str, str] = {
     "cohort_retention": """
         WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS active_day FROM events),
@@ -289,6 +322,23 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events
         FROM sessions GROUP BY user_id, session_id
     """,
+    "stream_session_window": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             < INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_session
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    """,
 }
 
 QUERIES = {
@@ -300,4 +350,6 @@ QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "stream_tumbling_window": q_stream_tumbling_window,
+    "stream_session_window": q_stream_session_window,
+    "stream_user_totals": q_stream_user_totals,
 }
