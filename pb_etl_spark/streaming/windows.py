@@ -205,6 +205,40 @@ def write_parquet_stream(sdf: DataFrame, out_dir: str, checkpoint_dir: str):
     )
 
 
+def stream_upsert_parquet(
+    sdf: DataFrame,
+    target: str,
+    key: str,
+    ts_col: str,
+    checkpoint_dir: str,
+):
+    """Streaming CDC ingestion: each micro-batch is compacted to its
+    latest row per key (ties broken arbitrarily-but-deterministically by
+    the window order) and MERGEd into the parquet target via
+    ``upsert_parquet`` — the continuously-maintained 'silver table'
+    pattern. Replayed batches re-apply the same merge (same keys, same
+    rows), so the sink is idempotent across restarts."""
+    from pyspark.sql.window import Window as W
+
+    from pb_etl_spark.sources.parquet import upsert_parquet
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy(key).orderBy(F.col(ts_col).desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upsert_parquet(batch_df.sparkSession, target, latest, key)
+
+    return (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> "DataFrame":

@@ -187,3 +187,38 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == ev.count()
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_upsert_maintains_latest_table(spark, tmp_path):
+    """Streaming CDC into a parquet table: after draining the stream, the
+    target holds exactly one row per user — the latest event — and a
+    second batch of newer events updates in place."""
+    from pb_etl_spark.streaming.windows import read_event_stream, stream_upsert_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "latest_by_user")
+    ev = read_table(spark, SF_DIR, "events")
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), src / "a.parquet")
+
+    q = stream_upsert_parquet(
+        read_event_stream(spark, str(src)),
+        target,
+        key="user_id",
+        ts_col="ts",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(target)
+    n_users = ev.select("user_id").distinct().count()
+    assert got.count() == n_users
+
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    want = (
+        ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    g = {r["user_id"]: r["ts"] for r in got.collect()}
+    e = {r["user_id"]: r["ts"] for r in want.collect()}
+    assert g == e
