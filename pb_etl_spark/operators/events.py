@@ -202,6 +202,21 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1h/30m) drained with availableNow —
+    shares the batch twin's oracle."""
+    from pb_etl_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        sliding_counts,
+    )
+
+    sdf = read_event_stream(spark, sf_dir, glob="events.parquet")
+    return run_to_memory(
+        sliding_counts(sdf), "q_stream_sliding_window", output_mode="complete"
+    )
+
+
 def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     cumulative per-user totals. No oracle — the float accumulation order
@@ -305,6 +320,21 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value), 6) AS sum_value
         FROM starts GROUP BY 1
     """,
+    "stream_sliding_window": """
+        WITH starts AS (
+            SELECT make_timestamp(CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000)
+                       AS window_start, value
+            FROM events
+            UNION ALL
+            SELECT make_timestamp((CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800)
+                       * 1000000) AS window_start, value
+            FROM events
+        )
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM starts GROUP BY 1
+    """,
     "session_window": """
         WITH flagged AS (
             SELECT user_id, ts,
@@ -351,5 +381,6 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "stream_tumbling_window": q_stream_tumbling_window,
     "stream_session_window": q_stream_session_window,
+    "stream_sliding_window": q_stream_sliding_window,
     "stream_user_totals": q_stream_user_totals,
 }
