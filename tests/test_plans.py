@@ -68,3 +68,21 @@ def test_sort_limit_is_top_k_not_global_sort(spark):
 def test_star_join_broadcasts_dims(spark):
     plan = _plan(spark, "star_join_revenue")
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_q7_both_nation_paths_broadcast(spark):
+    plan = _plan(spark, "tpch_q7_nation_volume")
+    # customer, supplier, and both nation aliases broadcast; no SMJ for dims
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2500]
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark):
+    """eqNullSafe is a valid equi-join key: the plan must use a hash join,
+    never BroadcastNestedLoopJoin (the O(n*m) trap)."""
+    plan = _plan(spark, "null_safe_join")
+    assert "NestedLoop" not in plan, plan[:2000]
+
+
+def test_q18_having_subquery_single_lineitem_scan(spark):
+    plan = _plan(spark, "tpch_q18_large_orders")
+    assert plan.count("lineitem.parquet") == 1, "HAVING path must not rescan lineitem"
