@@ -74,6 +74,16 @@ def build_pipeline(
     return Pipeline(stages=stages)
 
 
+def _impute_numeric(df: DataFrame, num_cols: list[str]) -> DataFrame:
+    """Null numeric features → 0.0 BEFORE assembling: the pipeline's left
+    joins can produce nulls (e.g. a train row with no traffic score), and
+    VectorAssembler's handleInvalid='keep' would silently turn them into
+    NaN — which poisons LogisticRegression into all-NaN coefficients with
+    no error anywhere downstream."""
+    present = [c for c in num_cols if c in df.columns]
+    return df.fillna(0.0, subset=present) if present else df
+
+
 def train_model(
     train_df: DataFrame,
     seed: int = DEFAULT_SEED,
@@ -82,28 +92,50 @@ def train_model(
 ) -> tuple[PipelineModel, dict]:
     """M3+M5: split, fit, and report metrics. The val split mirrors the
     reference's sklearn train_test_split(test_size=0.2) (tasks.py:290) but
-    seeded — determinism is a feature the reference lacks."""
+    seeded — determinism is a feature the reference lacks. Both splits are
+    cached: every metric action would otherwise re-execute the full
+    upstream plan (and could even observe a different split under
+    nondeterministic partition order)."""
+    label_col = pipeline_kwargs.get("label_col", LABEL_COL)
+    num_cols = pipeline_kwargs.get("num_cols") or NUM_COLS
+    train_df = _impute_numeric(train_df, num_cols)
     train, val = train_df.randomSplit([1.0 - val_fraction, val_fraction], seed=seed)
-    model = build_pipeline(**pipeline_kwargs).fit(train)
-    lr_model = model.stages[-1]
-    metrics = {
-        "train_rows": train.count(),
-        "val_rows": val.count(),
-        "iterations": len(lr_model.summary.objectiveHistory),
-        "objective_history": [float(x) for x in lr_model.summary.objectiveHistory],
-        "train_auc": float(lr_model.summary.areaUnderROC),
-    }
+    train = train.cache()
+    val = val.cache()
     try:
-        val_auc = float(lr_model.evaluate(model.transform(val).select("features", LABEL_COL)).areaUnderROC) if val.count() else None
-        metrics["val_auc"] = val_auc
-    except Exception:  # tiny fixtures can have single-class splits
-        metrics["val_auc"] = None
+        model = build_pipeline(**pipeline_kwargs).fit(train)
+        lr_model = model.stages[-1]
+        n_val = val.count()
+        metrics = {
+            "train_rows": train.count(),
+            "val_rows": n_val,
+            "iterations": len(lr_model.summary.objectiveHistory),
+            "objective_history": [float(x) for x in lr_model.summary.objectiveHistory],
+            "train_auc": float(lr_model.summary.areaUnderROC),
+        }
+        try:
+            metrics["val_auc"] = (
+                float(
+                    lr_model.evaluate(
+                        model.transform(val).select("features", label_col)
+                    ).areaUnderROC
+                )
+                if n_val
+                else None
+            )
+        except Exception as e:  # tiny fixtures can have single-class splits
+            metrics["val_auc"] = None
+            metrics["val_auc_error"] = str(e)[:200]
+    finally:
+        train.unpersist()
+        val.unpersist()
     return model, metrics
 
 
 def score(model: PipelineModel, df: DataFrame, key_col: str = "TRANSACTION_ID") -> DataFrame:
-    """M6: distributed scoring → {key, Y_hat} where Y_hat = P(label=1)."""
-    return model.transform(df).select(
+    """M6: distributed scoring → {key, Y_hat} where Y_hat = P(label=1).
+    Same null-numeric imputation as training (fit/transform symmetry)."""
+    return model.transform(_impute_numeric(df, NUM_COLS)).select(
         key_col,
         vector_to_array(F.col("probability")).getItem(1).alias(PREDICTION_COL),
     )

@@ -23,6 +23,7 @@ driver except the final 1-row report.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,10 +65,12 @@ def _fit_model(spark: SparkSession, out: str, deps: dict[str, str], seed: int) -
     normalized = apply_maxabs(train, maxes, NORM_COLS)
     model, metrics = train_model(normalized, seed=seed)
     model.write().overwrite().save(f"{out}/{MODEL_SUBDIR}")
-    # metrics sidecar (reference model_hist_params, tasks.py:334-342)
-    spark.createDataFrame([(json.dumps(metrics),)], "metrics string").coalesce(1).write.mode(
-        "overwrite"
-    ).json(f"{out}/{METRICS_FILE}")
+    # metrics sidecar (reference model_hist_params, tasks.py:334-342) — a
+    # plain local file: one row through a Spark job would create a
+    # DIRECTORY named metrics.json that json.load can't open
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, METRICS_FILE), "w") as fh:
+        json.dump(metrics, fh)
     # the model dir write emits its own _SUCCESS under MODEL_SUBDIR; mark
     # the stage dir complete explicitly
     _touch_success(out)

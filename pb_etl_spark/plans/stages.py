@@ -44,15 +44,24 @@ class Stage:
     ephemeral: bool = False  # no output; always runs (reference FinalResults)
 
     def salt(self) -> str:
-        """Recursive lineage hash (task.py:103-134 semantics)."""
+        """Recursive lineage hash (task.py:103-134 semantics). Every
+        component is fed with its binding name and a delimiter — hashing
+        bare child salts would let graphs with swapped dep wiring (or
+        name/version boundary shifts like 'ab'+'c' vs 'a'+'bc') collide
+        and wrongly reuse cached outputs. Memoized per instance: the
+        runner and out_path both call it per node, and the recursion is
+        exponential on diamond graphs without caching."""
+        cached = getattr(self, "_salt_cache", None)
+        if cached is not None:
+            return cached
         h = hashlib.sha256()
         for dep_name in sorted(self.deps):
-            h.update(self.deps[dep_name].salt().encode())
-        h.update(self.name.encode())
-        h.update(self.version.encode())
+            h.update(f"dep:{dep_name}={self.deps[dep_name].salt()}\x00".encode())
+        h.update(f"name:{self.name}\x00version:{self.version}\x00".encode())
         for k in sorted(self.params):
-            h.update(f"{k}={self.params[k]!r}".encode())
-        return h.hexdigest()[:SALT_LEN]
+            h.update(f"param:{k}={self.params[k]!r}\x00".encode())
+        self._salt_cache = h.hexdigest()[:SALT_LEN]
+        return self._salt_cache
 
     def out_path(self, base: str) -> str:
         return f"{base.rstrip('/')}/{self.name}-{self.salt()}"

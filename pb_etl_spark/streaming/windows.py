@@ -35,25 +35,35 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, events_dir: str, glob: str | None = None
+    spark: SparkSession,
+    events_dir: str,
+    glob: str | None = None,
+    ts_is_nanos: bool = True,
 ) -> DataFrame:
     """File-source stream over a directory of event parquet files
     (``glob`` narrows to matching files — the source requires a directory
-    base path). The parquet TIMESTAMP(NANOS) caveat (see
-    catalog.read_table) applies: with nanosAsLong set, ts arrives as
-    bigint and is converted here."""
-    schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in EVENTS_SCHEMA.fields
-        ]
-    )
+    base path). ``ts_is_nanos=True`` (default) handles the testdata's
+    TIMESTAMP(NANOS) files via nanosAsLong (ts read as bigint, converted
+    here); pass ``False`` for standard TIMESTAMP-micros files — e.g.
+    re-ingesting this module's own sink output — where declaring bigint
+    would fail the scan with a type mismatch."""
+    if ts_is_nanos:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
+    else:
+        schema = EVENTS_SCHEMA
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     sdf = reader.parquet(events_dir)
-    # integer `div` (not `/`): nanos exceed double's exact integer range
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        # integer `div` (not `/`): nanos exceed double's exact integer range
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
@@ -223,7 +233,15 @@ def stream_upsert_parquet(
     from pb_etl_spark.sources.parquet import upsert_parquet
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        w = W.partitionBy(key).orderBy(F.col(ts_col).desc())
+        # tiebreak by every remaining column: orderBy(ts) alone leaves
+        # equal-timestamp rows to task ordering, and a replayed batch
+        # could then merge a DIFFERENT row — breaking idempotency
+        tiebreak = [
+            F.col(c).desc()
+            for c in sorted(batch_df.columns)
+            if c not in (key, ts_col)
+        ]
+        w = W.partitionBy(key).orderBy(F.col(ts_col).desc(), *tiebreak)
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -239,9 +257,7 @@ def stream_upsert_parquet(
     )
 
 
-def run_to_memory(
-    sdf: DataFrame, name: str, output_mode: str = "complete"
-) -> "DataFrame":
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str) -> "DataFrame":
     """Drain all available input into an in-memory table; returns the
     result table. Test/dev helper — production sinks are parquet/kafka via
     the same writeStream call."""

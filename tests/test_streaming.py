@@ -33,7 +33,7 @@ def test_tumbling_stream_equals_batch(spark, events_dir):
     )
 
     stream = run_to_memory(
-        tumbling_counts(read_event_stream(spark, events_dir)), "t_tumbling"
+        tumbling_counts(read_event_stream(spark, events_dir)), "t_tumbling", output_mode="complete"
     )
     batch = q_tumbling_window(spark, SF_DIR)
     cols = ["window_start", "event_type", "n_events", "sum_value"]
@@ -49,7 +49,7 @@ def test_sliding_stream_equals_batch(spark, events_dir):
     )
 
     stream = run_to_memory(
-        sliding_counts(read_event_stream(spark, events_dir)), "t_sliding"
+        sliding_counts(read_event_stream(spark, events_dir)), "t_sliding", output_mode="complete"
     )
     batch = q_sliding_window(spark, SF_DIR)
     cols = ["window_start", "n_events", "sum_value"]
@@ -65,7 +65,7 @@ def test_session_stream_equals_batch(spark, events_dir):
     )
 
     stream = run_to_memory(
-        session_counts(read_event_stream(spark, events_dir)), "t_session"
+        session_counts(read_event_stream(spark, events_dir)), "t_session", output_mode="complete"
     )
     batch = q_session_window(spark, SF_DIR)
     cols = ["user_id", "session_start", "n_events"]
