@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from pb_etl_spark import schemas
 from pb_etl_spark.sources.csv import read_csv_dataset
@@ -64,19 +65,32 @@ def read_external(spark: SparkSession, name: str, root: str | None = None) -> Da
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic benchmark table (parquet) from an sf directory.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as raw nanos, which
-    we truncate to microseconds — the same truncation DuckDB applies — so
-    both engines see identical timestamp values.
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4.x cannot infer
+    natively (PARQUET_TYPE_ILLEGAL). Reading with an explicit user schema
+    that declares ``ts`` as LongType sidesteps inference entirely — the
+    physical type is INT64, so the scan succeeds under ANY SparkSession, no
+    ``spark.sql.legacy.parquet.nanosAsLong`` conf required (same pattern as
+    ``streaming.windows.read_event_stream``). The raw nanos are truncated
+    to microseconds — the same truncation DuckDB applies — so both engines
+    see identical timestamp values.
     """
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
         from pyspark.sql import functions as F
 
+        from pb_etl_spark.streaming.windows import EVENTS_SCHEMA
+
+        nanos_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
+        df = spark.read.schema(nanos_schema).parquet(path)
         # integer `div`, not `/`: nanos ≈ 1.7e18 exceeds double's exact
         # integer range (2^53), float division is off by ±1 µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

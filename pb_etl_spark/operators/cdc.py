@@ -62,9 +62,13 @@ def scd2_merge(
     history = dim.filter(~F.col("is_current"))
 
     joined = current.join(F.broadcast(up), key, "left")
+    # every conjunct must be null-safe: `applied` is used both as
+    # filter(applied) and filter(~applied), and a SQL NULL (e.g. from a
+    # NULL update timestamp) is excluded by BOTH — the row would vanish
+    # from the dimension. coalesce(False) treats NULL-ts as stale/ignored.
     applied = (
         F.coalesce(F.col("__u_present"), F.lit(False))
-        & (F.col("__u_ts") > F.col("valid_from"))  # stale updates ignored
+        & F.coalesce(F.col("__u_ts") > F.col("valid_from"), F.lit(False))
         & ~F.struct(*[F.col(c) for c in attr_cols]).eqNullSafe(
             F.struct(*[F.col(f"__u_{c}") for c in attr_cols])
         )

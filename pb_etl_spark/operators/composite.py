@@ -44,7 +44,9 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 5-way star join with a date band → per-nation
-    revenue. Bounded dims broadcast-hinted; fact-side joins left to AQE."""
+    revenue. Only bounded dims (nation) carry a broadcast hint; supplier
+    scales with SF, so its strategy is left to AQE (broadcast while it
+    fits the threshold, shuffle beyond — no hard-coded OOM at 100 TB)."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -55,7 +57,7 @@ def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     return (
         li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -145,8 +147,9 @@ def q_tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer, top 20.
-    customer/nation broadcast; lineitem filter (returnflag='R') pushed to
-    the scan so the fact join only sees returned rows."""
+    nation broadcast (bounded); customer join left to AQE (SF-scaling);
+    lineitem filter (returnflag='R') pushed to the scan so the fact join
+    only sees returned rows."""
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = read_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -155,7 +158,7 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -183,7 +186,7 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -207,7 +210,7 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -264,7 +267,7 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     declaratively."""
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
         | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 5))
@@ -310,7 +313,8 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nation pairs per year —
     the fact table joins two *independently keyed* dimension paths
     (customer-nation and supplier-nation), then filters the pair set.
-    Both nation paths broadcast; the only fact shuffle is the final group."""
+    Both nation paths broadcast (bounded); customer/supplier strategies are
+    AQE's call — they scale with SF, so no hard-coded broadcast hints."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
     )
@@ -329,8 +333,8 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
         .filter(pairs)
@@ -366,7 +370,7 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -395,7 +399,7 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -417,7 +421,7 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_parts = read_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#1"
     ).select("p_partkey")
-    li_b = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+    li_b = li.join(brand_parts, li.l_partkey == F.col("p_partkey"))
     avg_qty = li_b.groupBy("l_partkey").agg(
         (0.4 * F.avg("l_quantity")).alias("qty_threshold")
     )

@@ -30,20 +30,26 @@ from pb_etl_spark.operators import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Order matters: the driver's correctness harness verifies the FIRST 50
+# registry entries (registry insertion order) each round. Round 1 checked
+# relational/reshape/events/text and left TPC-H, dedup, clustering,
+# temporal, skew, multimodal, similarity, scalar/advanced batteries
+# unverified — so rotate those to the front and the round-1-green prefix
+# to the back. Rotate again whenever a family has driver verification.
 _MODULES = [
+    composite,
+    dedup,
+    clustering,
+    temporal,
+    skew,
+    multimodal,
+    similarity,
+    scalar_funcs,
+    advanced,
+    text,
     relational,
     reshape,
     events,
-    text,
-    similarity,
-    dedup,
-    scalar_funcs,
-    advanced,
-    temporal,
-    composite,
-    clustering,
-    multimodal,
-    skew,
 ]
 
 

@@ -164,6 +164,28 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     assert recall >= 0.8, f"IVF recall {recall:.2f}"
 
 
+def test_embedding_near_dup_lsh_equals_brute_on_fixture(spark):
+    """The registered LSH near-dup path must be value-equal to the
+    brute-force tier at fixture scale (recall 1.0 — the property the
+    shared DuckDB oracle relies on), and its plan must contain no
+    nested-loop pair join."""
+    from tests.conftest import SF_DIR
+
+    from pb_etl_spark.operators.dedup import (
+        q_embedding_near_dup,
+        q_embedding_near_dup_lsh,
+    )
+
+    lsh = q_embedding_near_dup_lsh(spark, SF_DIR)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:2000]
+
+    brute = {(r["ia"], r["ib"], r["cos"]) for r in q_embedding_near_dup(spark, SF_DIR).collect()}
+    got = {(r["ia"], r["ib"], r["cos"]) for r in lsh.collect()}
+    assert brute, "fixture should contain near-dup pairs"
+    assert got == brute
+
+
 def test_connected_components_known_graph(spark):
     """Hand-built graph: {1,2,3} chained, {4,5} paired, {6} isolated —
     labels must converge to the component minimum."""

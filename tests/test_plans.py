@@ -86,3 +86,22 @@ def test_null_safe_join_is_hash_not_nested_loop(spark):
 def test_q18_having_subquery_single_lineitem_scan(spark):
     plan = _plan(spark, "tpch_q18_large_orders")
     assert plan.count("lineitem.parquet") == 1, "HAVING path must not rescan lineitem"
+
+
+def test_no_hardcoded_broadcast_on_sf_scaling_dims():
+    """customer/supplier/part grow linearly with scale factor: a hard-coded
+    ``F.broadcast`` hint on them overrides the size threshold AND AQE's
+    dynamic join selection, turning into an executor OOM at large SF.
+    Hints are reserved for bounded relations (nation, region, 1-row
+    scalar aggregates). Checked at the source level because AQE may still
+    legitimately *choose* broadcast at small SF — the bug is the hint, not
+    the physical join."""
+    import inspect
+    import re
+
+    from pb_etl_spark.operators import composite, relational
+
+    for mod in (composite, relational):
+        src = inspect.getsource(mod)
+        bad = re.findall(r"F\.broadcast\((?:cust|supp|part|brand_parts)\b", src)
+        assert not bad, f"{mod.__name__}: broadcast hint on SF-scaling dim: {bad}"

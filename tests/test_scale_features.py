@@ -254,6 +254,29 @@ def test_scd2_ignores_stale_updates(spark):
     assert out[0]["v"] == "x" and out[0]["is_current"]
 
 
+def test_scd2_null_ts_update_cannot_drop_row(spark):
+    """Regression: an update with a NULL timestamp and DIFFERING attrs made
+    `applied` evaluate to SQL NULL, excluding the current row from both
+    filter(applied) and filter(~applied) — the dimension row vanished.
+    NULL-ts updates must be treated as stale (ignored)."""
+    from datetime import datetime
+
+    from pb_etl_spark.operators.cdc import scd2_merge
+
+    t0 = datetime(2024, 2, 1)
+    far = datetime(9999, 12, 31, 23, 59, 59)
+    dim = spark.createDataFrame(
+        [(1, "x", t0, far, True)],
+        "id long, v string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "changed", None)], "id long, v string, effective_ts timestamp"
+    )
+    out = scd2_merge(dim, updates, "id", attr_cols=["v"]).collect()
+    assert len(out) == 1
+    assert out[0]["v"] == "x" and out[0]["is_current"]
+
+
 def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
     from pb_etl_spark.sources.parquet import upsert_parquet
 

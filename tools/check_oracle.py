@@ -5,7 +5,12 @@ same sf directory, then compares row count, column names, and
 order-insensitive values (columns sorted by name, rows sorted by all
 columns, NaN/None unified). Use while iterating:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` builds a PLAIN SparkSession (no pb_etl_spark.session confs),
+replicating the driver's harness — round 1 proved queries can pass under
+our conf-laden builder session yet crash under the driver's (the
+nanosAsLong events read). Vanilla is the truthful gate; default to it.
 """
 
 from __future__ import annotations
@@ -74,9 +79,23 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("check_oracle", master="local[8]", shuffle_partitions=8)
+    argv = [a for a in sys.argv[1:]]
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check_oracle_vanilla")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check_oracle", master="local[8]", shuffle_partitions=8)
     con = duck_con(sf_dir)
     queries, oracles = all_queries(), all_oracles()
     unknown = only - set(queries)
