@@ -55,10 +55,49 @@ def data_root() -> str:
     return os.environ.get(DATA_ROOT_ENV, DEFAULT_DATA_ROOT)
 
 
+# Reference parity (tasks.py:107-111): the source bucket is read with
+# ``storage_options=dict(requester_pays=True)``. The Spark equivalent is
+# the Hadoop s3a conf below, settable at runtime per-session. Off switch:
+# PB_ETL_SPARK_S3_REQUESTER_PAYS=false.
+S3_REQUESTER_PAYS_ENV = "PB_ETL_SPARK_S3_REQUESTER_PAYS"
+_OBJECT_STORE_SCHEMES = ("s3://", "s3a://", "s3n://")
+
+# AWS env-credential passthrough → s3a conf keys (the same chain the
+# reference's fsspec layer reads implicitly).
+_S3_CRED_ENVS = (
+    ("AWS_ACCESS_KEY_ID", "fs.s3a.access.key"),
+    ("AWS_SECRET_ACCESS_KEY", "fs.s3a.secret.key"),
+    ("AWS_SESSION_TOKEN", "fs.s3a.session.token"),
+)
+
+
+def configure_object_store(spark: SparkSession, root: str) -> str:
+    """Wire object-store read config when ``root`` is an s3 URI; returns the
+    root rewritten to the scheme Spark's Hadoop connector serves (s3a).
+
+    No-op for local/posix roots. Settings land on the session's live Hadoop
+    configuration, so a user can point ``PB_ETL_SPARK_DATA_ROOT`` at
+    ``s3a://bucket/prefix`` with only env vars — requester-pays on by
+    default (reference parity), credentials from the standard AWS env chain
+    when present (otherwise the connector's own provider chain applies).
+    """
+    if not root.startswith(_OBJECT_STORE_SCHEMES):
+        return root
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    requester_pays = os.environ.get(S3_REQUESTER_PAYS_ENV, "true").lower() != "false"
+    hconf.set("fs.s3a.requester.pays.enabled", "true" if requester_pays else "false")
+    for env, key in _S3_CRED_ENVS:
+        val = os.environ.get(env)
+        if val:
+            hconf.set(key, val)
+    return "s3a://" + root.split("://", 1)[1]
+
+
 def read_external(spark: SparkSession, name: str, root: str | None = None) -> DataFrame:
     """Read one of the five named external CSV datasets with declared schema."""
     subpath, schema = EXTERNAL_SOURCES[name]
     base = root if root is not None else data_root()
+    base = configure_object_store(spark, base)
     return read_csv_dataset(spark, f"{base.rstrip('/')}/{subpath}", schema)
 
 

@@ -219,9 +219,11 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    cumulative per-user totals. No oracle — the float accumulation order
-    inside explicit state is engine-specific (the driver records the
-    rows-only check; tests assert equality with the batch aggregate)."""
+    cumulative per-user totals. After a full availableNow drain the state
+    holds exactly one (count, total) per user, so the result is the plain
+    batch GROUP BY — oracle-checked (ROUND 6 absorbs accumulation-order
+    float noise; tests additionally assert equality with the batch
+    aggregate)."""
     from pb_etl_spark.streaming.windows import (
         read_event_stream,
         run_to_memory,
@@ -234,7 +236,94 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuinely-streaming stream-stream join: click and view streams of
+    the same events source, inner-joined per user within a 1-hour
+    event-time horizon (both sides watermarked so join state is evicted).
+    On bounded input a full drain equals the batch range join — which is
+    the oracle, so the streaming join + state-eviction path itself is
+    value-checked."""
+    from pb_etl_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        stream_stream_join,
+    )
+
+    clicks = read_event_stream(spark, sf_dir, glob="events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    views = read_event_stream(spark, sf_dir, glob="events.parquet").filter(
+        F.col("event_type") == "view"
+    )
+    joined = stream_stream_join(clicks, views).select(
+        F.col("click_id"), F.col("view_id"), F.col("c_user").alias("user_id")
+    )
+    return run_to_memory(joined, "q_stream_stream_join", output_mode="append")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuinely-streaming exact dedup: the events source unioned with
+    ITSELF (every row arrives twice) then dropDuplicatesWithinWatermark on
+    event_id — the drained output must contain each event exactly once,
+    which the plain SELECT-per-event oracle checks. Exercises the
+    streaming dedup state store with real duplicates, not a no-op pass."""
+    from pb_etl_spark.streaming.windows import (
+        dedup_within_watermark,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    s1 = read_event_stream(spark, sf_dir, glob="events.parquet")
+    s2 = read_event_stream(spark, sf_dir, glob="events.parquet")
+    deduped = dedup_within_watermark(s1.unionByName(s2)).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    return run_to_memory(deduped, "q_stream_dedup", output_mode="append")
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream left-joined per
+    micro-batch to a STATIC per-user profile (computed batch-side from the
+    same table). No stream-side state — the static side broadcasts into
+    each batch. Oracle is the equivalent batch join."""
+    from pb_etl_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        stream_static_enrich,
+    )
+
+    user_dim = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_events"))
+    )
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet").filter(
+        F.col("event_id") < 2000
+    )
+    enriched = stream_static_enrich(stream, user_dim).select(
+        "event_id", "user_id", "user_events"
+    )
+    return run_to_memory(enriched, "q_stream_enrich", output_mode="append")
+
+
 ORACLES: dict[str, str] = {
+    "stream_stream_join": """
+        SELECT c.event_id AS click_id, v.event_id AS view_id,
+               c.user_id AS user_id
+        FROM events c JOIN events v ON c.user_id = v.user_id
+        WHERE c.event_type = 'click' AND v.event_type = 'view'
+          AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+    """,
+    "stream_dedup": """
+        SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
+        FROM events
+    """,
+    "stream_enrich": """
+        SELECT event_id, user_id,
+               (SELECT COUNT(*) FROM events e2
+                WHERE e2.user_id = e1.user_id) AS user_events
+        FROM events e1 WHERE event_id < 2000
+    """,
     "cohort_retention": """
         WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS active_day FROM events),
         first AS (SELECT user_id, MIN(active_day) AS cohort_day
@@ -335,6 +424,11 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value), 6) AS sum_value
         FROM starts GROUP BY 1
     """,
+    "stream_user_totals": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events GROUP BY user_id
+    """,
     "session_window": """
         WITH flagged AS (
             SELECT user_id, ts,
@@ -383,4 +477,7 @@ QUERIES = {
     "stream_session_window": q_stream_session_window,
     "stream_sliding_window": q_stream_sliding_window,
     "stream_user_totals": q_stream_user_totals,
+    "stream_stream_join": q_stream_stream_join,
+    "stream_dedup": q_stream_dedup,
+    "stream_enrich": q_stream_enrich,
 }

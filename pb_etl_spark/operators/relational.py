@@ -95,6 +95,33 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sample — the checkable twin of
+    ``stratified_sample``: a row is kept when the first 4 hex chars of
+    md5(key) fall below the stratum's threshold (lexicographic order on
+    fixed-width lowercase hex == numeric order), so ANY engine reproduces
+    the exact row set — no RNG, no engine-specific sampler. Rates are
+    k/65536 quantizations of 20%/10%/5%. Same one-scan no-shuffle plan as
+    Bernoulli sampleBy, and re-runnable: membership is a pure function of
+    the key, the property that makes a 100 TB sample reproducible across
+    reruns and engines."""
+    o = read_table(spark, sf_dir, "orders")
+    threshold = (
+        F.when(F.col("o_orderstatus") == "O", "3333")  # 13107/65536 ≈ 20%
+        .when(F.col("o_orderstatus") == "F", "1999")   # 6553/65536 ≈ 10%
+        .otherwise("0ccc")                             # 3276/65536 ≈ 5%
+    )
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4)
+    return (
+        o.filter(bucket < threshold)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
 def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer equi-join between two grouped summaries: per-nation
     customer counts vs per-nation supplier counts — unmatched sides
@@ -553,6 +580,16 @@ ORACLES: dict[str, str] = {
             SELECT o_orderpriority FROM orders WHERE o_totalprice > 400000
         ) GROUP BY o_orderpriority
     """,
+    "stratified_hash_sample": """
+        SELECT o_orderstatus, COUNT(*) AS n_sampled,
+               ROUND(AVG(o_totalprice), 2) AS avg_price
+        FROM orders
+        WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) <
+              CASE o_orderstatus WHEN 'O' THEN '3333'
+                                 WHEN 'F' THEN '1999'
+                                 ELSE '0ccc' END
+        GROUP BY o_orderstatus
+    """,
 }
 
 QUERIES = {
@@ -561,6 +598,7 @@ QUERIES = {
     "left_join": q_left_join,
     "full_outer_join": q_full_outer_join,
     "stratified_sample": q_stratified_sample,
+    "stratified_hash_sample": q_stratified_hash_sample,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "star_join_revenue": q_star_join_revenue,

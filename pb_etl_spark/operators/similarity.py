@@ -273,6 +273,27 @@ def ivf_ann_topk(
     )
 
 
+_CORPUS_COUNT_CACHE: dict[str, int] = {}
+
+
+def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the embeddings corpus from parquet FOOTER metadata
+    (driver-side, no Spark job), memoized per sf_dir — sizing a hash
+    family must not cost a full action per query. Falls back to a Spark
+    count (itself metadata-optimized for parquet) on non-local roots."""
+    key = sf_dir.rstrip("/")
+    if key not in _CORPUS_COUNT_CACHE:
+        path = f"{key}/embeddings.parquet"
+        try:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(path).metadata.num_rows
+        except Exception:  # non-posix path (e.g. object store) — let Spark read it
+            n = read_table(spark, sf_dir, "embeddings").count()
+        _CORPUS_COUNT_CACHE[key] = int(n)
+    return _CORPUS_COUNT_CACHE[key]
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 for vec_id<5. No oracle: the hash
     family is engine-specific; tests bound recall vs the exact tier."""
@@ -282,7 +303,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost — stay bounded from 150 vectors to 10^9
     import math
 
-    n = emb.count()
+    n = _corpus_count(spark, sf_dir)
     planes = max(4, min(16, int(math.log2(max(n, 2))) - 2))
     return lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), n_planes=planes, n_tables=8

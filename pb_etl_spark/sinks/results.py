@@ -56,25 +56,74 @@ def read_results(db_path: str, table: str = RESULTS_TABLE) -> list[dict]:
         return [dict(r) for r in con.execute(f"SELECT * FROM {table}")]
 
 
+def chart_page(rows: list[dict]) -> str:
+    """Expected-vs-actual bar chart page (parity with the reference's
+    Vega-Lite template, pb_etl_app/templates/pb_etl_app/index.html:21-39
+    and README.md:113-121). The reference fetches the results row with a
+    coreapi client and embeds a v3 spec; here the server inlines the same
+    two-bar spec (values server-rendered — no API round trip), current
+    vega-lite, same CDN."""
+    values = []
+    if rows:
+        first = rows[0]
+        values = [
+            {"name": k, "value": first[k]}
+            for k in ("expected", "actual")
+            if k in first and first[k] is not None
+        ] or [{"name": k, "value": v} for k, v in first.items() if v is not None]
+    spec = {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "description": "Actual vs Forecast",
+        "width": 500,
+        "height": 250,
+        "data": {"values": values},
+        "mark": {"type": "bar"},
+        "encoding": {
+            "x": {"field": "name", "type": "nominal", "axis": {"labelAngle": 0}},
+            "y": {"field": "value", "type": "quantitative"},
+        },
+    }
+    return f"""<!DOCTYPE html>
+<html><head>
+<script src="https://cdn.jsdelivr.net/npm/vega@5"></script>
+<script src="https://cdn.jsdelivr.net/npm/vega-lite@5"></script>
+<script src="https://cdn.jsdelivr.net/npm/vega-embed@6"></script>
+</head><body>
+<h3>Actual vs Forecast</h3>
+<div id="vis"></div>
+<script type="text/javascript">
+vegaEmbed('#vis', {json.dumps(spec)});
+</script>
+</body></html>"""
+
+
 class ResultsServer:
-    """Read-only REST endpoint over the results table:
+    """Read-only serving over the results table:
     GET /api/results/ → JSON list (parity with the reference's DRF
-    ResultsViewSet route /the_app/api/results/)."""
+    ResultsViewSet route /the_app/api/results/);
+    GET / → expected-vs-actual Vega-Lite chart page (parity with the
+    reference's index template)."""
 
     def __init__(self, db_path: str, host: str = "127.0.0.1", port: int = 0):
         db = db_path
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802
-                if self.path.rstrip("/") == "/api/results":
+                path = self.path.rstrip("/")
+                if path == "/api/results":
                     body = json.dumps(read_results(db)).encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
-                    self.end_headers()
-                    self.wfile.write(body)
+                    ctype = "application/json"
+                elif path == "":
+                    body = chart_page(read_results(db)).encode()
+                    ctype = "text/html"
                 else:
                     self.send_response(404)
                     self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.end_headers()
+                self.wfile.write(body)
 
             def log_message(self, *a):  # quiet
                 pass

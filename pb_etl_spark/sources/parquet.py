@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 SUCCESS_FLAG = "_SUCCESS"
 
+# upsert lock older than this is presumed left by a crashed writer
+_LOCK_STALE_S = 3600.0
+
 
 def dataset_exists(path: str, flag: str | None = SUCCESS_FLAG) -> bool:
     """True when the dataset at ``path`` is complete.
@@ -93,6 +96,14 @@ def upsert_parquet(
     matches would silently duplicate, where Delta/Iceberg MERGE errors);
     pre-compact a CDC batch with keep-latest first.
 
+    SINGLE WRITER, enforced: a ``{target}__lock`` file is taken with
+    O_CREAT|O_EXCL before any mutation and a second concurrent upsert on
+    the same target raises immediately — without it, the stale-dir sweep
+    would delete a live writer's staging directory and two swaps could
+    interleave. A lock older than ``_LOCK_STALE_S`` is presumed to belong
+    to a crashed writer and is broken. (Multi-writer MERGE needs a real
+    table format — Delta/Iceberg optimistic commit — not flat parquet.)
+
     Plan shape: one anti-join (target minus updated keys) + union — the
     keys-only side is left unhinted so AQE broadcasts it when the batch
     is small and falls back to a shuffle for backfill-sized batches. The
@@ -100,10 +111,12 @@ def upsert_parquet(
     aside, staging renamed in, then the old version deleted — readers
     can race a rename (brief FileNotFound, retryable) but never observe
     half-written data, and a crash leaves a recoverable directory. Stale
-    staging/old dirs from crashed runs are swept on entry.
+    staging/old dirs from crashed runs are swept on entry (safe: the
+    lock guarantees no live writer owns them).
     """
     import glob
     import shutil
+    import time
     import uuid
 
     from pyspark.sql import functions as F
@@ -121,23 +134,46 @@ def upsert_parquet(
             "upsert_parquet: update batch has multiple rows for at least one "
             "key — pre-compact with keep-latest before merging"
         )
-    for stale in glob.glob(f"{target}__staging_*") + glob.glob(f"{target}__old_*"):
-        shutil.rmtree(stale, ignore_errors=True)
-    if dataset_exists(target):
-        current = spark.read.parquet(target)
-        survivors = current.join(updates.select(*keys).distinct(), keys, "left_anti")
-        merged = survivors.unionByName(updates, allowMissingColumns=True)
-    else:
-        merged = updates
-    token = uuid.uuid4().hex[:8]
-    staging = f"{target}__staging_{token}"
+
+    lock = f"{target}__lock"
+    os.makedirs(os.path.dirname(os.path.abspath(target)), exist_ok=True)
     try:
-        merged.write.mode("overwrite").parquet(staging)
-    except Exception:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    old = f"{target}__old_{token}"
-    if os.path.exists(target):
-        os.rename(target, old)
-    os.rename(staging, target)
-    shutil.rmtree(old, ignore_errors=True)
+        if (
+            os.path.exists(lock)
+            and time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
+        ):
+            os.unlink(lock)  # crashed writer; break its lock
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+    except FileExistsError:
+        raise RuntimeError(
+            f"upsert_parquet: {target} is locked by a concurrent writer "
+            f"({lock}); upserts are single-writer per target"
+        ) from None
+    try:
+        for stale in glob.glob(f"{target}__staging_*") + glob.glob(f"{target}__old_*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        if dataset_exists(target):
+            current = spark.read.parquet(target)
+            survivors = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+            merged = survivors.unionByName(updates, allowMissingColumns=True)
+        else:
+            merged = updates
+        token = uuid.uuid4().hex[:8]
+        staging = f"{target}__staging_{token}"
+        try:
+            merged.write.mode("overwrite").parquet(staging)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        old = f"{target}__old_{token}"
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(staging, target)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass

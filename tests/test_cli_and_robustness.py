@@ -82,3 +82,28 @@ def test_env_var_redirects_external_root(spark, tmp_path, monkeypatch):
     attr = read_external(spark, "train_attr")
     assert attr.count() > 0
     assert "TRANSACTION_ID" in attr.columns
+
+
+def test_object_store_root_configures_s3a(spark, monkeypatch):
+    """An s3 external root must land requester-pays + env credentials on
+    the session's Hadoop conf and be rewritten to the s3a scheme (parity
+    with the reference's storage_options=dict(requester_pays=True),
+    tasks.py:107-111). No network touched — conf wiring only."""
+    from pb_etl_spark.catalog import configure_object_store
+
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKTEST")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SECRETTEST")
+    out = configure_object_store(spark, "s3://some-bucket/prefix")
+    assert out == "s3a://some-bucket/prefix"
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.requester.pays.enabled") == "true"
+    assert hconf.get("fs.s3a.access.key") == "AKTEST"
+    assert hconf.get("fs.s3a.secret.key") == "SECRETTEST"
+
+    # opt-out switch
+    monkeypatch.setenv("PB_ETL_SPARK_S3_REQUESTER_PAYS", "false")
+    configure_object_store(spark, "s3a://other/x")
+    assert hconf.get("fs.s3a.requester.pays.enabled") == "false"
+
+    # local roots are untouched
+    assert configure_object_store(spark, "/tmp/data") == "/tmp/data"

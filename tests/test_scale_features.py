@@ -105,6 +105,14 @@ def test_results_sink_and_rest(spark, tmp_path):
         with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/api/results/") as r:
             data = json.loads(r.read())
         assert data == [{"expected": 0.41, "actual": 0.39}]
+        # chart page (reference index.html parity): vega-lite bar spec with
+        # the expected/actual values server-rendered
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/") as r:
+            assert r.headers["Content-Type"] == "text/html"
+            html = r.read().decode()
+        assert "vega-lite" in html and "Actual vs Forecast" in html
+        assert '"name": "expected", "value": 0.41' in html
+        assert '"name": "actual", "value": 0.39' in html
         with pytest.raises(urllib.error.HTTPError):
             urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/nope")
 
@@ -185,6 +193,33 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
         4: ("d", 40.0, "new"),
     }
     assert dataset_exists(target)
+
+
+def test_upsert_single_writer_lock(spark, tmp_path):
+    """A held lock must make a second upsert raise (single-writer
+    contract); a stale lock from a crashed writer is broken; the lock is
+    released after a successful run."""
+    import os
+    import time
+
+    from pb_etl_spark.sources.parquet import upsert_parquet
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    lock = f"{target}__lock"
+
+    with open(lock, "w") as f:
+        f.write("999999")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="locked by a concurrent writer"):
+        upsert_parquet(spark, target, df, "id")
+    assert os.path.exists(lock), "a live foreign lock must not be removed"
+
+    # stale lock (older than the threshold) is broken and the upsert runs
+    os.utime(lock, (time.time() - 7200, time.time() - 7200))
+    upsert_parquet(spark, target, df, "id")
+    assert not os.path.exists(lock), "lock must be released on success"
 
 
 def test_scd2_merge_tracks_history(spark):
