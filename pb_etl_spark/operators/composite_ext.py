@@ -1,0 +1,373 @@
+"""Remaining TPC-H query shapes (Q2/Q9/Q11/Q12/Q16/Q20/Q21), adapted to
+the synthetic schema (TESTDATA.md).
+
+The synthetic tables carry no ``partsupp``, ``l_shipmode``,
+``l_commitdate``/``l_receiptdate`` or supplier comments, so queries that
+need them are re-anchored on available columns — each docstring states
+the substitution. What is PRESERVED is the plan shape the original
+exercises (correlated-min subquery, double-correlated EXISTS/NOT EXISTS,
+scalar-subquery threshold over a grouped view, NOT-IN exclusion, nested
+semi-joins, conditional counts over a fact join) — the optimizer
+challenges, not the literal column names, are the point of parity.
+
+All correlated subqueries are decorrelated the scale-correct way: ONE
+grouped pass over the fact computes per-group stats, joined back — never
+a per-row subquery execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pb_etl_spark.catalog import read_table
+
+
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY supplier with returned
+    lines in a multi-supplier finalized order (original: only supplier who
+    missed the commit date). The double correlated subquery —
+    EXISTS(other supplier in order) AND NOT EXISTS(other supplier with
+    returns) — is decorrelated into one grouped pass over lineitem
+    computing (n_suppliers, n_return_suppliers) per order, joined back:
+    EXISTS ⇔ n_supp > 1, NOT EXISTS ⇔ n_ret_supp == 1 (the candidate line
+    itself is a return, so its supplier is always counted)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    ostats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey)
+        .join(ostats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .join(supp, l1.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for parts
+    matching a name pattern. ``ps_supplycost`` does not exist; unit cost
+    is surrogated as 60% of ``p_retailprice`` — same multi-join + LIKE
+    filter + two-level rollup plan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("supp_nation", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part, the minimum-"cost" supplier within a
+    region (original: min ps_supplycost; here the part→supplier relation
+    comes from distinct lineitem pairs and cost is surrogated by
+    s_acctbal). The correlated MIN subquery is one grouped pass over the
+    regional costs joined back on (part, min value) — ties keep all
+    minimal suppliers, as in the original."""
+    pairs = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey", "p_brand"
+    )
+    costs = (
+        pairs.join(supp, pairs.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("l_partkey", "s_name", "s_acctbal", "n_name")
+    )
+    mins = costs.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        costs.join(mins, "l_partkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.col("acctbal").asc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation's
+    suppliers, keeping parts above a fraction of the TOTAL value — the
+    scalar-subquery threshold. Value = Σ l_extendedprice·l_quantity over
+    lineitem (partsupp surrogate). The threshold is a 1-row broadcast
+    scalar (crossJoin); Catalyst reuses the shuffle between the two
+    aggregations of the same view (ReusedExchange), so the fact is
+    scanned once per aggregation, never per row."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    val = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
+    )
+    threshold = val.agg((F.sum("v") * 0.001).alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .filter(F.col("v") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("partkey"), F.round("v", 2).alias("value")
+        )
+        .orderBy(F.col("value").desc(), F.col("partkey").asc())
+    )
+
+
+def q_tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high/low-priority order counts per line category
+    in a date band (original: per l_shipmode with receipt-date predicates;
+    here per l_linestatus over returned lines in 1996). Same plan: fact
+    join + one conditional-count aggregate pass."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    for qualifying parts, EXCLUDING suppliers on a complaint list
+    (original: LIKE '%Customer%Complaints%' on comments; surrogate:
+    negative account balance). NOT IN becomes a broadcast-able left-anti
+    join; the part→supplier relation is distinct lineitem pairs."""
+    pairs = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    return (
+        pairs.join(bad, "l_suppkey", "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            "p_brand",
+            "p_type",
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def q_tpch_q20_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who shipped a meaningful
+    quantity of a named part family in a year — the nested IN-subquery
+    chain (parts → qualifying (supp,part) quantities → suppliers) becomes
+    two semi-joins over one grouped pass; no subquery re-execution."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    qty = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_2"
+    )
+    return (
+        supp.join(qty, supp.s_suppkey == qty.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_name")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "tpch_q21_waiting_supplier": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_1'
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
+    """,
+    "tpch_q9_product_profit": """
+        SELECT n_name AS supp_nation,
+               CAST(YEAR(l_shipdate) AS BIGINT) AS o_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY supp_nation, o_year
+        ORDER BY supp_nation, o_year DESC
+    """,
+    "tpch_q2_min_cost_supplier": """
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        costs AS (
+            SELECT pairs.l_partkey, s.s_name, s.s_acctbal, n.n_name
+            FROM pairs
+            JOIN supplier s ON pairs.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+        ),
+        mins AS (SELECT l_partkey, MIN(s_acctbal) AS min_bal
+                 FROM costs GROUP BY l_partkey)
+        SELECT p.p_partkey, p.p_brand, c.s_name,
+               ROUND(c.s_acctbal, 2) AS acctbal, c.n_name AS nation
+        FROM costs c
+        JOIN mins m ON m.l_partkey = c.l_partkey AND c.s_acctbal = m.min_bal
+        JOIN part p ON p.p_partkey = c.l_partkey
+        WHERE p.p_size <= 10
+        ORDER BY acctbal ASC, p.p_partkey ASC
+        LIMIT 100
+    """,
+    "tpch_q11_important_parts": """
+        WITH val AS (
+            SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS v
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey AS partkey, ROUND(v, 2) AS value
+        FROM val
+        WHERE v > (SELECT SUM(v) * 0.001 FROM val)
+        ORDER BY value DESC, partkey ASC
+    """,
+    "tpch_q12_priority_lines": """
+        SELECT l_linestatus AS linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY linestatus
+        ORDER BY linestatus
+    """,
+    "tpch_q16_supplier_cnt": """
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM pairs JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size ASC
+    """,
+    "tpch_q20_part_shippers": """
+        SELECT s_name, ROUND(s_acctbal, 2) AS acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(l_quantity) > 50
+        )
+        AND s_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_name = 'NATION_2')
+        ORDER BY s_name
+    """,
+}
+
+QUERIES = {
+    "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
+    "tpch_q9_product_profit": q_tpch_q9_product_profit,
+    "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+    "tpch_q11_important_parts": q_tpch_q11_important_parts,
+    "tpch_q12_priority_lines": q_tpch_q12_priority_lines,
+    "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+    "tpch_q20_part_shippers": q_tpch_q20_part_shippers,
+}

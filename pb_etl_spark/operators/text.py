@@ -180,7 +180,178 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_W = 32  # tokens per chunk
+CHUNK_S = 24  # stride (8-token overlap)
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, stride 24) —
+    the doc→training-sample explosion every LLM data pipeline runs before
+    tokenization. All JVM-side: sequence/explode for chunk starts, slice +
+    concat_ws for the chunk text; rows multiply ~|tokens|/stride ×, so the
+    input is repartitioned first (compact-file guard, same reason as
+    word_shingles)."""
+    doc = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    n_parts = spark.sparkContext.defaultParallelism
+    w, s = CHUNK_W, CHUNK_S
+    return (
+        doc.repartition(n_parts, "doc_id")
+        .select("doc_id", _tokens().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("n") <= w, F.lit(1)).otherwise(
+                F.floor((F.col("n") - w + s - 1) / s) + 1
+            ),
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.expr(f"slice(toks, chunk_id * {s} + 1, {w})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "chunk").alias("chunk_text"),
+        )
+    )
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus documents sharing ≥ 3 distinct
+    3-gram shingles with any document of a 'benchmark' set (doc_id < 10
+    here) — the decontamination pass run before training so eval data
+    does not leak into the corpus. Join keyed on the shingle (inverted
+    index), then a grouped count per (corpus doc, benchmark doc) — the
+    benchmark side is tiny and broadcasts; no document-pair cross join."""
+    from pb_etl_spark.operators.dedup import word_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    bench = sh.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    corpus = sh.filter(F.col("doc_id") >= 10)
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count_distinct("sh").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score (Gopher-style quality signal): the
+    fraction of 3-gram occurrences that are repeats of an earlier 3-gram
+    in the same document — high values flag boilerplate/spam for corpus
+    pruning. One explode + one grouped pass (count vs count-distinct)."""
+    doc = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = _tokens()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+    return (
+        doc.filter(F.size(toks) >= 3)
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                1 - F.count_distinct("g") / F.count(F.lit(1)), 6
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: top-50 non-stopword tokens by total
+    occurrences with document frequency — the tokenizer-vocab /
+    frequency-table pass. Token-keyed two-level aggregation; the shuffle
+    carries (token, partial counts), never documents."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(n_parts, "doc_id")
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+        .filter(~F.col("tok").isin(*STOPWORDS))
+    )
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(50)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "doc_chunking": f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents WHERE doc_id < 100
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0,
+                       CASE WHEN n <= {CHUNK_W} THEN 0
+                            ELSE CAST(FLOOR((n - {CHUNK_W} + {CHUNK_S} - 1)
+                                            / {CHUNK_S}) AS BIGINT) END)) AS chunk_id
+            FROM d
+        )
+        SELECT doc_id, chunk_id,
+               len(toks[chunk_id * {CHUNK_S} + 1 : chunk_id * {CHUNK_S} + {CHUNK_W}])
+                   AS n_tokens,
+               array_to_string(
+                   toks[chunk_id * {CHUNK_S} + 1 : chunk_id * {CHUNK_S} + {CHUNK_W}],
+                   ' ') AS chunk_text
+        FROM c
+    """,
+    "contamination_check": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        idx AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh
+               FROM idx)
+        SELECT c.doc_id, b.doc_id AS bench_id, COUNT(DISTINCT c.sh) AS n_shared
+        FROM sh c JOIN sh b ON c.sh = b.sh
+        WHERE b.doc_id < 10 AND c.doc_id >= 10
+        GROUP BY c.doc_id, b.doc_id
+        HAVING COUNT(DISTINCT c.sh) >= 3
+    """,
+    "repetition_ratio": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr
+                      FROM documents WHERE doc_id < 200),
+        idx AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
+                FROM toks WHERE len(arr) >= 3),
+        g AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+              FROM idx)
+        SELECT doc_id, COUNT(*) AS n_grams,
+               ROUND(1 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+                   AS rep_ratio
+        FROM g GROUP BY doc_id
+    """,
+    "vocab_topk": f"""
+        SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok NOT IN ({", ".join(f"'{s}'" for s in STOPWORDS)})
+        GROUP BY tok
+        ORDER BY tf DESC, tok ASC
+        LIMIT 50
+    """,
     "rolling_fingerprint": f"""
         WITH tok AS (
             SELECT doc_id,
@@ -277,4 +448,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "tfidf_top_terms": q_tfidf_top_terms,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "doc_chunking": q_doc_chunking,
+    "contamination_check": q_contamination_check,
+    "repetition_ratio": q_repetition_ratio,
+    "vocab_topk": q_vocab_topk,
 }

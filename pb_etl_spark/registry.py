@@ -16,6 +16,7 @@ from pb_etl_spark.operators import (
     advanced,
     clustering,
     composite,
+    composite_ext,
     dedup,
     events,
     multimodal,
@@ -46,6 +47,7 @@ _MODULES = [
     similarity,
     scalar_funcs,
     advanced,
+    composite_ext,
     text,
     relational,
     reshape,
