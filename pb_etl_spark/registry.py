@@ -31,14 +31,80 @@ from pb_etl_spark.operators import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Order matters: the driver's correctness harness verifies the FIRST 50
+# Order matters: the driver's correctness harness verifies the FIRST ~50
 # registry entries (registry insertion order) each round. Round 1 checked
-# relational/reshape/events/text and left TPC-H, dedup, clustering,
-# temporal, skew, multimodal, similarity, scalar/advanced batteries
-# unverified — so rotate those to the front and the round-1-green prefix
-# to the back. Rotate again whenever a family has driver verification.
+# the first 50 (relational/reshape/events/text prefix); 8 of those failed
+# on the conf-dependent events read, since fixed. The round-2 priority
+# window below front-loads, by name:
+#   1. the 8 previously-FAILING queries (proof of the fix),
+#   2. the silently-at-risk events readers (dedup_keep_latest, asof_join,
+#      range_join) and every oracle added this round (stream_user_totals,
+#      stream joins/dedup/enrich, stratified_hash_sample),
+#   3. families with ZERO driver verification so far: dedup/LSH,
+#      clustering, skew, multimodal, similarity, all 19 TPC-H shapes.
+# Everything after _PRIORITY follows in module order, never-checked
+# modules first, round-1-green prefix last. Rotate again each round.
+_PRIORITY = [
+    # -- round-1 failures, now conf-independent reads --
+    "json_extract_agg",
+    "tumbling_window",
+    "sliding_window",
+    "session_window",
+    "sessionize_lag",
+    "funnel_conversion",
+    "cohort_retention",
+    "interval_funcs",
+    # -- at-risk events readers + new oracles --
+    "dedup_keep_latest",
+    "asof_join",
+    "range_join",
+    "stream_user_totals",
+    "stream_stream_join",
+    "stream_dedup",
+    "stream_enrich",
+    "stratified_hash_sample",
+    # -- never driver-checked families --
+    "embedding_near_dup_lsh",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_near_dup_pairs",
+    "simhash_fingerprints",
+    "embedding_near_dup",
+    "dedup_clusters",
+    "dedup_representatives",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "media_decode",
+    "media_feature_agg",
+    "knn_cosine",
+    "embedding_norms",
+    # -- the whole composite battery (TPC-H shapes + approx), never checked --
+    "tpch_q1_pricing",
+    "tpch_q6_revenue",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
+    "tpch_q7_nation_volume",
+    "tpch_q15_top_supplier",
+    "tpch_q8_market_share",
+    "tpch_q17_small_qty",
+    "tpch_q14_promo",
+    "tpch_q4_priority",
+    "tpch_q13_custdist",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_balances",
+    "tpch_q3_shipping",
+    "tpch_q5_region_volume",
+    "window_ranking",
+    "explode_history",
+    "approx_distinct",
+    "approx_percentiles",
+    # slot 50: hardest new decorrelation this round (double-EXISTS Q21)
+    "tpch_q21_waiting_supplier",
+]
+
 _MODULES = [
     composite,
+    composite_ext,
     dedup,
     clustering,
     temporal,
@@ -47,7 +113,6 @@ _MODULES = [
     similarity,
     scalar_funcs,
     advanced,
-    composite_ext,
     text,
     relational,
     reshape,
@@ -56,12 +121,17 @@ _MODULES = [
 
 
 def all_queries() -> dict[str, QueryFn]:
-    out: dict[str, QueryFn] = {}
+    merged: dict[str, QueryFn] = {}
     for m in _MODULES:
-        overlap = set(out) & set(m.QUERIES)
+        overlap = set(merged) & set(m.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
-        out.update(m.QUERIES)
+        merged.update(m.QUERIES)
+    missing = [q for q in _PRIORITY if q not in merged]
+    if missing:
+        raise ValueError(f"priority entries not registered: {missing}")
+    out: dict[str, QueryFn] = {q: merged[q] for q in _PRIORITY}
+    out.update(merged)  # dict preserves first-insertion order for dupes
     return out
 
 
