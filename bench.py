@@ -62,7 +62,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
     queries["semi_join"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

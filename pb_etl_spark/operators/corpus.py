@@ -1,0 +1,304 @@
+"""Corpus-curation operators: the batch shapes a training-data pipeline
+runs between raw crawl and tokenizer — sequence packing, quality filter
+chains, mixture-weighted selection, incremental (new-batch-vs-corpus)
+dedup, pattern redaction, and source-mixture reporting.
+
+Reference parity note: the reference ETL (``/root/reference/pb_etl/tasks.py``)
+stops at feature engineering for one model; these extend the same
+DataFrame surface to the LLM-corpus workload the brief names as
+first-class. Everything is built-in ``pyspark.sql.functions`` — no Python
+UDF in any path, so throughput is scan + shuffle rate.
+
+Scale design, per operator:
+
+- ``seq_packing``: packing is *partition-local by source* — a global
+  greedy packer is inherently sequential, but per-source contiguous
+  packing needs only a window cumsum within each source partition (the
+  standard trick: shuffle once on the group key, one sort per partition,
+  no driver loop). Pack assignment = ``floor(cum_before / budget)`` is a
+  pure projection over the cumsum.
+- ``quality_filter_chain`` / ``pii_redaction``: embarrassingly parallel
+  row-wise expressions inside whole-stage codegen; zero shuffles.
+- ``top_p_quality_sample``: per-language totals come from a grouped agg
+  joined back (broadcast-sized: one row per language), NOT a
+  whole-partition window — the cumulative scan is the only per-language
+  ordered pass, which is inherent to nucleus-style selection. At 100 TB
+  with few languages that partition is skewed; the production variant
+  replaces the exact scan with a quality-quantile threshold (one
+  ``percentile_approx`` pass) — same selection in expectation, fully
+  parallel. The exact form is kept here because it is oracle-checkable.
+- ``incremental_dedup``: fingerprint anti-join — shuffles 16-byte digests
+  + ids, never document bodies; the standard "dedup the new crawl against
+  the corpus" shape.
+- ``source_mix_report``: grouped agg first (one row per source), so the
+  ordered-window share computation runs on bounded data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pb_etl_spark.catalog import read_table
+from pb_etl_spark.operators.text import STOPWORDS
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+# Filter-chain thresholds (corpus median n_tokens=56, diversity=0.46)
+LEN_MIN, LEN_MAX = 25, 90
+DIVERSITY_MIN = 0.35
+STOPWORD_MIN = 0.02
+
+TOP_P = 0.5  # nucleus share of per-language chars kept
+
+# Redaction patterns, applied in this exact order on both engines
+# (Java regex and RE2 agree on this subset: char classes, {n,}, \b).
+PAT_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PAT_NUM = "[0-9]{3,}"
+PAT_TERM = "\\bcustomer\\b"
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: assign docs (in doc_id order, per
+    source) to fixed token-budget packs. ``pack_id`` = which training
+    sequence this doc lands in when the per-source stream is concatenated
+    and split every PACK_BUDGET tokens (greedy, no doc splitting)."""
+    doc = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens()).cast("long")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = F.sum(n_tok).over(w)
+    return doc.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / PACK_BUDGET).cast("long").alias("pack_id"),
+    )
+
+
+def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style multi-predicate quality filter with per-rule flags (kept
+    as columns so the pipeline can report per-rule rejection rates, not
+    just the surviving set)."""
+    doc = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n
+    div_ratio = F.size(F.array_distinct(toks)) / n
+    len_ok = (n >= LEN_MIN) & (n <= LEN_MAX)
+    div_ok = div_ratio >= DIVERSITY_MIN
+    stop_ok = stop_ratio >= STOPWORD_MIN
+    return doc.select(
+        "doc_id",
+        len_ok.cast("int").alias("len_ok"),
+        div_ok.cast("int").alias("diversity_ok"),
+        stop_ok.cast("int").alias("stopword_ok"),
+        (len_ok & div_ok & stop_ok).cast("int").alias("keep"),
+    )
+
+
+def q_top_p_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style data selection: per language, keep the
+    highest-diversity docs until they account for TOP_P of that
+    language's total characters. Per-language totals via grouped agg +
+    join (broadcast-sized), cumulative via one ordered window pass."""
+    doc = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    scored = doc.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("quality"),
+    )
+    totals = scored.groupBy("lang").agg(F.sum("n_chars").alias("lang_chars"))
+    w = W.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    cum = F.sum("n_chars").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        scored.join(F.broadcast(totals), "lang")  # bounded: one row per language
+        .withColumn("cum_chars", cum.cast("long"))
+        .filter(F.col("cum_chars") <= TOP_P * F.col("lang_chars"))
+        .select("lang", "doc_id", "quality", "cum_chars")
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: treat ``doc_id % 5 == 0`` as the newly-crawled
+    batch and the rest as the existing corpus; drop new docs whose content
+    fingerprint already exists in the corpus, then collapse duplicates
+    within the batch keeping the smallest doc_id. Anti-join on md5
+    digests — the shuffle carries 16 bytes + id per doc, not bodies."""
+    doc = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+    new = doc.filter(F.col("doc_id") % 5 == 0)
+    corpus = doc.filter(F.col("doc_id") % 5 != 0)
+    return (
+        new.join(corpus.select("fp"), "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+        .select("keep_doc_id", "fp", "n_batch_copies")
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction: emails → <EMAIL>, long digit runs → <NUM>, a
+    sensitive-term list (stand-in: 'customer') → <PII>, applied in a
+    fixed order. Emits the redaction count and the md5 of the redacted
+    text (so the check verifies the rewrite without shipping bodies)."""
+    doc = read_table(spark, sf_dir, "documents")
+    n_red = (
+        F.regexp_count(F.col("text"), F.lit(PAT_EMAIL))
+        + F.regexp_count(F.col("text"), F.lit(PAT_NUM))
+        + F.regexp_count(F.col("text"), F.lit(PAT_TERM))
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PAT_EMAIL, "<EMAIL>"),
+            PAT_NUM,
+            "<NUM>",
+        ),
+        PAT_TERM,
+        "<PII>",
+    )
+    return doc.select(
+        "doc_id",
+        n_red.cast("long").alias("n_redacted"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture report: per-source doc/token counts, share of corpus
+    tokens, and cumulative share in descending-token order — the table a
+    pretraining run reads to set sampling weights. Window runs AFTER the
+    grouped agg, on one row per source."""
+    doc = read_table(spark, sf_dir, "documents")
+    per_src = doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens()).cast("long")).alias("n_tokens"),
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_cum = (
+        W.orderBy(F.col("n_tokens").desc(), F.col("source").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    total = F.sum("n_tokens").over(w_all)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+        F.round(F.sum("n_tokens").over(w_cum) / total, 6).alias("cum_share"),
+    )
+
+
+QUERIES = {
+    "seq_packing": q_seq_packing,
+    "quality_filter_chain": q_quality_filter_chain,
+    "top_p_quality_sample": q_top_p_quality_sample,
+    "incremental_dedup": q_incremental_dedup,
+    "pii_redaction": q_pii_redaction,
+    "source_mix_report": q_source_mix_report,
+}
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLES: dict[str, str] = {
+    "seq_packing": f"""
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(FLOOR(
+                   (SUM(len(string_split(text, ' ')))
+                        OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - len(string_split(text, ' '))) / {PACK_BUDGET}
+               ) AS BIGINT) AS pack_id
+        FROM documents
+    """,
+    "quality_filter_chain": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(toks) AS n,
+                   CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                       / len(toks) AS stop_ratio,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS div_ratio
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n >= {LEN_MIN} AND n <= {LEN_MAX} AS INT) AS len_ok,
+               CAST(div_ratio >= {DIVERSITY_MIN} AS INT) AS diversity_ok,
+               CAST(stop_ratio >= {STOPWORD_MIN} AS INT) AS stopword_ok,
+               CAST(n >= {LEN_MIN} AND n <= {LEN_MAX}
+                    AND div_ratio >= {DIVERSITY_MIN}
+                    AND stop_ratio >= {STOPWORD_MIN} AS INT) AS keep
+        FROM m
+    """,
+    "top_p_quality_sample": f"""
+        WITH s AS (
+            SELECT doc_id, lang, n_chars,
+                   ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS quality
+            FROM documents
+        ), c AS (
+            SELECT lang, doc_id, quality,
+                   SUM(n_chars) OVER (PARTITION BY lang
+                                      ORDER BY quality DESC, doc_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum_chars,
+                   SUM(n_chars) OVER (PARTITION BY lang) AS lang_chars
+            FROM s
+        )
+        SELECT lang, doc_id, quality, cum_chars
+        FROM c WHERE cum_chars <= {TOP_P} * lang_chars
+    """,
+    "incremental_dedup": """
+        WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        new AS (SELECT * FROM f WHERE doc_id % 5 = 0),
+        corpus AS (SELECT fp FROM f WHERE doc_id % 5 <> 0)
+        SELECT MIN(doc_id) AS keep_doc_id, fp, COUNT(*) AS n_batch_copies
+        FROM new
+        WHERE fp NOT IN (SELECT fp FROM corpus)
+        GROUP BY fp
+    """,
+    "pii_redaction": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{PAT_EMAIL}'))
+                    + len(regexp_extract_all(text, '{PAT_NUM}'))
+                    + len(regexp_extract_all(text, '{PAT_TERM}')) AS BIGINT)
+                   AS n_redacted,
+               md5(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text, '{PAT_EMAIL}', '<EMAIL>', 'g'),
+                           '{PAT_NUM}', '<NUM>', 'g'),
+                       '{PAT_TERM}', '<PII>', 'g')) AS redacted_md5
+        FROM documents
+    """,
+    "source_mix_report": """
+        WITH per_src AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(len(string_split(text, ' '))) AS n_tokens
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
+                   AS token_share,
+               ROUND(CAST(SUM(n_tokens)
+                              OVER (ORDER BY n_tokens DESC, source ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS DOUBLE)
+                     / SUM(n_tokens) OVER (), 6) AS cum_share
+        FROM per_src
+    """,
+}

@@ -17,6 +17,7 @@ from pb_etl_spark.operators import (
     clustering,
     composite,
     composite_ext,
+    corpus,
     dedup,
     events,
     multimodal,
@@ -105,6 +106,7 @@ _PRIORITY = [
 _MODULES = [
     composite,
     composite_ext,
+    corpus,
     dedup,
     clustering,
     temporal,
