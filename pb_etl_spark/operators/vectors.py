@@ -1,0 +1,266 @@
+"""Vector-compression / embedding-pipeline operators: scalar (int8)
+quantization, k-means-style centroid assignment, product-quantization
+codes, and per-dimension corpus statistics.
+
+These are the compression and partition-assignment primitives behind
+similarity search at 100 TB (``similarity.py`` holds the search tiers):
+an embedding corpus too large to scan in float32 gets PQ/int8-compressed
+and routed by centroid cell; the stats table drives whitening.
+
+Scale design:
+- All array math is built-in (``F.aggregate``/``F.zip_with``/``F.slice``)
+  inside codegen — no Python in any path.
+- Per-dimension passes (``vector_quantize`` scales, ``dim_stats``) use
+  ``posexplode`` → grouped agg: the explode is a flatMap (no shuffle) and
+  the shuffle that follows carries (pos, partial-agg) after map-side
+  combine — 64 rows per partition, independent of corpus size.
+- The per-dim scale table (64 rows) joins back via broadcast, so
+  quantization itself is a single embarrassingly-parallel projection.
+- Centroid/PQ codebooks are FIXED literals (seeded, reproducible): the
+  assignment step is the hot path at scale and must not depend on a
+  driver-side fit. (The distributed Lloyd fit lives in
+  ``similarity.ivf_ann_topk``; reference for codebook training.)
+
+Oracle parity: quantized codes and their aggregates are INTEGER, so the
+checks are exact. Dot/distance comparisons rely on identical IEEE double
+ops on both engines (same trick the ``knn_cosine`` oracle already
+validates via ``list_dot_product``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pb_etl_spark.catalog import read_table
+from pb_etl_spark.operators.similarity import _deterministic_gaussians
+
+DIM = 64  # embeddings table vector width (TESTDATA.md)
+N_CENTROIDS = 8
+PQ_SUBSPACES = 8
+PQ_SUB_DIM = DIM // PQ_SUBSPACES
+PQ_K = 4  # codebook entries per subspace
+
+CENTROIDS: list[list[float]] = [
+    _deterministic_gaussians(1000 + k, DIM) for k in range(N_CENTROIDS)
+]
+PQ_BOOKS: list[list[list[float]]] = [
+    [_deterministic_gaussians(2000 + sub * 17 + k, PQ_SUB_DIM) for k in range(PQ_K)]
+    for sub in range(PQ_SUBSPACES)
+]
+
+
+def _const_arr(vals: list[float]):
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def _dot_const(vec, vals: list[float]):
+    """Sequential fold — the same summation order DuckDB's
+    list_dot_product reproduces (validated by knn_cosine's oracle)."""
+    return F.aggregate(
+        F.zip_with(vec, _const_arr(vals), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sqdist_const(vec, vals: list[float]):
+    return F.aggregate(
+        F.zip_with(vec, _const_arr(vals), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization with per-dimension max-abs
+    scales: q = round(127 * x / scale). Emits per-vector integer
+    invariants (L1, L2, position-weighted checksum) — exact cross-engine,
+    and exactly what a compressed-scan kernel needs to validate."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    scales = e.groupBy("pos").agg(F.max(F.abs(F.col("x"))).alias("scale"))
+    q = F.when(F.col("scale") > 0, F.round(F.lit(127.0) * F.col("x") / F.col("scale")))\
+         .otherwise(F.lit(0.0)).cast("long")
+    return (
+        e.join(F.broadcast(scales), "pos")  # 64 rows: always broadcast-sized
+        .select("vec_id", "pos", q.alias("q"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.abs(F.col("q"))).alias("l1_q"),
+            F.sum(F.col("q") * F.col("q")).alias("l2_q"),
+            F.sum(F.col("q") * (F.col("pos") + 1)).alias("pos_checksum"),
+            F.count(F.lit(1)).alias("n_dims"),
+        )
+    )
+
+
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (max dot product) assignment against a fixed
+    K=8 codebook — the IVF cell-routing step as a standalone checkable
+    op. argmax via lexicographic max over (dot, k) structs."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    scored = F.array(
+        *[
+            F.struct(
+                _dot_const(vec, CENTROIDS[k]).alias("dot"),
+                F.lit(k).cast("long").alias("k"),
+            )
+            for k in range(N_CENTROIDS)
+        ]
+    )
+    best = F.array_max(scored)  # max dot, ties -> max k (mirrored in SQL)
+    return emb.select(
+        "vec_id",
+        best["k"].alias("centroid_id"),
+        F.round(best["dot"], 6).alias("dot"),
+    )
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: split each vector into 8
+    subspaces of 8 dims, code each subvector as its nearest (L2)
+    codebook entry. Integer codes — the 64-byte-per-vector compressed
+    representation an ANN index stores instead of 256 float bytes."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    rows = []
+    for sub in range(PQ_SUBSPACES):
+        sv = F.slice(vec, sub * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+        scored = F.array(
+            *[
+                F.struct(
+                    _sqdist_const(sv, PQ_BOOKS[sub][k]).alias("d2"),
+                    F.lit(k).cast("long").alias("k"),
+                )
+                for k in range(PQ_K)
+            ]
+        )
+        best = F.array_min(scored)  # min dist, ties -> min k
+        rows.append(
+            F.struct(
+                F.lit(sub).cast("long").alias("subspace"),
+                best["k"].alias("code"),
+                F.round(F.sqrt(best["d2"]), 6).alias("dist"),
+            )
+        )
+    return emb.select(
+        "vec_id", F.explode(F.array(*rows)).alias("s")
+    ).select("vec_id", "s.subspace", "s.code", "s.dist")
+
+
+def q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (whitening / normalization
+    table): mean, sample stddev, min, max for each of the 64 dims."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    return e.groupBy("pos").agg(
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.stddev_samp("x"), 6).alias("std"),
+        F.round(F.min("x"), 6).alias("vmin"),
+        F.round(F.max("x"), 6).alias("vmax"),
+    ).select(F.col("pos").cast("long").alias("pos"), "mean", "std", "vmin", "vmax")
+
+
+QUERIES = {
+    "vector_quantize": q_vector_quantize,
+    "centroid_assign": q_centroid_assign,
+    "pq_codes": q_pq_codes,
+    "dim_stats": q_dim_stats,
+}
+
+
+def _sql_list(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+_CENTROID_DOTS = ",\n                   ".join(
+    f"list_dot_product(v, {_sql_list(CENTROIDS[k])}) AS d{k}"
+    for k in range(N_CENTROIDS)
+)
+_CENTROID_UNPIVOT = ", ".join(f"({k}, d{k})" for k in range(N_CENTROIDS))
+
+_PQ_DISTS = []
+for _sub in range(PQ_SUBSPACES):
+    lo, hi = _sub * PQ_SUB_DIM + 1, (_sub + 1) * PQ_SUB_DIM
+    for _k in range(PQ_K):
+        _PQ_DISTS.append(
+            f"SELECT vec_id, CAST({_sub} AS BIGINT) AS subspace, "
+            f"CAST({_k} AS BIGINT) AS k, "
+            f"list_distance(v[{lo}:{hi}], {_sql_list(PQ_BOOKS[_sub][_k])}) AS dist "
+            f"FROM v"
+        )
+_PQ_UNION = "\n            UNION ALL ".join(_PQ_DISTS)
+
+ORACLES: dict[str, str] = {
+    "vector_quantize": """
+        WITH e AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ), s AS (
+            SELECT pos, MAX(ABS(x)) AS scale FROM e GROUP BY pos
+        ), q AS (
+            SELECT vec_id, e.pos,
+                   CASE WHEN scale > 0
+                        THEN CAST(ROUND(127.0 * x / scale) AS BIGINT)
+                        ELSE 0 END AS q
+            FROM e JOIN s ON e.pos = s.pos
+        )
+        SELECT vec_id,
+               SUM(ABS(q)) AS l1_q,
+               SUM(q * q) AS l2_q,
+               SUM(q * (pos + 1)) AS pos_checksum,
+               COUNT(*) AS n_dims
+        FROM q GROUP BY vec_id
+    """,
+    "centroid_assign": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), d AS (
+            SELECT vec_id,
+                   {_CENTROID_DOTS}
+            FROM v
+        ), u AS (
+            SELECT vec_id, CAST(k AS BIGINT) AS centroid_id, dot,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, k DESC) AS rn
+            FROM d, LATERAL (VALUES {_CENTROID_UNPIVOT}) AS t(k, dot)
+        )
+        SELECT vec_id, centroid_id, ROUND(dot, 6) AS dot
+        FROM u WHERE rn = 1
+    """,
+    "pq_codes": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), d AS (
+            {_PQ_UNION}
+        ), r AS (
+            SELECT vec_id, subspace, k AS code, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY dist ASC, k ASC) AS rn
+            FROM d
+        )
+        SELECT vec_id, subspace, code, ROUND(dist, 6) AS dist
+        FROM r WHERE rn = 1
+    """,
+    "dim_stats": """
+        WITH e AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )
+        SELECT CAST(pos AS BIGINT) AS pos,
+               ROUND(AVG(x), 6) AS mean,
+               ROUND(STDDEV_SAMP(x), 6) AS std,
+               ROUND(MIN(x), 6) AS vmin,
+               ROUND(MAX(x), 6) AS vmax
+        FROM e GROUP BY pos
+    """,
+}

@@ -28,6 +28,7 @@ from pb_etl_spark.operators import (
     skew,
     temporal,
     text,
+    vectors,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -113,6 +114,7 @@ _MODULES = [
     skew,
     multimodal,
     similarity,
+    vectors,
     scalar_funcs,
     advanced,
     text,

@@ -1,0 +1,112 @@
+"""Semantic tests for vector-compression ops (oracle parity is enforced
+separately): reconstruction-quality bounds, codebook invariants, and
+plan-shape assertions for the scale-critical paths."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_int8_quantization_codes_in_range_and_nontrivial(spark):
+    from pb_etl_spark.operators.vectors import DIM, q_vector_quantize
+
+    rows = q_vector_quantize(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_dims == DIM
+        # |q| <= 127 per dim bounds the aggregates
+        assert 0 <= r.l1_q <= 127 * DIM
+        assert 0 <= r.l2_q <= 127 * 127 * DIM
+    # max-abs scaling means at least one vector hits the extreme code
+    assert any(r.l2_q >= 127 * 127 for r in rows)
+
+
+def test_centroid_assignment_is_exhaustive_and_argmax(spark):
+    from pb_etl_spark.operators.vectors import (
+        CENTROIDS,
+        N_CENTROIDS,
+        q_centroid_assign,
+    )
+    from pb_etl_spark.catalog import read_table
+
+    out = {r.vec_id: r for r in q_centroid_assign(spark, SF_DIR).collect()}
+    emb = {
+        r.vec_id: r.embedding
+        for r in read_table(spark, SF_DIR, "embeddings").collect()
+    }
+    assert set(out) == set(emb)
+    for vid, r in out.items():
+        assert 0 <= r.centroid_id < N_CENTROIDS
+        dots = [
+            sum(float(x) * c for x, c in zip(emb[vid], CENTROIDS[k]))
+            for k in range(N_CENTROIDS)
+        ]
+        assert max(dots) - dots[r.centroid_id] < 1e-6  # truly the argmax
+        assert abs(r.dot - dots[r.centroid_id]) < 1e-4
+
+
+def test_pq_reconstruction_beats_random_codebook_pick(spark):
+    """Each chosen code's distance must be <= every alternative's —
+    i.e. the encoder really minimizes, it doesn't just emit valid ids."""
+    from pb_etl_spark.operators.vectors import (
+        PQ_BOOKS,
+        PQ_K,
+        PQ_SUB_DIM,
+        PQ_SUBSPACES,
+        q_pq_codes,
+    )
+    from pb_etl_spark.catalog import read_table
+
+    emb = {
+        r.vec_id: r.embedding
+        for r in read_table(spark, SF_DIR, "embeddings").limit(20).collect()
+    }
+    codes = (
+        q_pq_codes(spark, SF_DIR)
+        .filter(F.col("vec_id").isin(list(emb)))
+        .collect()
+    )
+    assert len(codes) == len(emb) * PQ_SUBSPACES
+    for r in codes:
+        sv = [float(x) for x in emb[r.vec_id][r.subspace * PQ_SUB_DIM:(r.subspace + 1) * PQ_SUB_DIM]]
+        dists = [
+            math.sqrt(sum((x - c) ** 2 for x, c in zip(sv, PQ_BOOKS[r.subspace][k])))
+            for k in range(PQ_K)
+        ]
+        assert dists[r.code] <= min(dists) + 1e-9
+        assert abs(r.dist - dists[r.code]) < 1e-4
+
+
+def test_dim_stats_match_numpy(spark):
+    import numpy as np
+
+    from pb_etl_spark.operators.vectors import q_dim_stats
+    from pb_etl_spark.catalog import read_table
+
+    mat = np.array(
+        [r.embedding for r in read_table(spark, SF_DIR, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    stats = {r.pos: r for r in q_dim_stats(spark, SF_DIR).collect()}
+    assert len(stats) == mat.shape[1]
+    for pos in (0, mat.shape[1] // 2, mat.shape[1] - 1):
+        assert abs(stats[pos].mean - mat[:, pos].mean()) < 1e-4
+        assert abs(stats[pos].std - mat[:, pos].std(ddof=1)) < 1e-4
+        assert abs(stats[pos].vmin - mat[:, pos].min()) < 1e-6
+        assert abs(stats[pos].vmax - mat[:, pos].max()) < 1e-6
+
+
+def test_quantize_broadcasts_scale_table(spark):
+    """The 64-row per-dim scale table must join back as a broadcast —
+    a shuffle join keyed on pos would serialize the whole corpus through
+    64 reducers at scale."""
+    from pb_etl_spark.operators.vectors import q_vector_quantize
+
+    df = q_vector_quantize(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
