@@ -74,6 +74,138 @@ def write_parquet(
     writer.parquet(path)
 
 
+_Z_BITS = 16  # bits per dimension in the interleaved z-value
+
+
+def zorder_value(df: DataFrame, cols: list[str]):
+    """Z-order (Morton) curve value over two numeric columns.
+
+    Each column is uniform-bucketized to ``2**_Z_BITS`` cells between its
+    min and max (one tiny agg — two rows to the driver, a literal in the
+    plan), then the bucket bits are interleaved. Sorting by the result
+    gives files whose parquet min/max stats are narrow in BOTH columns,
+    so predicates on EITHER dimension prune row groups — single-column
+    ``cluster_by`` only skips for its own key. This is the flat-parquet
+    twin of Delta/Iceberg Z-ORDER (uniform cells rather than
+    range-partition ranks: one agg instead of two extra shuffles; skewed
+    columns degrade toward single-dim clustering, acceptable for a
+    layout decision).
+
+    Returns (df_with_bounds, zcol) where zcol is the z-value expression.
+    """
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError("zorder_value interleaves exactly 2 columns")
+    bounds = df.agg(
+        *[f(c).alias(f"{f.__name__}_{c}") for c in cols for f in (F.min, F.max)]
+    ).first()
+    n_cells = 1 << _Z_BITS
+    buckets = []
+    for c in cols:
+        lo = float(bounds[f"min_{c}"])
+        hi = float(bounds[f"max_{c}"])
+        span = (hi - lo) or 1.0
+        b = F.least(
+            F.lit(n_cells - 1),
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_cells),
+        ).cast("long")
+        buckets.append(b)
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        for d, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)), 2 * i + d)
+            )
+    return df, z
+
+
+def write_parquet_zorder(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    mode: str = "overwrite",
+    n_files: int | None = None,
+) -> None:
+    """Write with a 2-D Z-order layout: range-partition + sort on the
+    interleaved z-value so every file is a compact rectangle in both
+    dimensions' parquet statistics."""
+    df, z = zorder_value(df, zorder_by)
+    df = df.withColumn("__z", z)
+    if n_files:
+        df = df.repartitionByRange(n_files, "__z")
+    else:
+        df = df.repartitionByRange("__z")
+    df.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 512,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Compact a parquet dataset's small files into ~``target_file_mb``
+    outputs (optionally re-clustering while rewriting — compaction is the
+    natural moment to restore a sort layout degraded by appends/upserts).
+
+    The streaming/upsert paths produce one file per micro-batch or merge;
+    at 100 TB that is the classic small-files problem (every open/seek is
+    an object-store request). Sizing comes from the actual on-disk bytes,
+    the rewrite goes through the same staging + rename swap (and writer
+    lock) as ``upsert_parquet``, so readers never observe a partial
+    dataset. Returns the number of files written.
+    """
+    import glob
+    import math
+    import shutil
+    import time
+    import uuid
+
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb << 20)))
+
+    lock = f"{path}__lock"
+    try:
+        if os.path.exists(lock) and time.time() - os.path.getmtime(lock) > _LOCK_STALE_S:
+            os.unlink(lock)
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+    except FileExistsError:
+        raise RuntimeError(
+            f"compact_dataset: {path} is locked by a concurrent writer"
+        ) from None
+    try:
+        df = spark.read.parquet(path)
+        if cluster_by:
+            df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            df = df.repartition(n_files)
+        token = uuid.uuid4().hex[:8]
+        staging = f"{path}__staging_{token}"
+        try:
+            df.write.mode("overwrite").parquet(staging)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        old = f"{path}__old_{token}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+    return n_files
+
+
 def read_parquet(spark: SparkSession, path: str, require_flag: bool = True) -> DataFrame:
     """Guarded Parquet read: refuse incomplete datasets (target.py:139-148)."""
     if require_flag and not dataset_exists(path):

@@ -1,0 +1,107 @@
+"""Data-layout tests: Z-order writes must make parquet min/max statistics
+narrow in BOTH dimensions (so either predicate prunes), and compaction
+must shrink file counts without changing content."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _file_spans(path: str, col: str) -> list[float]:
+    """Per-file (span / global span) from parquet footer stats: 1.0 means
+    the file covers the whole value range (no skipping possible),
+    1/n_files means perfectly disjoint files."""
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert files
+    spans, lo_all, hi_all = [], None, None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+        lo_all = lo if lo_all is None else min(lo_all, lo)
+        hi_all = hi if hi_all is None else max(hi_all, hi)
+    total = (hi_all - lo_all) or 1
+    return [(hi - lo) / total for lo, hi in spans]
+
+
+def _file_span_fraction(path: str, col: str) -> float:
+    spans = _file_spans(path, col)
+    return sum(spans) / len(spans)
+
+
+def test_zorder_narrows_both_dimensions(spark, tmp_path):
+    from pb_etl_spark.sources.parquet import write_parquet, write_parquet_zorder
+
+    src = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+    plain = str(tmp_path / "plain")
+    zpath = str(tmp_path / "zorder")
+    write_parquet(src, plain, n_files=8)
+    write_parquet_zorder(src, zpath, ["l_orderkey", "l_partkey"], n_files=8)
+
+    # hash-shuffled files cover ~the full range of both columns: the mean
+    # 2-D stats rectangle is nearly the whole plane
+    plain_area = sum(
+        a * b
+        for a, b in zip(_file_spans(plain, "l_orderkey"), _file_spans(plain, "l_partkey"))
+    ) / 8
+    assert plain_area > 0.6, plain_area
+    # z-ordered files are narrow in BOTH dimensions simultaneously: a
+    # z-curve split into 8 files bounds each file to a fraction of the
+    # plane (measured ~0.20 here), so predicates on EITHER column skip
+    zo = _file_spans(zpath, "l_orderkey")
+    zp = _file_spans(zpath, "l_partkey")
+    z_area = sum(a * b for a, b in zip(zo, zp)) / len(zo)
+    assert z_area < 0.3, z_area
+    assert sum(zo) / len(zo) < 0.75
+    assert sum(zp) / len(zp) < 0.75
+    # and the data survived intact
+    a = spark.read.parquet(zpath)
+    assert a.count() == src.count()
+    assert (
+        a.agg(F.sum("l_quantity")).first()[0] == src.agg(F.sum("l_quantity")).first()[0]
+    )
+
+
+def test_compaction_shrinks_files_and_preserves_content(spark, tmp_path):
+    from pb_etl_spark.sources.parquet import compact_dataset
+
+    path = str(tmp_path / "frag")
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    src.repartition(32).write.parquet(path)  # simulate micro-batch fragmentation
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert before >= 32
+    checksum_before = (
+        spark.read.parquet(path).agg(F.sum(F.crc32(F.col("o_orderkey").cast("string")))).first()[0]
+    )
+
+    n = compact_dataset(spark, path, target_file_mb=512)
+    after = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert after == n == 1  # sf0.001 orders << 512 MB
+    checksum_after = (
+        spark.read.parquet(path).agg(F.sum(F.crc32(F.col("o_orderkey").cast("string")))).first()[0]
+    )
+    assert checksum_after == checksum_before
+    assert not glob.glob(f"{path}__*")  # lock and staging cleaned up
+
+
+def test_compaction_with_recluster_sorts_files(spark, tmp_path):
+    from pb_etl_spark.sources.parquet import compact_dataset
+
+    path = str(tmp_path / "reclust")
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(16).write.parquet(path)
+    compact_dataset(spark, path, target_file_mb=1, cluster_by=["l_orderkey"])
+    frac = _file_span_fraction(path, "l_orderkey")
+    n_files = len(glob.glob(os.path.join(path, "*.parquet")))
+    if n_files > 1:
+        assert frac <= 1.0 / n_files + 0.05  # disjoint ranges after recluster
