@@ -47,6 +47,14 @@ HEADLINE = [
     "text_quality",
     "knn_cosine",
     "backtest_rates",
+    # round-2 additions: the LLM-pipeline families now have headline
+    # representation (r1 entries above are unchanged for comparability)
+    "minhash_near_dup_pairs",
+    "embedding_near_dup_lsh",
+    "seq_packing",
+    "quality_filter_chain",
+    "vector_quantize",
+    "pq_codes",
 ]
 
 
