@@ -1,0 +1,64 @@
+"""Fleet-wide physical-plan lint: EVERY registered batch query must be
+free of scale anti-patterns, not just the handful with dedicated plan
+tests. Guards all future registry additions automatically.
+
+Rules:
+- no ``CartesianProduct`` ever (an unbroadcast cross product is a
+  cluster-killer at any scale);
+- no ``BatchEvalPython`` (row-at-a-time Python; every Python touchpoint
+  must be Arrow-batched: ArrowEvalPython / mapInPandas / applyInPandas);
+- ``BroadcastNestedLoopJoin`` only where the broadcast side is provably
+  tiny by construction (whitelisted below with the reason).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+# BNLJ is acceptable only when the broadcast side is O(1) rows by
+# construction — these are deliberate, documented shapes:
+BNLJ_WHITELIST = {
+    "embedding_near_dup",  # brute-force cross-CHECK tier (dedup.py): the
+    #   registered scale path is embedding_near_dup_lsh
+    "knn_cosine",  # exact baseline: 5-row query set broadcast vs corpus
+    "tpch_q22_idle_balances",  # 1-row scalar-subquery crossJoin
+    "tpch_q11_important_parts",  # 1-row scalar-subquery crossJoin
+    "maxabs_normalize",  # 1-row global-aggregate crossJoin (fit constants)
+}
+
+
+def _batch_queries():
+    from pb_etl_spark.registry import all_queries
+
+    # stream_* execute an availableNow drain inside the query function —
+    # they are plan-audited in tests/test_streaming*.py instead
+    return {n: f for n, f in all_queries().items() if not n.startswith("stream_")}
+
+
+def test_no_scale_antipatterns_in_any_registered_plan(spark):
+    offenders: dict[str, list[str]] = {}
+    for name, fn in _batch_queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        hits = []
+        if "CartesianProduct" in plan:
+            hits.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            hits.append("BatchEvalPython(row-at-a-time Python)")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
+            hits.append("BroadcastNestedLoopJoin(unwhitelisted)")
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
+
+
+def test_bnlj_whitelist_is_not_stale(spark):
+    """Every whitelisted query must still exist and still need the
+    exemption — a stale entry would silently re-admit the pattern."""
+    queries = _batch_queries()
+    for name in BNLJ_WHITELIST:
+        assert name in queries, f"whitelisted query {name} no longer registered"
+        plan = queries[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastNestedLoopJoin" not in plan:
+            pytest.fail(f"{name} no longer uses BNLJ — remove it from the whitelist")
