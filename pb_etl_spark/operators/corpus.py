@@ -202,7 +202,32 @@ def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_HASH_BUCKETS = 64  # feature-hashing dimensionality
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: tokens → md5-derived bucket in
+    [0, 64), per-document bucket counts — the fixed-width sparse
+    representation a linear probe/classifier trains on without a
+    vocabulary pass. md5 (not xxhash64) so the bucket function is
+    engine-portable and the oracle exact; at scale you'd swap in
+    xxhash64 (same shape, cheaper hash). Explode → grouped count with
+    map-side combine; shuffle carries (doc, bucket, partial count)."""
+    doc = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = doc.select("doc_id", F.explode(_tokens()).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % N_HASH_BUCKETS
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 QUERIES = {
+    "feature_hashing": q_feature_hashing,
     "seq_packing": q_seq_packing,
     "quality_filter_chain": q_quality_filter_chain,
     "top_p_quality_sample": q_top_p_quality_sample,
@@ -214,6 +239,15 @@ QUERIES = {
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES: dict[str, str] = {
+    "feature_hashing": f"""
+        SELECT doc_id,
+               CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT)
+                   % {N_HASH_BUCKETS} AS bucket,
+               COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 200)
+        GROUP BY doc_id, bucket
+    """,
     "seq_packing": f"""
         SELECT doc_id, source,
                len(string_split(text, ' ')) AS n_tokens,

@@ -124,7 +124,105 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_pairs(read_table(spark, sf_dir, "events"))
 
 
+GAP_FILL_USERS = 30  # bounded output slice for the checkable query
+
+
+def q_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample + gap fill: per user, an hourly grid
+    spanning that user's own activity window, hourly value sums, and
+    forward-fill across empty hours (``was_filled`` marks carried rows).
+
+    Scale shape: the hourly pre-aggregation shrinks events to one row
+    per (user, hour) BEFORE any window work; the grid explode generates
+    rows from two timestamps per user (``sequence``), never from raw
+    events; the forward-fill is one ordered window pass per user — all
+    per-user work, one shuffle on the user key. This is the
+    continuous-aggregate read path of a timeseries store, expressed as
+    DataFrame ops (custom-operator rule (a): composition, no UDF)."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < GAP_FILL_USERS)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("h").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.last("v", ignorenulls=True).over(w).alias("value"),
+            F.col("v").isNull().cast("int").alias("was_filled"),
+        )
+    )
+
+
+def q_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (hourly + daily + total in ONE scan
+    via ROLLUP grouping sets) — the materialization pass of a
+    continuous aggregate: coarser resolutions come from the same
+    partial-aggregation tree, not separate scans."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < GAP_FILL_USERS)
+        # materialized columns, not inline aliases: grouping() can only
+        # resolve plain attributes of the rollup
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    )
+    return (
+        ev.rollup("day", "hour")
+        .agg(
+            F.grouping("day").cast("int").alias("g_day"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select("day", "hour", "g_day", "g_hour", "n_events", "total_value")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "gap_fill_resample": f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   ROUND(SUM(value), 6) AS v
+            FROM events WHERE user_id < {GAP_FILL_USERS}
+            GROUP BY user_id, date_trunc('hour', ts)
+        ), grid AS (
+            SELECT user_id,
+                   unnest(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+            FROM hourly GROUP BY user_id
+        )
+        SELECT g.user_id, g.h,
+               LAST_VALUE(hv.v IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value,
+               CAST(hv.v IS NULL AS INT) AS was_filled
+        FROM grid g
+        LEFT JOIN hourly hv ON g.user_id = hv.user_id AND g.h = hv.h
+    """,
+    "multi_resolution_rollup": f"""
+        SELECT date_trunc('day', ts) AS day,
+               date_trunc('hour', ts) AS hour,
+               CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day,
+               CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS g_hour,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events WHERE user_id < {GAP_FILL_USERS}
+        GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
     "asof_join": """
         SELECT p.event_id, p.user_id,
                strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
@@ -145,4 +243,6 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "gap_fill_resample": q_gap_fill_resample,
+    "multi_resolution_rollup": q_multi_resolution_rollup,
 }
