@@ -229,7 +229,27 @@ def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_UNION = "\n        UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+    f"SUM(CAST({c} IS NULL AS BIGINT)) AS n_nulls, "
+    f"COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+)
+
 ORACLES: dict[str, str] = {
+    "table_profile": f"""
+        {_PROFILE_UNION}
+    """,
+    "value_outliers": """
+        WITH s AS (
+            SELECT user_id, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, ROUND(e.value, 6) AS value,
+               ROUND((e.value - s.mu) / s.sd, 6) AS z
+        FROM events e JOIN s USING (user_id)
+        WHERE s.sd > 0 AND ABS((e.value - s.mu) / s.sd) > 3.0
+    """,
     "cube_agg": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n_rows
@@ -336,7 +356,66 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: per-column row/null/distinct counts for a
+    fixed column list, ONE scan. All per-column aggregates ride the same
+    partial-aggregation tree; the wide one-row result explodes to long
+    format driver-free. The first query any pipeline runs against an
+    unfamiliar 100 TB table — full scans of it must not multiply per
+    column."""
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__distinct_{c}"),
+        ]
+    wide = read_table(spark, sf_dir, "orders").agg(*aggs)
+    cols = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__rows_{c}").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__distinct_{c}").alias("n_distinct"),
+            )
+            for c in PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(cols).alias("p")).select(
+        "p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct"
+    )
+
+
+OUTLIER_Z = 3.0
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers: events whose value deviates > 3 sample
+    stddevs from that user's mean. Stats via grouped agg joined back
+    (AQE picks broadcast vs shuffle by actual stats size — user count
+    scales with the corpus, so no hard-coded hint)."""
+    ev = read_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(stats, "user_id")
+        .filter(F.col("sd") > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > OUTLIER_Z)
+        .select("event_id", "user_id", F.round("value", 6).alias("value"), F.round("z", 6).alias("z"))
+    )
+
+
 QUERIES = {
+    "table_profile": q_table_profile,
+    "value_outliers": q_value_outliers,
     "cube_agg": q_cube_agg,
     "grouping_sets": q_grouping_sets,
     "pivot_agg": q_pivot_agg,
