@@ -236,7 +236,22 @@ _PROFILE_UNION = "\n        UNION ALL ".join(
     for c in ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
 )
 
+_CONSTRAINT_UNION = "\n        UNION ALL ".join(
+    f"SELECT '{name}' AS rule, "
+    f"SUM(CAST(NOT COALESCE({pred}, FALSE) AS BIGINT)) AS n_violations, "
+    f"COUNT(*) AS n_rows FROM orders"
+    for name, pred in [
+        ("positive_price", "o_totalprice > 0"),
+        ("known_status", "o_orderstatus IN ('F','O','P')"),
+        ("custkey_not_null", "o_custkey IS NOT NULL"),
+        ("key_in_range", "o_orderkey >= 0"),
+    ]
+)
+
 ORACLES: dict[str, str] = {
+    "constraint_check": f"""
+        {_CONSTRAINT_UNION}
+    """,
     "table_profile": f"""
         {_PROFILE_UNION}
     """,
@@ -413,7 +428,27 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rules compiled to ONE validation scan
+    (``pb_etl_spark.quality``): per-rule violation counts for the orders
+    load — the CHECK-constraint surface of a managed table, for flat
+    parquet."""
+    from pb_etl_spark.quality import Rule, check_rules
+
+    o = read_table(spark, sf_dir, "orders")
+    return check_rules(
+        o,
+        [
+            Rule("positive_price", F.col("o_totalprice") > 0),
+            Rule("known_status", F.col("o_orderstatus").isin("F", "O", "P")),
+            Rule("custkey_not_null", F.col("o_custkey").isNotNull()),
+            Rule("key_in_range", F.col("o_orderkey") >= 0),
+        ],
+    )
+
+
 QUERIES = {
+    "constraint_check": q_constraint_check,
     "table_profile": q_table_profile,
     "value_outliers": q_value_outliers,
     "cube_agg": q_cube_agg,
