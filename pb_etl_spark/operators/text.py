@@ -223,6 +223,43 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same chunking contract as ``doc_chunking``, expressed through
+    the PySpark 4 Python UDTF surface (``@udtf(useArrow=True)`` +
+    LATERAL table function) instead of sequence/explode — registered so
+    the engine exercises and verifies the table-function API end-to-end
+    against the identical DuckDB oracle. The built-in-expression twin
+    remains the hot path (JVM codegen beats even an Arrow UDTF); this is
+    the extension point users reach for when chunking logic outgrows
+    SQL expressions (tokenizer-aware splits, sentence boundaries)."""
+    from pyspark.sql.functions import udtf
+
+    w, s = CHUNK_W, CHUNK_S
+
+    @udtf(
+        returnType="chunk_id: bigint, n_tokens: bigint, chunk_text: string",
+        useArrow=True,
+    )
+    class Chunker:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            n = len(toks)
+            n_chunks = 1 if n <= w else (n - w + s - 1) // s + 1
+            for c in range(n_chunks):
+                piece = toks[c * s : c * s + w]
+                yield c, len(piece), " ".join(piece)
+
+    spark.udtf.register("pb_etl_chunker", Chunker)
+    doc = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    doc.createOrReplaceTempView("__udtf_chunk_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_text
+        FROM __udtf_chunk_docs d, LATERAL pb_etl_chunker(d.text) c
+        """
+    )
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: corpus documents sharing ≥ 3 distinct
     3-gram shingles with any document of a 'benchmark' set (doc_id < 10
@@ -298,6 +335,28 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "udtf_chunking": f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents WHERE doc_id < 100
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0,
+                       CASE WHEN n <= {CHUNK_W} THEN 0
+                            ELSE CAST(FLOOR((n - {CHUNK_W} + {CHUNK_S} - 1)
+                                            / {CHUNK_S}) AS BIGINT) END)) AS chunk_id
+            FROM d
+        )
+        SELECT doc_id, chunk_id,
+               len(toks[chunk_id * {CHUNK_S} + 1 : chunk_id * {CHUNK_S} + {CHUNK_W}])
+                   AS n_tokens,
+               array_to_string(
+                   toks[chunk_id * {CHUNK_S} + 1 : chunk_id * {CHUNK_S} + {CHUNK_W}],
+                   ' ') AS chunk_text
+        FROM c
+    """,
     "doc_chunking": f"""
         WITH d AS (
             SELECT doc_id, string_split(text, ' ') AS toks,
@@ -449,6 +508,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "rolling_fingerprint": q_rolling_fingerprint,
     "doc_chunking": q_doc_chunking,
+    "udtf_chunking": q_udtf_chunking,
     "contamination_check": q_contamination_check,
     "repetition_ratio": q_repetition_ratio,
     "vocab_topk": q_vocab_topk,
