@@ -306,7 +306,37 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(enriched, "q_stream_enrich", output_mode="append")
 
 
+def q_variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` → binary variant → typed ``variant_get`` path
+    extraction — the schema-on-read path for props whose shape is NOT
+    declared up front (the ``from_json`` twin above is the
+    declared-schema hot path). Variant keeps parsing JVM-side with a
+    binary-encoded value, so repeated path extraction skips re-parsing
+    the JSON text per field — the right default when a 100 TB event
+    stream carries heterogeneous payloads."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg(F.col("k").cast("double")), 6).alias("avg_k"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "variant_extract_agg": """
+        SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_bucket,
+               COUNT(*) AS n_events,
+               SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+               ROUND(AVG(CAST(props->>'k' AS BIGINT)), 6) AS avg_k
+        FROM events
+        GROUP BY k_bucket
+    """,
     "stream_stream_join": """
         SELECT c.event_id AS click_id, v.event_id AS view_id,
                c.user_id AS user_id
@@ -467,6 +497,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "json_extract_agg": q_json_extract_agg,
+    "variant_extract_agg": q_variant_extract_agg,
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,

@@ -181,7 +181,38 @@ def q_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucket (ntile), relative
+    rank (percent_rank), cumulative distribution (cume_dist) of order
+    totals per customer segment. Ordering includes the unique orderkey:
+    ntile assigns ties by position, so a non-deterministic tie order
+    would diverge between engines."""
+    from pyspark.sql.window import Window as W
+
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "window_distribution": """
+        SELECT o_custkey, o_orderkey,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
     "trailing_rows_avg": """
         SELECT o_orderkey, o_custkey,
                CAST(ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER w
@@ -265,6 +296,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "trailing_rows_avg": q_trailing_rows_avg,
+    "window_distribution": q_window_distribution,
     "higher_order_funcs": q_higher_order_funcs,
     "interval_funcs": q_interval_funcs,
     "monthly_growth": q_monthly_growth,
