@@ -327,3 +327,38 @@ def test_salted_join_rejects_outer(spark):
     cust = read_table(spark, SF_DIR, "customer")
     with pytest.raises(ValueError, match="inner"):
         salted_join(orders, cust, "o_custkey", "c_custkey", how="full_outer")
+
+
+def test_dynamic_partition_pruning_on_partitioned_writes(spark, tmp_path):
+    """Partitioned writes + a filtered dim join must produce a
+    dynamicpruning partition filter on the fact scan: at 100 TB this is
+    the difference between scanning one partition directory and all of
+    them. (Requires a real filter on the dim side — a bare join never
+    triggers DPP.)"""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "part_orders")
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "keep"), ("O", "drop"), ("P", "drop")],
+        "o_orderstatus string, tag string",
+    )
+    j = fact.join(dim.filter(F.col("tag") == "keep"), "o_orderstatus").agg(
+        F.sum("o_totalprice").alias("s")
+    )
+    j.write.format("noop").mode("overwrite").save()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruned read is correct
+    expected = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .agg(F.sum("o_totalprice"))
+        .first()[0]
+    )
+    assert abs(j.first()["s"] - expected) < 1e-6
