@@ -446,6 +446,33 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_mergeable_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HLL sketches (DataSketches ``hll_sketch_agg`` /
+    ``hll_union_agg``): per-nation customer sketches plus a global row
+    produced by UNIONING the partial sketches — never re-scanning. This
+    is the rollup-table architecture for distincts at 100 TB: store
+    binary sketches per partition/day, answer any coarser cube cell by
+    sketch union. (``approx_count_distinct`` above is the one-shot
+    estimator; it cannot be re-aggregated.) No oracle: sketch estimates
+    are library-specific; tests assert sparse-mode exactness at fixture
+    scale and union==whole-set consistency."""
+    cust = read_table(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    nation_rows = per_nation.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.hll_sketch_estimate("sk").cast("long").alias("n_customers_est"),
+    )
+    global_row = per_nation.agg(
+        F.lit(-1).cast("long").alias("nationkey"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
+            "n_customers_est"
+        ),
+    )
+    return nation_rows.unionByName(global_row)
+
+
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (bounded-error summaries, mergeable — no
     full sort at scale). No oracle; tolerance-tested vs exact."""
@@ -691,5 +718,6 @@ QUERIES = {
     "window_ranking": q_window_ranking,
     "explode_history": q_explode_history,
     "approx_distinct": q_approx_distinct,
+    "hll_mergeable_counts": q_hll_mergeable_counts,
     "approx_percentiles": q_approx_percentiles,
 }
