@@ -55,6 +55,8 @@ HEADLINE = [
     "quality_filter_chain",
     "vector_quantize",
     "pq_codes",
+    "fuzzy_match_pairs",
+    "gap_fill_resample",
 ]
 
 
