@@ -226,8 +226,35 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep each doc with
+    probability equal to its diversity score, decided by comparing an
+    md5-derived uniform u(doc_id) ∈ [0,1) against the score. Unlike
+    ``rand()``-based sampling this is reproducible across engines, runs,
+    and partitionings — the property a resumable 100 TB pipeline needs
+    (re-running a failed stage must re-select the SAME docs). Shuffle-
+    free row-wise codegen."""
+    doc = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    quality = F.size(F.array_distinct(toks)) / F.size(toks)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return (
+        doc.select(
+            "doc_id",
+            F.round(quality, 6).alias("quality"),
+            F.round(u, 6).alias("u"),
+        )
+        .filter(F.col("u") < F.col("quality"))
+    )
+
+
 QUERIES = {
     "feature_hashing": q_feature_hashing,
+    "weighted_hash_sample": q_weighted_hash_sample,
     "seq_packing": q_seq_packing,
     "quality_filter_chain": q_quality_filter_chain,
     "top_p_quality_sample": q_top_p_quality_sample,
@@ -239,6 +266,17 @@ QUERIES = {
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES: dict[str, str] = {
+    "weighted_hash_sample": """
+        WITH s AS (
+            SELECT doc_id,
+                   ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS quality,
+                   ROUND(CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                   AS BIGINT) AS DOUBLE) / 4294967296.0, 6) AS u
+            FROM documents
+        )
+        SELECT doc_id, quality, u FROM s WHERE u < quality
+    """,
     "feature_hashing": f"""
         SELECT doc_id,
                CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT)
