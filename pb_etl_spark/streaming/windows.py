@@ -260,13 +260,30 @@ def stream_upsert_parquet(
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str) -> "DataFrame":
     """Drain all available input into an in-memory table; returns the
     result table. Test/dev helper — production sinks are parquet/kafka via
-    the same writeStream call."""
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    the same writeStream call.
+
+    State-partition discipline: a NEW stateful streaming query fixes its
+    state-store count from ``spark.sql.shuffle.partitions`` at start (AQE
+    is disabled for stateful workloads, so nothing coalesces it later).
+    Under a default 200-partition session every stateful op pays 200
+    state stores per micro-batch — measured 39 s for the stream-stream
+    join on a vanilla session vs ~4 s with a core-count-sized setting. A
+    streaming job should size state partitions explicitly; pin them for
+    the drain and restore the caller's conf after."""
+    spark = sdf.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    target = min(32, spark.sparkContext.defaultParallelism)
+    try:
+        spark.conf.set(key, str(target))
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    return spark.table(name)
