@@ -251,9 +251,45 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def q_media_frame_sample(spark, sf_dir: str) -> DataFrame:
+    """Row-count-changing frame sampling registered end-to-end: 1 media
+    row → ≤4 frame rows via ``mapInPandas`` (the video-frame-extraction
+    shape). ORACLE-CHECKED: the fake payload is the document's UTF-8
+    text (ASCII), so DuckDB reproduces each frame's bytes with string
+    slicing; frames are compared by (length, md5) rather than shipping
+    raw bytes through the harness."""
+    media = media_table_from_documents(spark, sf_dir)
+    frames = sample_frames(media)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
+ORACLES["media_frame_sample"] = """
+    WITH d AS (
+        SELECT doc_id AS media_id, text, length(text) AS L
+        FROM documents
+    ), f AS (
+        SELECT media_id, text, L,
+               GREATEST(1, L // 4) AS stride,
+               unnest(generate_series(0, 3)) AS frame_idx
+        FROM d
+    )
+    SELECT media_id, frame_idx,
+           CAST(length(substring(text, frame_idx * stride + 1, stride))
+                AS BIGINT) AS n_bytes,
+           md5(substring(text, frame_idx * stride + 1, stride)) AS frame_md5
+    FROM f
+    WHERE length(substring(text, frame_idx * stride + 1, stride)) > 0
+"""
+
 QUERIES = {
     "media_decode": q_media_decode,
     "media_feature_agg": q_media_feature_agg,
+    "media_frame_sample": q_media_frame_sample,
 }
 
 
