@@ -362,3 +362,54 @@ def test_dynamic_partition_pruning_on_partitioned_writes(spark, tmp_path):
         .first()[0]
     )
     assert abs(j.first()["s"] - expected) < 1e-6
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Runtime bloom-filter join pruning (on by default; gated by a 10 GB
+    application-side scan threshold — exactly the 100 TB regime, so at
+    real scale it engages untouched). Lower the gate to demonstrate on
+    fixture data: the selective dim side must inject a bloom_filter_agg /
+    might_contain pair into the fact scan of a SHUFFLE join, and the
+    result must match the unpruned plan."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
+        F.col("p_retailprice") > 1900
+    )
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    # conf.get returns size values with a trailing 'b' ("10737418240b")
+    # that conf.set refuses to parse back — strip it; unset confs → None
+    def _norm(v):
+        if v is None:
+            return None
+        return v[:-1] if v.endswith("b") and v[:-1].isdigit() else v
+
+    prev = {k: _norm(spark.conf.get(k, None)) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        j = li.join(part, li.l_partkey == part.p_partkey).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        pruned = j.first()["n"]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan or "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    unpruned = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .first()["n"]
+    )
+    assert pruned == unpruned
