@@ -82,11 +82,9 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style multi-predicate quality filter with per-rule flags (kept
-    as columns so the pipeline can report per-rule rejection rates, not
-    just the surviving set)."""
-    doc = read_table(spark, sf_dir, "documents")
+def quality_flags() -> tuple:
+    """(len_ok, div_ok, stop_ok) boolean Columns over a ``text`` column —
+    shared by the registered query and the corpus pipeline stages."""
     toks = _tokens()
     n = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -95,6 +93,15 @@ def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_ok = (n >= LEN_MIN) & (n <= LEN_MAX)
     div_ok = div_ratio >= DIVERSITY_MIN
     stop_ok = stop_ratio >= STOPWORD_MIN
+    return len_ok, div_ok, stop_ok
+
+
+def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style multi-predicate quality filter with per-rule flags (kept
+    as columns so the pipeline can report per-rule rejection rates, not
+    just the surviving set)."""
+    doc = read_table(spark, sf_dir, "documents")
+    len_ok, div_ok, stop_ok = quality_flags()
     return doc.select(
         "doc_id",
         len_ok.cast("int").alias("len_ok"),

@@ -1,0 +1,82 @@
+"""Integration tests for the corpus-curation DAG: correct funnel
+semantics, salted skip on rerun, and cascade invalidation on version
+bump."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_pipeline_funnel_and_resume(spark, tmp_path):
+    from pb_etl_spark.corpus_pipeline import run_corpus_pipeline
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.corpus import quality_flags
+
+    base = str(tmp_path / "corpus")
+    out = run_corpus_pipeline(spark, SF_DIR, base)
+    # ephemeral report always runs; the three materializing stages ran once
+    assert set(out["ran"]) == {
+        "corpus_curate",
+        "corpus_dedup",
+        "corpus_pack",
+        "corpus_report",
+    }
+    assert out["skipped"] == []
+
+    # funnel: curated count matches the filter chain applied directly
+    doc = read_table(spark, SF_DIR, "documents")
+    len_ok, div_ok, stop_ok = quality_flags()
+    n_curated = doc.filter(len_ok & div_ok & stop_ok).count()
+    assert 0 < n_curated < doc.count()
+    assert 0 < out["n_docs"] <= n_curated  # dedup can only shrink
+    assert out["n_packs"] >= 1
+    assert out["n_tokens"] > 0
+
+    # resume: everything materialized is skipped, report still runs
+    out2 = run_corpus_pipeline(spark, SF_DIR, base)
+    assert out2["ran"] == ["corpus_report"]
+    assert set(out2["skipped"]) == {"corpus_curate", "corpus_dedup", "corpus_pack"}
+    assert out2["n_docs"] == out["n_docs"]
+
+
+def test_version_bump_cascades_downstream_only(spark, tmp_path):
+    from pb_etl_spark.corpus_pipeline import build_corpus_pipeline
+    from pb_etl_spark.plans.stages import StageRunner
+
+    base = str(tmp_path / "corpus")
+    report = build_corpus_pipeline(SF_DIR)
+    StageRunner(spark, base).run(report)
+
+    # bump the dedup stage's version: dedup + pack re-run, curate is reused
+    report2 = build_corpus_pipeline(SF_DIR)
+    packed = report2.deps["packed"]
+    dedup = packed.deps["deduped"]
+    dedup.version = "2.0"
+    runner = StageRunner(spark, base)
+    runner.run(report2)
+    assert set(runner.ran) == {"corpus_dedup", "corpus_pack", "corpus_report"}
+    assert runner.skipped == ["corpus_curate"]
+
+
+def test_packed_output_is_contiguous_per_source(spark, tmp_path):
+    from pb_etl_spark.corpus_pipeline import build_corpus_pipeline
+    from pb_etl_spark.plans.stages import StageRunner
+
+    base = str(tmp_path / "corpus")
+    report = build_corpus_pipeline(SF_DIR)
+    runner = StageRunner(spark, base)
+    runner.run(report)
+    packed_path = report.deps["packed"].out_path(base)
+    packed = spark.read.parquet(packed_path)
+    # within a source, pack_id is nondecreasing in doc_id order and the
+    # tokens-before-this-doc count determines it exactly
+    rows = packed.orderBy("source", "doc_id").collect()
+    from pb_etl_spark.operators.corpus import PACK_BUDGET
+
+    cum: dict[str, int] = {}
+    for r in rows:
+        before = cum.get(r.source, 0)
+        assert r.pack_id == before // PACK_BUDGET, r
+        cum[r.source] = before + r.n_tokens
