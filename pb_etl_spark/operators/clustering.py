@@ -107,6 +107,58 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_NODES = 200  # vec_id bound for the checkable PageRank slice
+PR_K = 5  # out-degree (kNN edges per node)
+PR_D = 0.85  # damping
+PR_ITERS = 3  # fixed iterations — unrolled in the oracle
+
+
+def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the exact-kNN similarity graph (fixed 3 iterations)
+    — the iterative-join family beyond connected components, and
+    ORACLE-CHECKED because the iteration count is fixed (the DuckDB side
+    unrolls the same three steps as CTEs over identical edges).
+
+    Edges: each of the first 200 vectors points to its 5 nearest
+    neighbours (cosine, deterministic tie-break), so out-degree is
+    exactly PR_K and there are no dangling nodes. Each iteration is one
+    equi-join (ranks ⋈ edges on src) + grouped sum — the standard
+    distributed PageRank step; at scale you'd pre-partition both sides
+    by node id so every iteration reuses the partitioning, and build
+    edges with the ANN tiers instead of exact kNN."""
+    from pb_etl_spark.operators.similarity import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < PR_NODES)
+    edges = cosine_topk(emb, emb, k=PR_K).select(
+        F.col("q_id").alias("src"), F.col("n_id").alias("dst")
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    n = nodes.count()  # bounded (≤ PR_NODES) — baked as a literal
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / PR_K).alias("inbound"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            # each iteration snaps to a 1e-9 grid on BOTH engines:
+            # grouped double sums associate differently across engines
+            # (~1e-16 drift/step) and three iterations can push a value
+            # across a ROUND(...,6) boundary — quantizing per step keeps
+            # the engines bit-identical
+            F.round(
+                F.lit((1.0 - PR_D) / n)
+                + F.lit(PR_D) * F.coalesce(F.col("inbound"), F.lit(0.0)),
+                9,
+            ).alias("pr"),
+        )
+    return ranks.select("node", F.round("pr", 6).alias("pr"))
+
+
 def _pairs_cte() -> str:
     """The minhash near-dup pair SQL as a CTE body (reuses the oracle
     pipeline from operators.dedup so both engines see identical edges)."""
@@ -155,7 +207,54 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+_PR_EDGES = f"""
+        pairs AS (
+            SELECT q.vec_id AS src, c.vec_id AS dst,
+                   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])) AS cos
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {PR_NODES} AND c.vec_id < {PR_NODES}
+        ),
+        edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY cos DESC, dst ASC) AS rn
+                FROM pairs
+            ) WHERE rn <= {PR_K}
+        ),
+        nodes AS (SELECT vec_id AS node FROM embeddings WHERE vec_id < {PR_NODES}),
+        nn AS (SELECT COUNT(*) AS n FROM nodes)
+"""
+
+
+def _pr_iter(prev: str, cur: str) -> str:
+    return f"""
+        {cur} AS (
+            SELECT nodes.node,
+                   ROUND((1.0 - {PR_D}) / nn.n
+                         + {PR_D} * COALESCE(SUM({prev}.pr / {PR_K}), 0.0),
+                         9) AS pr
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN edges ON edges.dst = nodes.node
+            LEFT JOIN {prev} ON {prev}.node = edges.src
+            GROUP BY nodes.node, nn.n
+        )
+"""
+
+
+ORACLES_PAGERANK = (
+    "WITH "
+    + _PR_EDGES
+    + ", r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"
+    + "".join("," + _pr_iter(f"r{i}", f"r{i+1}") for i in range(PR_ITERS))
+    + f" SELECT node, ROUND(pr, 6) AS pr FROM r{PR_ITERS}"
+)
+
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_representatives": q_dedup_representatives,
+    "pagerank_knn": q_pagerank_knn,
 }
+ORACLES["pagerank_knn"] = ORACLES_PAGERANK
