@@ -1,0 +1,62 @@
+"""Round-over-round bench regression check.
+
+    python tools/bench_compare.py BENCH_r01.json BENCH_r02.json [ratio]
+
+Accepts either the driver's record format (JSON object with the bench
+line embedded in its "tail" field) or bench.py's raw one-line output.
+Prints per-query deltas, flags entries slower than ``ratio`` (default
+1.3×), and exits non-zero if any regression is found. New queries are
+listed informationally (no baseline to regress against); removed ones
+are flagged loudly — a silently dropped benchmark usually means a
+silently dropped capability.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:
+        return doc
+    m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
+    if not m:
+        raise SystemExit(f"{path}: no bench line found (checked top level and 'tail')")
+    return json.loads(m.group(0))
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    base, cur = load(sys.argv[1]), load(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    bq, cq = base["queries"], cur["queries"]
+    regressions = []
+    for name, t0 in sorted(bq.items()):
+        t1 = cq.get(name)
+        if t1 is None:
+            print(f"!! {name}: REMOVED from bench (was {t0:.3f}s)")
+            regressions.append(name)
+            continue
+        flag = ""
+        if t1 > ratio * t0:
+            flag = f"  <-- REGRESSION (>{ratio}x)"
+            regressions.append(name)
+        print(f"   {name}: {t0:.3f}s -> {t1:.3f}s{flag}")
+    for name in sorted(set(cq) - set(bq)):
+        print(f" + {name}: {cq[name]:.3f}s (new)")
+    print(
+        f"total: {base['value']:.3f}s ({len(bq)} queries) -> "
+        f"{cur['value']:.3f}s ({len(cq)} queries); "
+        f"{len(regressions)} regression(s)"
+    )
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
