@@ -31,6 +31,24 @@ def test_cli_main_runs_pipeline_and_prints_report(spark, tmp_path, capsys):
     assert 0.0 <= out["report"]["actual"] <= 1.0
 
 
+def test_cli_corpus_mode_runs_dag(spark, tmp_path, capsys):
+    from tests.conftest import SF_DIR
+
+    from pb_etl_spark.cli import main
+
+    workdir = str(tmp_path / "corpus_wd")
+    rc = main(["--corpus", "--sf-dir", SF_DIR, "--workdir", workdir])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] > 0 and out["n_packs"] > 0
+    assert "corpus_report" in out["ran"]
+    # second invocation resumes: materialized stages skipped
+    rc = main(["--corpus", "--sf-dir", SF_DIR, "--workdir", workdir])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out2["skipped"]) == {"corpus_curate", "corpus_dedup", "corpus_pack"}
+
+
 def test_csv_malformed_rows_degrade_to_nulls(spark, tmp_path):
     from pb_etl_spark.sources.csv import read_csv_dataset
 
