@@ -259,8 +259,58 @@ def q_weighted_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPL_DOCS = 200  # scored-document slice for the checkable query
+
+
+def q_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram log-likelihood scoring (the perplexity
+    quality signal): P(w_i | w_{i-1}) with add-1 smoothing from the
+    corpus's own bigram/unigram counts, per-document mean log-prob.
+    Low scores flag machine-generated / out-of-distribution text.
+
+    Scale shape: the language model IS two grouped aggregates (bigram
+    and unigram counts — map-side combined, shuffled once each); scoring
+    joins each document's bigrams against the model on the bigram key.
+    The model tables scale with vocabulary (square-root-ish of corpus),
+    not corpus size, so the joins stay cheap relative to the scan. All
+    engine-portable arithmetic: LN on exact integer ratios."""
+    doc = read_table(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.posexplode(_tokens()).alias("pos", "w"))
+    w_next = W.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "doc_id", "pos", F.col("w").alias("w1"),
+            F.lead("w").over(w_next).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    big_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni_counts = toks.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    n_vocab = uni_counts.count()  # scalar: vocabulary size (bounded)
+    scored = (
+        bigrams.filter(F.col("doc_id") < PPL_DOCS)
+        .join(big_counts, ["w1", "w2"])
+        .join(uni_counts, "w1")
+        # add-1 smoothing; quantize each term so cross-engine grouped-sum
+        # association (~1e-16/term) cannot cross the final round boundary
+        .withColumn(
+            "lp",
+            F.round(
+                F.log((F.col("c12") + 1) / (F.col("c1") + F.lit(n_vocab))), 9
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_loglik"),
+    )
+
+
 QUERIES = {
     "feature_hashing": q_feature_hashing,
+    "bigram_loglik": q_bigram_loglik,
     "weighted_hash_sample": q_weighted_hash_sample,
     "seq_packing": q_seq_packing,
     "quality_filter_chain": q_quality_filter_chain,
@@ -273,6 +323,36 @@ QUERIES = {
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES: dict[str, str] = {
+    "bigram_loglik": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ), big AS (
+            SELECT doc_id, pos, w AS w1,
+                   LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM tok
+        ), bigrams AS (
+            SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL
+        ), bc AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+        ), uc AS (
+            SELECT w AS w1, COUNT(*) AS c1 FROM tok GROUP BY w
+        ), nv AS (
+            SELECT COUNT(*) AS v FROM uc
+        )
+        SELECT b.doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(AVG(ROUND(LN(CAST(bc.c12 + 1 AS DOUBLE)
+                                  / (uc.c1 + nv.v)), 9)), 6) AS mean_loglik
+        FROM bigrams b
+        JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        JOIN uc ON b.w1 = uc.w1
+        CROSS JOIN nv
+        WHERE b.doc_id < {PPL_DOCS}
+        GROUP BY b.doc_id
+    """,
     "weighted_hash_sample": """
         WITH s AS (
             SELECT doc_id,
