@@ -249,6 +249,17 @@ _CONSTRAINT_UNION = "\n        UNION ALL ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "table_checksum": """
+        SELECT COUNT(*) AS n_rows,
+               SUM(CAST('0x' || substring(md5(
+                   COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)) || chr(31) ||
+                   COALESCE(CAST(o_custkey AS VARCHAR), chr(0)) || chr(31) ||
+                   COALESCE(o_orderstatus, chr(0)) || chr(31) ||
+                   COALESCE(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                 AS VARCHAR), chr(0))
+               ), 1, 8) AS BIGINT)) AS checksum
+        FROM orders
+    """,
     "constraint_check": f"""
         {_CONSTRAINT_UNION}
     """,
@@ -447,7 +458,35 @@ def q_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per table slice — the
+    migration-validation primitive: two engines holding the same rows
+    produce the same (n_rows, checksum) regardless of partitioning or
+    row order, because the per-row digests are SUMMED (commutative).
+    Row digest = md5 over a delimited, null-marked column rendering;
+    the first 8 hex chars become an int64 term. One scan, one 1-row agg."""
+    o = read_table(spark, sf_dir, "orders")
+    rendered = F.concat_ws(
+        "\x1f",
+        F.coalesce(F.col("o_orderkey").cast("string"), F.lit("\x00")),
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit("\x00")),
+        F.coalesce(F.col("o_orderstatus"), F.lit("\x00")),
+        # money rendered as integer cents: double→string formatting is
+        # engine-specific, integer strings are not
+        F.coalesce(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            F.lit("\x00"),
+        ),
+    )
+    term = F.conv(F.substring(F.md5(rendered), 1, 8), 16, 10).cast("long")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(term).alias("checksum"),
+    )
+
+
 QUERIES = {
+    "table_checksum": q_table_checksum,
     "constraint_check": q_constraint_check,
     "table_profile": q_table_profile,
     "value_outliers": q_value_outliers,
