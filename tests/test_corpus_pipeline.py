@@ -80,3 +80,22 @@ def test_packed_output_is_contiguous_per_source(spark, tmp_path):
         before = cum.get(r.source, 0)
         assert r.pack_id == before // PACK_BUDGET, r
         cum[r.source] = before + r.n_tokens
+
+
+def test_incomplete_stage_output_fails_loud(spark, tmp_path):
+    """A stage that 'succeeds' without leaving a complete dataset
+    (_SUCCESS) must abort the run — a half-written intermediate silently
+    consumed downstream is the worst failure mode a resumable pipeline
+    can have."""
+    import os
+
+    import pytest
+
+    from pb_etl_spark.plans.stages import Stage, StageRunner
+
+    def bad_stage(spark, out, deps):
+        os.makedirs(out, exist_ok=True)  # directory, but no _SUCCESS
+
+    s = Stage(name="bad", fn=bad_stage)
+    with pytest.raises(RuntimeError, match="did not produce a complete dataset"):
+        StageRunner(spark, str(tmp_path / "wd")).run(s)
