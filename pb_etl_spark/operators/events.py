@@ -306,6 +306,46 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(enriched, "q_stream_enrich", output_mode="append")
 
 
+PATH_K = 3  # prefix length for path mining
+
+
+def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: each user's first-3-event-type sequence, counted
+    across users and ranked — the "how do sessions start" product
+    question. One user-partitioned window pass to rank events, a grouped
+    string-agg to form paths (collect in explicit (ts, event_id) order —
+    collect_list alone is partition-order-nondeterministic), and a
+    count. Shuffles: one on user, one on path."""
+    from pyspark.sql.window import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_K)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", F.col("event_type").alias("et")))
+                    ),
+                    lambda s: s["et"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("path_len"),
+        )
+        .filter(F.col("path_len") == PATH_K)  # drop users with < K events
+    )
+    return (
+        firstk.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
 def q_variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured aggregation through Spark 4's VARIANT type:
     ``parse_json`` → binary variant → typed ``variant_get`` path
@@ -329,6 +369,25 @@ def q_variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "event_path_topk": """
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), paths AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path,
+                   COUNT(*) AS path_len
+            FROM ranked WHERE rn <= 3
+            GROUP BY user_id
+        )
+        SELECT path, COUNT(*) AS n_users
+        FROM paths WHERE path_len = 3
+        GROUP BY path
+        ORDER BY n_users DESC, path ASC
+        LIMIT 20
+    """,
     "variant_extract_agg": """
         SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_bucket,
                COUNT(*) AS n_events,
@@ -498,6 +557,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "json_extract_agg": q_json_extract_agg,
     "variant_extract_agg": q_variant_extract_agg,
+    "event_path_topk": q_event_path_topk,
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,

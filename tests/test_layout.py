@@ -105,3 +105,28 @@ def test_compaction_with_recluster_sorts_files(spark, tmp_path):
     n_files = len(glob.glob(os.path.join(path, "*.parquet")))
     if n_files > 1:
         assert frac <= 1.0 / n_files + 0.05  # disjoint ranges after recluster
+
+
+def test_orc_roundtrip_preserves_content(spark, tmp_path):
+    """ORC source/sink: write orders as ORC, read back (guarded +
+    schema-on-read), content checksum identical to the parquet original."""
+    from pyspark.sql import functions as F
+
+    from pb_etl_spark.sources.orc import read_orc, write_orc
+
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path, partition_by=["o_orderstatus"])
+
+    back = read_orc(spark, path, schema=src.schema)
+    checksum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.crc32(F.col("o_orderkey").cast("string"))).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert checksum(back) == checksum(src)
+    # guarded read refuses a dataset with no _SUCCESS
+    import pytest
+
+    bad = str(tmp_path / "not_written")
+    with pytest.raises(FileNotFoundError):
+        read_orc(spark, bad)
