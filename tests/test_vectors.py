@@ -150,3 +150,25 @@ def test_quantize_broadcasts_scale_table(spark):
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_partitioned_layout_prunes_probe_scans(spark, tmp_path):
+    """The scale story for ANN probes, demonstrated: write the corpus
+    PARTITIONED BY centroid cell, and a probe for two cells must (a)
+    carry partition filters into the scan and (b) read exactly the rows
+    assigned to those cells."""
+    from pyspark.sql import functions as F
+
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.vectors import q_centroid_assign
+
+    assign = q_centroid_assign(spark, SF_DIR).select("vec_id", "centroid_id")
+    emb = read_table(spark, SF_DIR, "embeddings").join(assign, "vec_id")
+    path = str(tmp_path / "ivf_corpus")
+    emb.write.partitionBy("centroid_id").parquet(path)
+
+    probe = spark.read.parquet(path).filter(F.col("centroid_id").isin(1, 3))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
+    expected = assign.filter(F.col("centroid_id").isin(1, 3)).count()
+    assert probe.count() == expected > 0
