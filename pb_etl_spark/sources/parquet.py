@@ -40,7 +40,8 @@ def write_parquet(
     partition_by: list[str] | None = None,
     cluster_by: list[str] | None = None,
     n_files: int | None = None,
-) -> None:
+    observe: dict | None = None,
+) -> dict | None:
     """Write a DataFrame as a Parquet dataset directory.
 
     ``compression=None`` keeps Spark's default (snappy) — the reference's
@@ -54,7 +55,19 @@ def write_parquet(
     filter on the cluster key then touches ~1/NumFiles of the bytes. This
     is the data-skipping layout a 100 TB table needs for its hottest
     predicate column (the flat-file twin of Delta/Iceberg clustering).
+
+    ``observe`` ({name: aggregate Column}) attaches write-side accounting
+    via ``df.observe``: the metrics are computed ON the write job's own
+    pass and returned as a dict — row counts / sums for a load audit
+    without a second 100 TB scan (the ``count()``-after-write
+    anti-pattern). Returns the observed metrics dict, or None.
     """
+    observation = None
+    if observe:
+        from pyspark.sql import Observation
+
+        observation = Observation()
+        df = df.observe(observation, *[c.alias(n) for n, c in observe.items()])
     if cluster_by:
         # explicit n_files pins the range-split count (AQE would coalesce a
         # small shuffle to one file, defeating the layout); default sizes
@@ -72,6 +85,7 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    return observation.get if observation is not None else None
 
 
 _Z_BITS = 16  # bits per dimension in the interleaved z-value

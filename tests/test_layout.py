@@ -130,3 +130,26 @@ def test_orc_roundtrip_preserves_content(spark, tmp_path):
     bad = str(tmp_path / "not_written")
     with pytest.raises(FileNotFoundError):
         read_orc(spark, bad)
+
+
+def test_write_observe_accounts_without_second_scan(spark, tmp_path):
+    """Write-side accounting via df.observe: metrics ride the write
+    job's own pass (no count()-after-write second scan) and must match
+    the data actually written."""
+    from pb_etl_spark.sources.parquet import write_parquet
+
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "observed")
+    metrics = write_parquet(
+        src,
+        path,
+        observe={
+            "n_rows": F.count(F.lit(1)),
+            "sum_price": F.round(F.sum("o_totalprice"), 2),
+        },
+    )
+    back = spark.read.parquet(path)
+    assert metrics["n_rows"] == back.count()
+    assert metrics["sum_price"] == back.agg(
+        F.round(F.sum("o_totalprice"), 2)
+    ).first()[0]
