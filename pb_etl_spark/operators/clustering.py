@@ -252,9 +252,83 @@ ORACLES_PAGERANK = (
 )
 
 
+def q_triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the (undirected) kNN similarity
+    graph — the clustering-coefficient numerator, a standard corpus-graph
+    density signal (tight triangles ≈ near-duplicate neighborhoods that
+    survived pairwise dedup).
+
+    Same edge set as ``pagerank_knn`` (each of the first 200 vectors →
+    its 5 cosine-nearest neighbours, deterministic tie-break), so the
+    oracle reuses the identical edge SQL. Shape: symmetrize to unique
+    ``lo<hi`` pairs, then the classic two-join triangle enumeration over
+    ordered edges (ab.hi=bc.lo, ac=(ab.lo,bc.hi)) — each triangle a<b<c
+    is emitted exactly once. At scale the ordered-edge form bounds wedge
+    generation by out-degree (k), so the first join emits O(E·k) rows
+    and the second is an equi-join on (lo,hi) — no all-pairs step; both
+    joins shuffle on node ids and reuse the same partitioning."""
+    from pb_etl_spark.operators.similarity import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < PR_NODES)
+    edges = cosine_topk(emb, emb, k=PR_K).select(
+        F.col("q_id").alias("src"), F.col("n_id").alias("dst")
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+    ).distinct()
+    ab, bc, ac = und.alias("ab"), und.alias("bc"), und.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.hi") == F.col("bc.lo"))
+        .join(
+            ac,
+            (F.col("ac.lo") == F.col("ab.lo")) & (F.col("ac.hi") == F.col("bc.hi")),
+        )
+        .select(
+            F.col("ab.lo").alias("a"), F.col("ab.hi").alias("b"), F.col("bc.hi").alias("c")
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
+ORACLES_TRIANGLES = (
+    "WITH "
+    + _PR_EDGES
+    + """,
+        und AS (
+            SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+            FROM edges
+        ),
+        tri AS (
+            SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+            FROM und ab
+            JOIN und bc ON ab.hi = bc.lo
+            JOIN und ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+        ),
+        tn AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ),
+        cnt AS (SELECT node, COUNT(*) AS n FROM tn GROUP BY node)
+        SELECT nodes.node, COALESCE(cnt.n, 0) AS n_triangles
+        FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
+"""
+)
+
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_representatives": q_dedup_representatives,
     "pagerank_knn": q_pagerank_knn,
+    "triangle_count_knn": q_triangle_count_knn,
 }
 ORACLES["pagerank_knn"] = ORACLES_PAGERANK
+ORACLES["triangle_count_knn"] = ORACLES_TRIANGLES
