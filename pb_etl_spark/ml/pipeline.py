@@ -84,6 +84,35 @@ def _impute_numeric(df: DataFrame, num_cols: list[str]) -> DataFrame:
     return df.fillna(0.0, subset=present) if present else df
 
 
+def _reload_without_summary(model: PipelineModel) -> PipelineModel:
+    """Round-trip the fitted pipeline through disk so the returned model
+    carries no training summary (summaries reference the SparkSession and
+    poison closure serialization; see train_model)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="pb_etl_spark_model_")
+    try:
+        model.write().overwrite().save(tmp)
+        return PipelineModel.load(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _auc(model: PipelineModel, df: DataFrame, label_col: str) -> float:
+    """areaUnderROC via the evaluator over transform output — equivalent
+    to summary.areaUnderROC but with no summary object in any closure."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    pred = model.transform(df).select("rawPrediction", label_col)
+    ev = BinaryClassificationEvaluator(
+        rawPredictionCol="rawPrediction",
+        labelCol=label_col,
+        metricName="areaUnderROC",
+    )
+    return float(ev.evaluate(pred))
+
+
 def train_model(
     train_df: DataFrame,
     seed: int = DEFAULT_SEED,
@@ -109,21 +138,24 @@ def train_model(
         metrics = {
             "train_rows": train.count(),
             "val_rows": n_val,
+            # objectiveHistory is a driver-side array — safe to read off
+            # the summary (no Spark job, so nothing gets serialized)
             "iterations": len(lr_model.summary.objectiveHistory),
             "objective_history": [float(x) for x in lr_model.summary.objectiveHistory],
-            "train_auc": float(lr_model.summary.areaUnderROC),
         }
+        # AUC jobs must NOT run against the freshly-fitted model: its
+        # trainingSummary holds a sparkSession reference, and once
+        # anything in the process has used df.observe the session's
+        # (lazily created, non-serializable) ObservationManager makes
+        # every closure that drags the summary in fail to serialize.
+        # A save/load round-trip sheds the summary — same parameters,
+        # same predictions — and exercises the S7 artifact path.
+        model = _reload_without_summary(model)
         try:
-            metrics["val_auc"] = (
-                float(
-                    lr_model.evaluate(
-                        model.transform(val).select("features", label_col)
-                    ).areaUnderROC
-                )
-                if n_val
-                else None
-            )
+            metrics["train_auc"] = _auc(model, train, label_col)
+            metrics["val_auc"] = _auc(model, val, label_col) if n_val else None
         except Exception as e:  # tiny fixtures can have single-class splits
+            metrics.setdefault("train_auc", None)
             metrics["val_auc"] = None
             metrics["val_auc_error"] = str(e)[:200]
     finally:

@@ -1,0 +1,246 @@
+"""Corpus retrieval + mergeable-aggregate operators: BM25 ranking,
+cross-document duplicate-span detection, and the partial-aggregate merge
+algebra behind incremental materialized views.
+
+Reference parity note: the reference pipeline
+(``/root/reference/pb_etl/tasks.py``) has no text-retrieval surface; these
+extend the training-data-pipeline family the brief names as first-class
+(the `tfidf_top_terms` / `contamination_check` lineage in
+``operators/text.py``).
+
+Scale design, per operator:
+
+- ``bm25_topk``: the classic two-statistic ranking — per-(doc, term) TF
+  from one explode + grouped count, per-term DF from a grouped distinct
+  count. Both join-side statistics are bounded: DF has ≤ |query terms|
+  rows and the corpus stats (N, avgdl) are one row, so both are broadcast
+  and the whole score is a projection over the TF rows; the only
+  unbounded shuffle is the TF groupBy on (doc_id, term), which is the
+  map-side-combinable minimum any engine needs. Top-k is
+  TakeOrderedAndProject (no global sort materialization).
+- ``dup_span_ratio``: sliding 10-token spans via sequence/slice (all
+  JVM-side), duplicate spans = grouped distinct-doc count ≥ 2. Shuffles
+  hash-partition raw span text at fixture scale so the DuckDB oracle can
+  group the identical key; at 100 TB you shuffle ``xxhash64(span)``
+  digests (8 B vs ~60 B, same grouping semantics, collision-negligible) —
+  the exact trade `doc_fingerprint`/`incremental_dedup` already make.
+- ``partial_agg_merge``: proves the merge algebra (sum⊕sum, count⊕count,
+  min⊕min, max⊕max, avg derived at read time) by aggregating two disjoint
+  corpus halves independently and merging the partials — the incremental
+  materialized-view maintenance path: at 100 TB the nightly batch
+  aggregates ONLY its delta and merges into the stored partials, never
+  rescanning the corpus. AVG must be stored as (sum, count), never
+  averaged-of-averages; this query is the regression test for that rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pb_etl_spark.catalog import read_table
+
+# BM25 free parameters (the universal defaults from Robertson & Zaragoza)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join", "merge")
+BM25_TOPK = 10
+
+SPAN_W = 10  # tokens per duplicate-detection span
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 for a fixed 3-term query. See module
+    docstring for the bounded-statistic broadcast shape."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", "toks", F.size("toks").alias("dl"))
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )  # 1 row
+    tf = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )  # ≤ |terms| rows
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    weight = idf * (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(weight), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+def q_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span ratio: the fraction of a doc's
+    10-token sliding windows whose text also appears in ≥ 1 OTHER
+    document — the span-level (substring-dedup) signal training-data
+    pipelines use to find boilerplate that survives doc-level dedup."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= SPAN_W)
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, n - {SPAN_W - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {SPAN_W})))"
+            )
+        ).alias("span"),
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span", F.lit(True).alias("__dup"))
+    )
+    return (
+        spans.join(dup, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.col("__dup")).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_ratio"),
+        )
+    )
+
+
+def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate two disjoint halves of lineitem independently, then merge
+    the partial states — value-identical to one full-scan aggregation
+    (the incremental-MV maintenance algebra; see module docstring)."""
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.sum("l_quantity").alias("p_sum_qty"),
+            F.count(F.lit(1)).alias("p_n_rows"),
+            F.min("l_extendedprice").alias("p_min_price"),
+            F.max("l_extendedprice").alias("p_max_price"),
+        )
+
+    halves = partial(li.filter(F.col("l_orderkey") % 2 == 0)).unionAll(
+        partial(li.filter(F.col("l_orderkey") % 2 != 0))
+    )
+    return (
+        halves.groupBy("l_returnflag")
+        .agg(
+            F.sum("p_sum_qty").alias("raw_sum"),
+            F.sum("p_n_rows").alias("n_rows"),
+            F.min("p_min_price").alias("raw_min"),
+            F.max("p_max_price").alias("raw_max"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("raw_sum", 2).alias("sum_qty"),
+            "n_rows",
+            F.round(F.col("raw_sum") / F.col("n_rows"), 6).alias("avg_qty"),
+            F.round("raw_min", 2).alias("min_price"),
+            F.round("raw_max", 2).alias("max_price"),
+        )
+    )
+
+
+_BM25_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, dl, t.term, count(*) AS tf
+        FROM dl, unnest(toks) AS t(term)
+        WHERE t.term IN {BM25_TERMS!r}
+        GROUP BY doc_id, dl, t.term
+    ),
+    idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           ROUND(SUM(
+               LN((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1} + 1.0)
+                 / (tf.tf + {BM25_K1}
+                    * (1.0 - {BM25_B} + {BM25_B} * tf.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN idf USING (term) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT {BM25_TOPK}
+"""
+
+_DUP_SPAN_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    d2 AS (SELECT * FROM d WHERE n >= {SPAN_W}),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, n - {SPAN_W - 1})) AS i
+        FROM d2
+    ),
+    w AS (
+        SELECT doc_id,
+               array_to_string(toks[i : i + {SPAN_W - 1}], ' ') AS span
+        FROM c
+    ),
+    dup AS (
+        SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           count(*) AS n_spans,
+           count(dup.span) AS n_dup_spans,
+           ROUND(count(dup.span)::DOUBLE / count(*), 6) AS dup_ratio
+    FROM w LEFT JOIN dup ON w.span = dup.span
+    GROUP BY w.doc_id
+"""
+
+_PARTIAL_MERGE_ORACLE = """
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "dup_span_ratio": q_dup_span_ratio,
+    "partial_agg_merge": q_partial_agg_merge,
+}
+
+ORACLES: dict[str, str] = {
+    "bm25_topk": _BM25_ORACLE,
+    "dup_span_ratio": _DUP_SPAN_ORACLE,
+    "partial_agg_merge": _PARTIAL_MERGE_ORACLE,
+}

@@ -23,7 +23,9 @@ from pb_etl_spark.operators import (
     multimodal,
     relational,
     reshape,
+    retrieval,
     scalar_funcs,
+    semdedup,
     similarity,
     skew,
     temporal,
@@ -108,6 +110,8 @@ _MODULES = [
     composite,
     composite_ext,
     corpus,
+    retrieval,
+    semdedup,
     dedup,
     clustering,
     temporal,

@@ -147,6 +147,61 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+USER_STATS_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, max_value double"
+)
+_TWS_STATE_SCHEMA = "n bigint, total double, mx double"
+
+
+def user_stats_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on Spark 4's transformWithState API —
+    the successor to applyInPandasWithState (`user_totals_stateful`):
+    typed per-key state handles (ValueState here; List/MapState for
+    bounded buffers), explicit init/close lifecycle, timers, and TTL.
+    State lives in the state store exactly as with the older API, so the
+    scale story is unchanged: partitioned by key, bounded per key, no
+    driver involvement.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", _TWS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total, mx = (
+                self._agg.get() if self._agg.exists() else (0, 0.0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._agg.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                    "max_value": [round(mx, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=USER_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup on event_id: state is bounded by the
     watermark (duplicates arriving later than the watermark are not

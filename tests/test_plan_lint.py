@@ -28,6 +28,9 @@ BNLJ_WHITELIST = {
     "maxabs_normalize",  # 1-row global-aggregate crossJoin (fit constants)
     "pagerank_knn",  # edge build = exact kNN over a PR_NODES-bounded slice
     #   (200×200 by construction); the scale path builds edges via ANN
+    "triangle_count_knn",  # same PR_NODES-bounded kNN edge build as
+    #   pagerank_knn; the triangle joins themselves are equi-joins
+    "bm25_topk",  # 1-row corpus-stats (N, avgdl) crossJoin
 }
 
 
