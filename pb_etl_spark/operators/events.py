@@ -236,6 +236,24 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator on Spark 4's transformWithState
+    API (typed ValueState, init/close lifecycle) — the modern successor
+    to q_stream_user_totals's applyInPandasWithState. After a full
+    availableNow drain the state holds one (count, total, max) per user,
+    so the result equals the plain batch GROUP BY — oracle-checked."""
+    from pb_etl_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        user_stats_tws,
+    )
+
+    sdf = read_event_stream(spark, sf_dir, glob="events.parquet")
+    return run_to_memory(
+        user_stats_tws(sdf), "q_stream_user_stats_tws", output_mode="update"
+    )
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Genuinely-streaming stream-stream join: click and view streams of
     the same events source, inner-joined per user within a 1-hour
@@ -518,6 +536,12 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value), 6) AS total_value
         FROM events GROUP BY user_id
     """,
+    "stream_user_stats_tws": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value,
+               ROUND(MAX(value), 6) AS max_value
+        FROM events GROUP BY user_id
+    """,
     "session_window": """
         WITH flagged AS (
             SELECT user_id, ts,
@@ -568,6 +592,7 @@ QUERIES = {
     "stream_session_window": q_stream_session_window,
     "stream_sliding_window": q_stream_sliding_window,
     "stream_user_totals": q_stream_user_totals,
+    "stream_user_stats_tws": q_stream_user_stats_tws,
     "stream_stream_join": q_stream_stream_join,
     "stream_dedup": q_stream_dedup,
     "stream_enrich": q_stream_enrich,
