@@ -15,6 +15,7 @@ Everything returns DataFrames lazily — no data moves until an action.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -101,24 +102,51 @@ def read_external(spark: SparkSession, name: str, root: str | None = None) -> Da
     return read_csv_dataset(spark, f"{base.rstrip('/')}/{subpath}", schema)
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic benchmark table (parquet) from an sf directory.
+@lru_cache(maxsize=256)
+def parquet_ts_unit(path: str, column: str = "ts", glob_pat: str | None = None) -> str:
+    """Time unit (``'us'`` / ``'ns'`` / ``'ms'``) of a parquet timestamp
+    column, read from the file footer with pyarrow — independent of any
+    SparkSession conf, so every read path can pick the right decode without
+    assuming what the writer did. ``path`` may be one file or a directory
+    (first matching file wins; datasets are written with one unit).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4.x cannot infer
-    natively (PARQUET_TYPE_ILLEGAL). Reading with an explicit user schema
-    that declares ``ts`` as LongType sidesteps inference entirely — the
-    physical type is INT64, so the scan succeeds under ANY SparkSession, no
-    ``spark.sql.legacy.parquet.nanosAsLong`` conf required (same pattern as
-    ``streaming.windows.read_event_stream``). The raw nanos are truncated
-    to microseconds — the same truncation DuckDB applies — so both engines
-    see identical timestamp values.
+    Cached: the footers of the benchmark fixtures are immutable for a run.
     """
-    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    if name == "events":
-        from pyspark.sql import functions as F
+    import glob as _glob
 
-        from pb_etl_spark.streaming.windows import EVENTS_SCHEMA
+    import pyarrow.parquet as pq
 
+    p = path
+    if os.path.isdir(p):
+        pat = os.path.join(p, glob_pat or "*.parquet")
+        matches = sorted(_glob.glob(pat)) or sorted(
+            _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+        )
+        if not matches:
+            raise FileNotFoundError(f"no parquet files under {p}")
+        p = matches[0]
+    return pq.ParquetFile(p).schema_arrow.field(column).type.unit
+
+
+def read_events_parquet(spark: SparkSession, path: str, unit: str | None = None) -> DataFrame:
+    """Read an events parquet file/dir with ``ts`` decoded to TimestampType
+    regardless of the stored unit and regardless of session conf.
+
+    - micros (standard): explicit EVENTS_SCHEMA read — native TimestampType
+      scan, filter pushdown on ts intact.
+    - nanos: Spark 4.x cannot infer TIMESTAMP(NANOS) (PARQUET_TYPE_ILLEGAL
+      under a vanilla session). Declaring ``ts`` as LongType reads the raw
+      INT64 under ANY session; integer `div` 1000 truncates to micros (the
+      same truncation DuckDB applies). `div`, not `/`: nanos ≈ 1.7e18
+      exceeds double's exact integer range (2^53).
+    """
+    from pyspark.sql import functions as F
+
+    from pb_etl_spark.streaming.windows import EVENTS_SCHEMA
+
+    if unit is None:
+        unit = parquet_ts_unit(path)
+    if unit == "ns":
         nanos_schema = T.StructType(
             [
                 f if f.name != "ts" else T.StructField("ts", T.LongType())
@@ -126,9 +154,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ]
         )
         df = spark.read.schema(nanos_schema).parquet(path)
-        # integer `div`, not `/`: nanos ≈ 1.7e18 exceeds double's exact
-        # integer range (2^53), float division is off by ±1 µs
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic benchmark table (parquet) from an sf directory.
+
+    ``events`` goes through the unit-autodetecting reader: the fixture
+    generator has shipped ``ts`` as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across rounds, and a hard-coded assumption either
+    way breaks under the other (round 1: 8 driver failures on NANOS under
+    a vanilla session; a nanos-only `div 1000` is 1000× off on MICROS).
+    """
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        return read_events_parquet(spark, path)
     return spark.read.parquet(path)
 
 

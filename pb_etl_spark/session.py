@@ -45,9 +45,6 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.ui.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-        # Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by Spark 4.x
-        # natively; read as raw nanos and convert in the catalog layer.
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
     if extra_conf:
         conf.update(extra_conf)

@@ -38,16 +38,21 @@ def read_event_stream(
     spark: SparkSession,
     events_dir: str,
     glob: str | None = None,
-    ts_is_nanos: bool = True,
+    ts_unit: str | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of event parquet files
     (``glob`` narrows to matching files — the source requires a directory
-    base path). ``ts_is_nanos=True`` (default) handles the testdata's
-    TIMESTAMP(NANOS) files via nanosAsLong (ts read as bigint, converted
-    here); pass ``False`` for standard TIMESTAMP-micros files — e.g.
-    re-ingesting this module's own sink output — where declaring bigint
-    would fail the scan with a type mismatch."""
-    if ts_is_nanos:
+    base path). The ``ts`` storage unit is autodetected from the parquet
+    footer (``ts_unit`` overrides): TIMESTAMP(MICROS) files stream with
+    the native schema; TIMESTAMP(NANOS) files — which Spark 4.x cannot
+    scan as timestamps under a vanilla session — are read as raw INT64
+    via a LongType schema and truncated to micros here (integer ``div``,
+    not ``/``: nanos exceed double's exact integer range)."""
+    if ts_unit is None:
+        from pb_etl_spark.catalog import parquet_ts_unit
+
+        ts_unit = parquet_ts_unit(events_dir, glob_pat=glob)
+    if ts_unit == "ns":
         schema = T.StructType(
             [
                 f if f.name != "ts" else T.StructField("ts", T.LongType())
@@ -60,8 +65,7 @@ def read_event_stream(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     sdf = reader.parquet(events_dir)
-    if ts_is_nanos:
-        # integer `div` (not `/`): nanos exceed double's exact integer range
+    if ts_unit == "ns":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return sdf
 
@@ -153,6 +157,39 @@ USER_STATS_SCHEMA = (
 _TWS_STATE_SCHEMA = "n bigint, total double, mx double"
 
 
+def _tws_available() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over
+    protobuf; environments without google.protobuf crash the driver
+    worker at init (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _user_stats_fallback_fn(key, pdf_iter, state) -> Iterator:
+    """applyInPandasWithState twin of UserStats — same (count, total,
+    max) per-key state, same output rows."""
+    import pandas as pd
+
+    n, total, mx = state.get() if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 6)],
+            "max_value": [round(mx, 6)],
+        }
+    )
+
+
 def user_stats_tws(events: DataFrame) -> DataFrame:
     """Custom stateful operator on Spark 4's transformWithState API —
     the successor to applyInPandasWithState (`user_totals_stateful`):
@@ -161,7 +198,24 @@ def user_stats_tws(events: DataFrame) -> DataFrame:
     State lives in the state store exactly as with the older API, so the
     scale story is unchanged: partitioned by key, bounded per key, no
     driver involvement.
+
+    transformWithState requires google.protobuf in the Python runtime
+    (the state server protocol); where that's absent this transparently
+    degrades to an applyInPandasWithState implementation with identical
+    semantics, so the query stays runnable (and oracle-checkable) in
+    minimal environments.
     """
+    if not _tws_available():
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        return events.groupBy("user_id").applyInPandasWithState(
+            _user_stats_fallback_fn,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_TWS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
