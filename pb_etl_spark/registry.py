@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pb_etl_spark.operators import (
     advanced,
+    bucketing,
     clustering,
     composite,
     composite_ext,
@@ -107,6 +108,7 @@ _PRIORITY = [
 ]
 
 _MODULES = [
+    bucketing,
     composite,
     composite_ext,
     corpus,

@@ -105,3 +105,28 @@ def test_no_hardcoded_broadcast_on_sf_scaling_dims():
         src = inspect.getsource(mod)
         bad = re.findall(r"F\.broadcast\((?:cust|supp|part|brand_parts)\b", src)
         assert not bad, f"{mod.__name__}: broadcast hint on SF-scaling dim: {bad}"
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed+sorted on the join key: the sort-merge join must
+    read bucket i of each table directly — no ShuffleExchange (and no sort)
+    on either input. Broadcast is disabled so the plan can't sidestep the
+    bucketing; the one allowed exchange is the final group-by's."""
+    from pb_etl_spark.operators.bucketing import bucketed_tables
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders, cust = bucketed_tables(spark, SF_DIR)
+        joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange" not in plan, plan[:2000]
+        assert "Bucketed: true" in plan, plan[:2000]
+        # note: a per-task Sort remains — each write task emits its own
+        # file per bucket, so Spark cannot trust sortBy order across the
+        # files of a bucket; eliminating the network exchange (not the
+        # in-memory sort) is what matters at scale
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
