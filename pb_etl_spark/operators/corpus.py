@@ -209,6 +209,47 @@ def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-side of ``source_mix_report``: deterministically downsample
+    over-represented sources to a UNIFORM target mixture. Per-source keep
+    rate = (total_docs / n_sources) / n_docs_in_source, capped at 1 (no
+    upsampling); the keep decision compares an md5-derived uniform
+    u(doc_id) against the rate — reproducible across engines, runs, and
+    partitionings, unlike ``rand()``.
+
+    Scale shape: the rate table is one row per source (grouped agg +
+    broadcast join back); the keep decision is shuffle-free row-wise
+    codegen. Rates and u are compared RAW (both sides compute identical
+    doubles from exact integers) and only rounded in the projection."""
+    doc = read_table(spark, sf_dir, "documents")
+    per_src = doc.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    rates = per_src.select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.sum("n_src").over(w_all) / F.count(F.lit(1)).over(w_all))
+            / F.col("n_src"),
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return (
+        doc.join(F.broadcast(rates), "source")  # bounded: one row per source
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("keep_rate"))
+        .select(
+            "doc_id",
+            "source",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.round("u", 6).alias("u"),
+        )
+    )
+
+
 N_HASH_BUCKETS = 64  # feature-hashing dimensionality
 
 
@@ -318,6 +359,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "pii_redaction": q_pii_redaction,
     "source_mix_report": q_source_mix_report,
+    "mixture_resample": q_mixture_resample,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -443,6 +485,27 @@ ORACLES: dict[str, str] = {
                            '{PAT_NUM}', '<NUM>', 'g'),
                        '{PAT_TERM}', '<PII>', 'g')) AS redacted_md5
         FROM documents
+    """,
+    "mixture_resample": """
+        WITH per_src AS (
+            SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+        ), rates AS (
+            SELECT source,
+                   LEAST(1.0,
+                         (CAST(SUM(n_src) OVER () AS DOUBLE)
+                          / COUNT(*) OVER ()) / n_src) AS keep_rate
+            FROM per_src
+        )
+        SELECT d.doc_id, d.source,
+               ROUND(r.keep_rate, 6) AS keep_rate,
+               ROUND(u.u, 6) AS u
+        FROM documents d
+        JOIN rates r ON d.source = r.source
+        CROSS JOIN LATERAL (
+            SELECT CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        ) u
+        WHERE u.u < r.keep_rate
     """,
     "source_mix_report": """
         WITH per_src AS (

@@ -324,6 +324,50 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(enriched, "q_stream_enrich", output_mode="append")
 
 
+def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC ingestion end-to-end: the events stream drains
+    through ``stream_upsert_parquet`` — each micro-batch is compacted to
+    its latest row per user and MERGEd (foreachBatch + upsert_parquet)
+    into a parquet 'silver table' — and the query returns the final
+    table state: one row per user, the (ts, event_id)-latest event.
+    Idempotent across batch replays (re-merging the same compacted batch
+    is a no-op), so the drained state is deterministic and the plain
+    batch keep-latest SQL is a true oracle of the whole
+    stream→merge→table path."""
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from pb_etl_spark.streaming.windows import (
+        read_event_stream,
+        stream_upsert_parquet,
+    )
+
+    base = (
+        Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / "stream_upsert"
+        / uuid.uuid4().hex[:12]
+    )
+    target, ckpt = str(base / "target"), str(base / "ckpt")
+    sdf = read_event_stream(spark, sf_dir, glob="events.parquet")
+    q = stream_upsert_parquet(sdf, target, key="user_id", ts_col="ts", checkpoint_dir=ckpt)
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(target)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+        .cache()
+    )
+    out.count()  # materialize before the temp dir is swept
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 PATH_K = 3  # prefix length for path mining
 
 
@@ -542,6 +586,15 @@ ORACLES: dict[str, str] = {
                ROUND(MAX(value), 6) AS max_value
         FROM events GROUP BY user_id
     """,
+    "stream_foreach_upsert": """
+        SELECT user_id, event_id AS last_event_id,
+               event_type AS last_type,
+               ROUND(value, 6) AS last_value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
     "session_window": """
         WITH flagged AS (
             SELECT user_id, ts,
@@ -593,6 +646,7 @@ QUERIES = {
     "stream_sliding_window": q_stream_sliding_window,
     "stream_user_totals": q_stream_user_totals,
     "stream_user_stats_tws": q_stream_user_stats_tws,
+    "stream_foreach_upsert": q_stream_foreach_upsert,
     "stream_stream_join": q_stream_stream_join,
     "stream_dedup": q_stream_dedup,
     "stream_enrich": q_stream_enrich,

@@ -246,6 +246,32 @@ def q_maxabs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score standardization, fit-then-transform — the companion scaler
+    to ``q_maxabs_normalize`` (reference applies max-abs only,
+    tasks.py:235-244; z-score is the other scaler an ML feature stage
+    needs). Identical scale shape: the fitted state is ONE row
+    (mean, stddev per column) broadcast back over the table, so the
+    transform is a shuffle-free map stage at any SF."""
+    li = read_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.avg("l_quantity").alias("qty_mu"),
+        F.stddev_samp("l_quantity").alias("qty_sd"),
+        F.avg("l_extendedprice").alias("price_mu"),
+        F.stddev_samp("l_extendedprice").alias("price_sd"),
+    )
+    return li.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round((F.col("l_quantity") - F.col("qty_mu")) / F.col("qty_sd"), 6).alias(
+            "qty_z"
+        ),
+        F.round(
+            (F.col("l_extendedprice") - F.col("price_mu")) / F.col("price_sd"), 6
+        ).alias("price_z"),
+    )
+
+
 def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped grouped aggregation (extension; subsumes A1-A4 with
     keys). Map-side partial agg keeps the shuffle at |groups|·|partitions|."""
@@ -492,6 +518,14 @@ ORACLES: dict[str, str] = {
                ROUND(l_extendedprice / (SELECT MAX(l_extendedprice) FROM lineitem), 6) AS price_norm
         FROM lineitem
     """,
+    "zscore_normalize": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND((l_quantity - (SELECT AVG(l_quantity) FROM lineitem))
+                     / (SELECT STDDEV_SAMP(l_quantity) FROM lineitem), 6) AS qty_z,
+               ROUND((l_extendedprice - (SELECT AVG(l_extendedprice) FROM lineitem))
+                     / (SELECT STDDEV_SAMP(l_extendedprice) FROM lineitem), 6) AS price_z
+        FROM lineitem
+    """,
     "groupby_agg": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -605,6 +639,7 @@ QUERIES = {
     "global_aggregates": q_global_aggregates,
     "backtest_rates": q_backtest_rates,
     "maxabs_normalize": q_maxabs_normalize,
+    "zscore_normalize": q_zscore_normalize,
     "groupby_agg": q_groupby_agg,
     "distinct_agg": q_distinct_agg,
     "conditional_agg": q_conditional_agg,

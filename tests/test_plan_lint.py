@@ -26,6 +26,7 @@ BNLJ_WHITELIST = {
     "tpch_q22_idle_balances",  # 1-row scalar-subquery crossJoin
     "tpch_q11_important_parts",  # 1-row scalar-subquery crossJoin
     "maxabs_normalize",  # 1-row global-aggregate crossJoin (fit constants)
+    "zscore_normalize",  # same shape: 1-row (mean, stddev) crossJoin
     "pagerank_knn",  # edge build = exact kNN over a PR_NODES-bounded slice
     #   (200×200 by construction); the scale path builds edges via ANN
     "triangle_count_knn",  # same PR_NODES-bounded kNN edge build as
