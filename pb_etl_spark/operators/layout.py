@@ -1,0 +1,208 @@
+"""Storage-layout operators: hive partitioning (partition pruning) and
+Z-order clustering (multi-dimensional data skipping).
+
+With ``bucketing.py`` these cover the three storage layouts that decide
+whether a 100 TB scan reads terabytes or gigabytes:
+
+- **Hive partitioning** (`partition_by`): directory-level pruning. A
+  filter on the partition column never LISTS — let alone reads — the
+  other partitions' files; the plan shows it as ``PartitionFilters`` and
+  a pruned ``InMemoryFileIndex``. The layout for low-cardinality,
+  always-filtered columns (date, region).
+- **Z-order clustering**: single-dimension sort (``cluster_by``) gives
+  perfect file-level min/max skipping on ONE column and none on others.
+  Interleaving the bits of TWO key columns into one z-value and
+  range-partitioning + sorting by it makes every file a small rectangle
+  in (a, b) space — selective filters on EITHER column skip most files
+  via parquet min/max stats (what Delta's OPTIMIZE ZORDER does;
+  expressed here as pure DataFrame ops: bit-interleave expression →
+  repartitionByRange → sortWithinPartitions).
+- **Bucketing** (see ``operators/bucketing.py``): hash layout for
+  join/aggregation shuffle elimination.
+
+The registered queries return layout-independent results (the DuckDB
+oracle runs on the raw table), proving the relayout changes plans, not
+semantics; `tests/test_layout_ops.py` asserts the pruning/skipping
+itself (partition filters in the plan, per-file min/max disjointness).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pb_etl_spark.catalog import read_table
+
+_WAREHOUSE = Path(__file__).resolve().parents[2] / "spark-warehouse" / "layout"
+
+Z_BITS = 16  # bits per dimension in the z-value
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """events re-written hive-partitioned by event_date (idempotent per
+    sf_dir; the _SUCCESS flag gates reuse so a torn write re-runs)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _WAREHOUSE / f"events_by_date_{tag}"
+    if not os.path.exists(path / "_SUCCESS"):
+        ev = read_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(str(path))
+    return str(path)
+
+
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event counts for ONE day, read from the date-partitioned
+    copy of events: the date predicate is a PARTITION filter — the scan
+    lists and reads only that day's directory, never touching the rest
+    of the dataset (plan-asserted in tests). At 100 TB with daily
+    partitions this is the difference between reading ~1/365th of the
+    table and reading all of it."""
+    path = partitioned_events_path(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    # pick a deterministic mid-corpus day so every SF has rows: the
+    # fixture spans a fixed range; use the modal date's literal via min+1
+    return (
+        ev.filter(F.col("event_date") == F.lit("2024-01-02").cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def zvalue(a, b, bits: int = Z_BITS):
+    """Morton/Z-order interleave of two non-negative int columns (low
+    ``bits`` of each): bit i of a → bit 2i, bit i of b → bit 2i+1.
+    Pure integer expression — runs in whole-stage codegen on Spark and
+    reproduces exactly in the DuckDB oracle.
+
+    Callers must feed RANGE-NORMALIZED coordinates (``znorm``): raw
+    columns with unequal bit-widths degrade to a single-column sort —
+    the wide column's high bits dominate every comparison and the narrow
+    column never influences file boundaries (the reason Delta's
+    OPTIMIZE ZORDER maps each column through its range first)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(1), 2 * i))
+            + (F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(1), 2 * i + 1))
+        )
+    return z
+
+
+def znorm(col, cmin, cmax, bits: int = Z_BITS):
+    """Scale ``col`` from [cmin, cmax] onto [0, 2^bits): exact integer
+    arithmetic — (col - min) * 2^bits DIV (range + 1) — so both engines
+    compute identical values in any evaluation order."""
+    return (
+        (col.cast("long") - F.lit(int(cmin))) * F.lit(1 << bits)
+    ) / F.lit(int(cmax) - int(cmin) + 1)
+
+
+def znorm_int(col, cmin, cmax, bits: int = Z_BITS):
+    return F.floor(znorm(col, cmin, cmax, bits)).cast("long")
+
+
+def znorm_sql(col: str, cmin: int, cmax: int, bits: int = Z_BITS) -> str:
+    return (
+        f"CAST(FLOOR((({col} - {int(cmin)}) * {1 << bits}) "
+        f"/ ({int(cmax) - int(cmin) + 1})) AS BIGINT)"
+    )
+
+
+def zvalue_sql(a: str, b: str, bits: int = Z_BITS) -> str:
+    """The identical z-value as ANSI SQL (for the oracle)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+ZKEY_BITS = 8  # normalized bit-width for the registered zorder_key query
+ZKEY_AMAX = 1 << 20  # fixed normalization domain for the oracle-checked
+ZKEY_BMAX = 1 << 20  # query (covers every SF's key range; exact integers)
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-value computation over lineitem's (l_partkey, l_suppkey) — the
+    clustering key a Z-ORDER relayout sorts by: each key range-normalized
+    onto [0, 2^8), then bit-interleaved. Registered so the normalize +
+    interleave math is oracle-checked bit-for-bit; the relayout + file
+    skipping it exists for is asserted physically in
+    tests/test_layout_ops.py (per-file min/max rectangles shrink on BOTH
+    columns). The normalization domain is a fixed literal (not data-
+    derived) here so the query is a pure row-wise map."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    na = znorm_int(F.col("l_partkey"), 0, ZKEY_AMAX, ZKEY_BITS)
+    nb = znorm_int(F.col("l_suppkey"), 0, ZKEY_BMAX, ZKEY_BITS)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zvalue(na, nb, ZKEY_BITS).alias("zval"),
+    )
+
+
+def write_zordered(
+    spark: SparkSession, df: DataFrame, path: str, a: str, b: str, n_files: int = 16
+) -> None:
+    """Relayout ``df`` so files tile (a, b) space: range-normalize both
+    keys onto equal bit-widths (one tiny min/max agg — a driver-sized
+    pass), interleave into the z-value, range-partition by it
+    (contiguous z-ranges per file), sort within partitions, write
+    without the helper column. repartitionByRange samples quantiles —
+    one extra pass, the price of the layout."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(a), F.max(a), F.min(b), F.max(b)
+    ).first()
+    z = df.withColumn(
+        "__z",
+        zvalue(
+            znorm_int(F.col(a), lo_a, hi_a),
+            znorm_int(F.col(b), lo_b, hi_b),
+        ),
+    )
+    (
+        z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+QUERIES = {
+    "partition_pruned_scan": q_partition_pruned_scan,
+    "zorder_key": q_zorder_key,
+}
+
+ORACLES: dict[str, str] = {
+    "partition_pruned_scan": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+        GROUP BY event_type
+    """,
+    "zorder_key": f"""
+        WITH n AS (
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   {znorm_sql('l_partkey', 0, ZKEY_AMAX, ZKEY_BITS)} AS na,
+                   {znorm_sql('l_suppkey', 0, ZKEY_BMAX, ZKEY_BITS)} AS nb
+            FROM lineitem WHERE l_orderkey < 1000
+        )
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               {zvalue_sql('na', 'nb', ZKEY_BITS)} AS zval
+        FROM n
+    """,
+}

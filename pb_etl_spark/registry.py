@@ -21,6 +21,7 @@ from pb_etl_spark.operators import (
     corpus,
     dedup,
     events,
+    layout,
     multimodal,
     relational,
     reshape,
@@ -109,6 +110,7 @@ _PRIORITY = [
 
 _MODULES = [
     bucketing,
+    layout,
     composite,
     composite_ext,
     corpus,
