@@ -168,6 +168,108 @@ def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 64  # sketch size: k minimum hash values
+_KMV_SCALE = float(1 << 52)  # 13 hex chars = 52 bits — exact in a double
+
+
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketches over each source's
+    token vocabulary, plus a ``__union__`` row estimated from the MERGED
+    per-source sketches — never re-scanning the corpus.
+
+    The deterministic twin of ``hll_mergeable_counts``: same mergeable
+    rollup-table architecture (store a tiny sketch per partition/day,
+    answer any coarser cell by sketch union), but the sketch is k md5-
+    derived minima, so DuckDB reproduces the estimate BIT-FOR-BIT and the
+    driver value-checks what HLL's library-specific registers cannot.
+
+    Estimator: distinct ≈ (k-1)/u_(k) for a full sketch; exact k when the
+    sketch holds the whole set. Hashes are deduplicated as VALUES (52-bit
+    prefixes) on both engines, so even a prefix collision cannot diverge.
+    Scale shape: one distinct shuffle on (source, token), one windowed
+    top-k per source (state = k values per group), merge = k smallest of
+    the ≤ k×n_sources kept values — driver-sized. The exact_distinct
+    column (the accuracy report) is the only full distinct count; a
+    production rollup drops it."""
+    from pyspark.sql.window import Window as W
+
+    doc = read_table(spark, sf_dir, "documents")
+    tok = doc.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    u = F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("double") / F.lit(
+        _KMV_SCALE
+    )
+    hu = tok.select("source", u.alias("u")).distinct()
+    w = W.partitionBy("source").orderBy("u")
+    kept = hu.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KMV_K)
+
+    est = F.when(
+        F.col("k") < KMV_K, F.col("k").cast("double")
+    ).otherwise((F.col("k") - 1) / F.col("kth"))
+    per_src = (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("k"), F.max("u").alias("kth"))
+        .join(
+            tok.groupBy("source").agg(F.count(F.lit(1)).alias("exact_distinct")),
+            "source",
+        )
+        .select("source", "k", F.round(est, 4).alias("est_distinct"), "exact_distinct")
+    )
+
+    merged = kept.select("u").distinct().orderBy("u").limit(KMV_K)
+    union_row = merged.agg(
+        F.lit("__union__").alias("source"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("u").alias("kth"),
+    ).crossJoin(
+        tok.select("tok").distinct().agg(F.count(F.lit(1)).alias("exact_distinct"))
+    ).select(
+        "source", "k", F.round(est, 4).alias("est_distinct"), "exact_distinct"
+    )
+    return per_src.unionByName(union_row)
+
+
+_KMV_ORACLE = f"""
+    WITH tok AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    hu AS (
+        SELECT DISTINCT source,
+               CAST(CAST('0x' || substring(md5(tok), 1, 13) AS BIGINT) AS DOUBLE)
+                   / {_KMV_SCALE!r} AS u
+        FROM tok
+    ),
+    kept AS (
+        SELECT source, u FROM (
+            SELECT source, u, ROW_NUMBER() OVER (PARTITION BY source ORDER BY u) AS rn
+            FROM hu
+        ) WHERE rn <= {KMV_K}
+    ),
+    per AS (
+        SELECT source, COUNT(*) AS k, MAX(u) AS kth FROM kept GROUP BY source
+    ),
+    ex AS (
+        SELECT source, COUNT(*) AS exact_distinct FROM tok GROUP BY source
+    ),
+    merged AS (
+        SELECT u FROM (SELECT DISTINCT u FROM kept ORDER BY u LIMIT {KMV_K})
+    )
+    SELECT per.source, per.k,
+           ROUND(CASE WHEN per.k < {KMV_K} THEN CAST(per.k AS DOUBLE)
+                      ELSE (per.k - 1) / per.kth END, 4) AS est_distinct,
+           ex.exact_distinct
+    FROM per JOIN ex USING (source)
+    UNION ALL
+    SELECT '__union__' AS source, m.k,
+           ROUND(CASE WHEN m.k < {KMV_K} THEN CAST(m.k AS DOUBLE)
+                      ELSE (m.k - 1) / m.kth END, 4) AS est_distinct,
+           (SELECT COUNT(DISTINCT tok) FROM tok) AS exact_distinct
+    FROM (SELECT COUNT(*) AS k, MAX(u) AS kth FROM merged) m
+"""
+
+
 _BM25_ORACLE = f"""
     WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -237,10 +339,12 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "dup_span_ratio": q_dup_span_ratio,
     "partial_agg_merge": q_partial_agg_merge,
+    "kmv_distinct_sketch": q_kmv_distinct_sketch,
 }
 
 ORACLES: dict[str, str] = {
     "bm25_topk": _BM25_ORACLE,
     "dup_span_ratio": _DUP_SPAN_ORACLE,
     "partial_agg_merge": _PARTIAL_MERGE_ORACLE,
+    "kmv_distinct_sketch": _KMV_ORACLE,
 }
