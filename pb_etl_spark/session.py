@@ -45,6 +45,13 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.ui.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Runtime (bloom) filtering: a selective dim-side predicate is
+        # turned into a bloom filter pushed into the fact-side scan — at
+        # 100 TB this skips most row groups of a shuffle join's big side.
+        # The size thresholds stay at their scale-sane defaults (the
+        # filter only pays off when the application side is huge); the
+        # flag just lets the optimizer consider it.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     }
     if extra_conf:
         conf.update(extra_conf)

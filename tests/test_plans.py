@@ -130,3 +130,35 @@ def test_bucketed_join_has_no_shuffle(spark):
         # in-memory sort) is what matters at scale
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """Runtime filtering: a selective predicate on the dim side of a
+    shuffle join becomes a bloom_filter_agg whose result gates the fact
+    scan (might_contain) — row-group skipping a 100 TB join needs. The
+    size thresholds are lowered only to trigger the rewrite at fixture
+    scale; the session enables the feature flag itself."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_totalprice") > 500000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
