@@ -250,6 +250,35 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CURRICULUM_BINS = 10
+
+
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: rank every document by a difficulty proxy
+    (token count — longer ⇒ harder) and assign equal-population deciles,
+    reporting per-bin boundaries and token mass. A staged pretraining
+    run consumes bins in order (easy → hard); the bin column is what a
+    curriculum sampler partitions on.
+
+    Scale shape: ntile needs a global order — at fixture scale one
+    ordered pass; at 100 TB the same bins come from percentile_approx
+    boundaries (one mergeable-sketch pass) + a width_bucket projection,
+    the standard exact→approx swap (see top_p_quality_sample's note).
+    The grouped report after binning is bounded (10 rows)."""
+    doc = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens()).cast("long")
+    w = W.orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
+    binned = doc.select("doc_id", n_tok.alias("n_tokens")).withColumn(
+        "bin", F.ntile(N_CURRICULUM_BINS).over(w)
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
 N_HASH_BUCKETS = 64  # feature-hashing dimensionality
 
 
@@ -360,6 +389,7 @@ QUERIES = {
     "pii_redaction": q_pii_redaction,
     "source_mix_report": q_source_mix_report,
     "mixture_resample": q_mixture_resample,
+    "curriculum_buckets": q_curriculum_buckets,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -485,6 +515,19 @@ ORACLES: dict[str, str] = {
                            '{PAT_NUM}', '<NUM>', 'g'),
                        '{PAT_TERM}', '<PII>', 'g')) AS redacted_md5
         FROM documents
+    """,
+    "curriculum_buckets": f"""
+        WITH binned AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                   NTILE({N_CURRICULUM_BINS}) OVER (ORDER BY len(string_split(text, ' ')) ASC,
+                                                    doc_id ASC) AS bin
+            FROM documents
+        )
+        SELECT bin, COUNT(*) AS n_docs,
+               MIN(n_tokens) AS min_tokens,
+               MAX(n_tokens) AS max_tokens,
+               SUM(n_tokens) AS bin_tokens
+        FROM binned GROUP BY bin
     """,
     "mixture_resample": """
         WITH per_src AS (
