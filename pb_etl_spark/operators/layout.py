@@ -14,9 +14,12 @@ whether a 100 TB scan reads terabytes or gigabytes:
   Interleaving the bits of TWO key columns into one z-value and
   range-partitioning + sorting by it makes every file a small rectangle
   in (a, b) space — selective filters on EITHER column skip most files
-  via parquet min/max stats (what Delta's OPTIMIZE ZORDER does;
-  expressed here as pure DataFrame ops: bit-interleave expression →
-  repartitionByRange → sortWithinPartitions).
+  via parquet min/max stats (what Delta's OPTIMIZE ZORDER does). The
+  WRITER lives in ``sources/parquet.py`` (``write_parquet_zorder``,
+  rectangle property asserted in ``tests/test_layout.py``); this module
+  registers the normalize+interleave MATH as the oracle-checked
+  ``zorder_key`` query — fixed normalization domain, pure row-wise map,
+  bit-for-bit reproducible in DuckDB.
 - **Bucketing** (see ``operators/bucketing.py``): hash layout for
   join/aggregation shuffle elimination.
 
@@ -149,34 +152,6 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_suppkey",
         zvalue(na, nb, ZKEY_BITS).alias("zval"),
-    )
-
-
-def write_zordered(
-    spark: SparkSession, df: DataFrame, path: str, a: str, b: str, n_files: int = 16
-) -> None:
-    """Relayout ``df`` so files tile (a, b) space: range-normalize both
-    keys onto equal bit-widths (one tiny min/max agg — a driver-sized
-    pass), interleave into the z-value, range-partition by it
-    (contiguous z-ranges per file), sort within partitions, write
-    without the helper column. repartitionByRange samples quantiles —
-    one extra pass, the price of the layout."""
-    lo_a, hi_a, lo_b, hi_b = df.agg(
-        F.min(a), F.max(a), F.min(b), F.max(b)
-    ).first()
-    z = df.withColumn(
-        "__z",
-        zvalue(
-            znorm_int(F.col(a), lo_a, hi_a),
-            znorm_int(F.col(b), lo_b, hi_b),
-        ),
-    )
-    (
-        z.repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
     )
 
 
