@@ -1,10 +1,11 @@
-"""Change-data-capture operators: SCD Type 2 merge.
+"""Change-data-capture operators: SCD Type 2 merge + snapshot diff.
 
 Completes the CDC family — ``dedup.q_dedup_keep_latest`` is SCD-1 compaction
 (latest row wins), ``sources.parquet.upsert_parquet`` is full-row MERGE;
-this module keeps *history*: every change closes the previous version row
+this module keeps *history* (every change closes the previous version row
 and opens a new one, so any past state is queryable with
-``valid_from <= t < valid_to``.
+``valid_from <= t < valid_to``) and DERIVES a change feed from two table
+snapshots when the source system provides none (``snapshot_diff``).
 
 Plan shape at scale: one join keyed on the business key between the
 current slice of the dimension and the (small) update batch — broadcast
@@ -14,10 +15,51 @@ per-row Python, history rows untouched (they carry no join key match).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 OPEN_END = "9999-12-31 23:59:59"
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, attr_cols: list[str]
+) -> DataFrame:
+    """Change feed between two snapshots of the same table: one row per
+    changed key with change_type ∈ {insert, update, delete} and both
+    value tuples (old NULLs for inserts, new NULLs for deletes).
+    Unchanged keys are dropped — the feed is delta-sized, not
+    table-sized.
+
+    Plan shape: ONE full-outer equi-join on the key (shuffle both sides
+    on the key — the minimum for diffing unsorted snapshots; with both
+    snapshots bucketed on the key, zero-exchange, see bucketing.py), and
+    a null-safe struct comparison so NULL attribute values diff
+    correctly. At 100 TB the output is what feeds incremental downstream
+    recomputation instead of a full reprocess."""
+    o = old.select(key, *[F.col(c).alias(f"old_{c}") for c in attr_cols])
+    n = new.select(key, *[F.col(c).alias(f"new_{c}") for c in attr_cols])
+    o_struct = F.struct(*[F.col(f"old_{c}") for c in attr_cols])
+    n_struct = F.struct(*[F.col(f"new_{c}") for c in attr_cols])
+    # presence must come from the join side, not attr NULL-ness: a key
+    # whose attrs are all NULL is still present — carry explicit markers
+    o = o.withColumn("__in_old", F.lit(True))
+    n = n.withColumn("__in_new", F.lit(True))
+    joined = o.join(n, key, "full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(~o_struct.eqNullSafe(n_struct), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            key,
+            "change_type",
+            *[f"old_{c}" for c in attr_cols],
+            *[f"new_{c}" for c in attr_cols],
+        )
+    )
 
 
 def scd2_merge(
@@ -110,3 +152,70 @@ def scd2_merge(
         .unionByName(reopened)
         .unionByName(inserts)
     )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between two simulated snapshots of orders: snapshot A
+    drops keys ≡0 (mod 11) (→ inserts in B), snapshot B drops keys ≡0
+    (mod 13) (→ deletes), and B bumps o_totalprice 10% for keys ≡0
+    (mod 5) (→ updates). One full-outer join, delta-sized output."""
+    from pb_etl_spark.catalog import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snap_a = orders.filter(F.col("o_orderkey") % 11 != 0)
+    # 10% bump in integer cents ((cents*110) div 100 — exact in any
+    # engine; ROUND(x*1.1, 2) diverges between engines at double
+    # half-boundaries, the money-arithmetic rule from trailing_rows_avg)
+    bumped = (
+        F.expr("(cast(round(o_totalprice * 100) as bigint) * 110) div 100")
+        / F.lit(100.0)
+    )
+    snap_b = orders.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, bumped).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snapshot_diff(
+        snap_a, snap_b, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )
+
+
+QUERIES = {
+    "snapshot_diff": q_snapshot_diff,
+}
+
+ORACLES: dict[str, str] = {
+    "snapshot_diff": """
+        WITH a AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 11 <> 0
+        ), b AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0
+                        THEN ((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 110)
+                              // 100) / 100.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 13 <> 0
+        )
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                    WHEN b.o_orderkey IS NULL THEN 'delete'
+                    WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                         OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                         THEN 'update' END AS change_type,
+               a.o_totalprice AS old_o_totalprice,
+               a.o_orderstatus AS old_o_orderstatus,
+               b.o_totalprice AS new_o_totalprice,
+               b.o_orderstatus AS new_o_orderstatus
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        WHERE CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                   WHEN b.o_orderkey IS NULL THEN 'delete'
+                   WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                        OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                        THEN 'update' END IS NOT NULL
+    """,
+}

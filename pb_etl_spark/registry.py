@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pb_etl_spark.operators import (
     advanced,
     bucketing,
+    cdc,
     clustering,
     composite,
     composite_ext,
@@ -111,6 +112,7 @@ _PRIORITY = [
 _MODULES = [
     bucketing,
     layout,
+    cdc,
     composite,
     composite_ext,
     corpus,
