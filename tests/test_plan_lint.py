@@ -32,6 +32,8 @@ BNLJ_WHITELIST = {
     "triangle_count_knn",  # same PR_NODES-bounded kNN edge build as
     #   pagerank_knn; the triangle joins themselves are equi-joins
     "bm25_topk",  # 1-row corpus-stats (N, avgdl) crossJoin
+    "kmv_distinct_sketch",  # union row = k-row merged sketch crossJoined
+    #   with the 1-row global exact count (accuracy report column)
 }
 
 
