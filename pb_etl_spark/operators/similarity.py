@@ -89,6 +89,65 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries)
 
 
+MAT_DIM = 16  # matryoshka prefix width (of DIM=64)
+MAT_CAND = 20  # coarse-stage candidates per query
+
+
+def q_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval: rank candidates by cosine over the
+    FIRST 16 dims (4× less math and, at scale, 4× less I/O — the
+    truncated prefix is stored as its own column/file), keep the top 20
+    per query, then exactly re-rank those with full 64-dim cosine to the
+    final top-5. The shape MRL-trained embeddings exist for; also the
+    standard pattern for any coarse→exact retrieval cascade. Candidate
+    selection AND re-rank are both deterministic (vec_id tiebreaks), so
+    the whole cascade is oracle-checked — including which candidates the
+    coarse stage admits."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("v").alias("n_vec"))
+    qt = F.slice(F.col("q_vec"), 1, MAT_DIM)
+    nt = F.slice(F.col("n_vec"), 1, MAT_DIM)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            "q_vec",
+            "n_vec",
+            (_dot(qt, nt) / (_norm(qt) * _norm(nt))).alias("cos_t"),
+        )
+    )
+    w1 = W.partitionBy("q_id").orderBy(F.col("cos_t").desc(), F.col("n_id").asc())
+    cand = scored.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= MAT_CAND
+    )
+    rerank = cand.select(
+        "q_id",
+        "n_id",
+        (
+            _dot(F.col("q_vec"), F.col("n_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("n_vec")))
+        ).alias("cos"),
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            "n_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array math + grouped agg: per-label count and mean L2 norm."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -360,10 +419,35 @@ ORACLES: dict[str, str] = {
                    AS avg_norm
         FROM embeddings GROUP BY label
     """,
+    "matryoshka_knn": f"""
+        WITH pairs AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                   list_cosine_similarity(
+                       CAST(q.embedding[1:{MAT_DIM}] AS DOUBLE[]),
+                       CAST(c.embedding[1:{MAT_DIM}] AS DOUBLE[])) AS cos_t,
+                   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])) AS cos
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ), cand AS (
+            SELECT q_id, n_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_t DESC, n_id ASC) AS r1
+            FROM pairs
+        ), rr AS (
+            SELECT q_id, n_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, n_id ASC) AS rank
+            FROM cand WHERE r1 <= {MAT_CAND}
+        )
+        SELECT q_id, n_id, rank, ROUND(cos, 6) AS cos
+        FROM rr WHERE rank <= {TOP_K}
+    """,
 }
 
 QUERIES = {
     "knn_cosine": q_knn_cosine,
+    "matryoshka_knn": q_matryoshka_knn,
     "embedding_norms": q_embedding_norms,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
