@@ -217,6 +217,40 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust preprocessing: per-group winsorization — clip
+    l_extendedprice into its group's [p01, p99] band, report the clip
+    bounds, the clipped mean, and how many rows each tail clipped. The
+    standard outlier-taming transform before training on heavy-tailed
+    features. One percentile pass per group (exact interpolated — the
+    100 TB variant swaps in approx_percentile) + a broadcast join-back
+    of the 3-row bound table + a shuffle-free clip projection."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "p01",
+        "p99",
+        F.greatest(F.least(F.col("l_extendedprice"), F.col("p99")), F.col("p01")).alias(
+            "w"
+        ),
+        (F.col("l_extendedprice") < F.col("p01")).cast("long").alias("lo"),
+        (F.col("l_extendedprice") > F.col("p99")).cast("long").alias("hi"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.round(F.first("p01"), 2).alias("p01"),
+        F.round(F.first("p99"), 2).alias("p99"),
+        F.round(F.avg("w"), 2).alias("winsorized_mean"),
+        F.sum("lo").alias("n_clipped_low"),
+        F.sum("hi").alias("n_clipped_high"),
+    )
+
+
 def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmin/argmax aggregates: per-customer orderkey of the cheapest
     order and price of the newest orderkey. (o_totalprice is tie-free per
@@ -374,6 +408,27 @@ ORACLES: dict[str, str] = {
                ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
         FROM lineitem GROUP BY l_returnflag
     """,
+    "winsorized_stats": """
+        WITH b AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.01) AS p01,
+                   quantile_cont(l_extendedprice, 0.99) AS p99
+            FROM lineitem GROUP BY l_returnflag
+        ), c AS (
+            SELECT li.l_returnflag, b.p01, b.p99,
+                   GREATEST(LEAST(li.l_extendedprice, b.p99), b.p01) AS w,
+                   CAST(li.l_extendedprice < b.p01 AS BIGINT) AS lo,
+                   CAST(li.l_extendedprice > b.p99 AS BIGINT) AS hi
+            FROM lineitem li JOIN b USING (l_returnflag)
+        )
+        SELECT l_returnflag,
+               ROUND(ANY_VALUE(p01), 2) AS p01,
+               ROUND(ANY_VALUE(p99), 2) AS p99,
+               ROUND(AVG(w), 2) AS winsorized_mean,
+               SUM(lo) AS n_clipped_low,
+               SUM(hi) AS n_clipped_high
+        FROM c GROUP BY l_returnflag
+    """,
     "min_max_by": """
         SELECT o_custkey,
                min_by(o_orderkey, o_totalprice) AS cheapest_orderkey,
@@ -503,5 +558,6 @@ QUERIES = {
     "in_subquery": q_in_subquery,
     "stats_aggs": q_stats_aggs,
     "percentiles": q_percentiles,
+    "winsorized_stats": q_winsorized_stats,
     "min_max_by": q_min_max_by,
 }
