@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pb_etl_spark.sources import pyds
 from pb_etl_spark.operators import (
     advanced,
     bucketing,
@@ -113,6 +114,7 @@ _MODULES = [
     bucketing,
     layout,
     cdc,
+    pyds,
     composite,
     composite_ext,
     corpus,

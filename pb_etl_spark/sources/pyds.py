@@ -1,0 +1,142 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API):
+a deterministic synthetic-events generator.
+
+The reference wires five fixed named sources into its catalog
+(/root/reference/pb_etl/tasks.py, the external-source table); this is the
+Spark-4-native way to add a NEW kind of source to the same catalog —
+a first-class connector with schema, partition planning, and option
+handling, written in pure Python and registered per-session
+(``spark.dataSource.register``). The obvious production uses are
+API-backed sources (REST pages → InputPartitions) and generators like
+this one (load tests, fixture synthesis, property tests).
+
+Design notes:
+- **Partition planning is the scale story**: ``partitions()`` returns one
+  ``InputPartition`` per row-range slice, so a 10¹²-row synthetic table
+  generates in parallel across the cluster — the driver never touches
+  row data (same contract as any JDBC/warehouse connector).
+- **Determinism**: every field is a pure function of the row id (md5-
+  based, same construction as the engine's hash-sampling operators), so
+  the SAME table is reproducible in the DuckDB oracle — the registered
+  query value-checks a custom connector end-to-end, which file-based
+  fixtures cannot do for this API.
+- The reader emits tuples per the declared schema; Spark handles Arrow
+  batching. Python-side generation cost is the documented trade — a
+  generator source exists for correctness/ergonomics, not as a parquet
+  replacement.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SYNTH_EVENT_TYPES = ("view", "click", "purchase")
+DEFAULT_ROWS = 1000
+DEFAULT_SLICES = 8
+
+
+def _u32(tag: str, i: int) -> int:
+    """First 8 hex chars of md5('{tag}:{i}') — the engine's standard
+    engine-portable uniform hash (cf. weighted_hash_sample)."""
+    return int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:8], 16)
+
+
+def synth_event_row(i: int) -> tuple:
+    """The row for id ``i`` — shared by the reader and tests; the DuckDB
+    oracle reproduces the same fields from the same md5 math."""
+    user_id = _u32("u", i) % 100
+    etype = SYNTH_EVENT_TYPES[_u32("t", i) % len(SYNTH_EVENT_TYPES)]
+    value = round((_u32("v", i) % 10_000) / 100.0, 2)
+    return (i, user_id, etype, value)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", DEFAULT_ROWS))
+        self.n_slices = int(options.get("slices", DEFAULT_SLICES))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = max(1, -(-self.n_rows // self.n_slices))
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield synth_event_row(i)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events").option("rows", N)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, event_type string, value double"
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration."""
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+
+Q_ROWS = 2000
+
+
+def q_python_datasource(spark, sf_dir: str):
+    """End-to-end through the custom connector: read Q_ROWS synthetic
+    events via the registered Python DataSource (8 parallel range
+    partitions) and aggregate per event type. The oracle regenerates the
+    identical table from the same md5 row function over generate_series —
+    value-checking the connector's schema, partitioning, and row
+    production, not just its plumbing. (``sf_dir`` unused: the source IS
+    the data.)"""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    ev = spark.read.format("synthetic_events").option("rows", Q_ROWS).load()
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+QUERIES = {
+    "python_datasource": q_python_datasource,
+}
+
+ORACLES: dict[str, str] = {
+    "python_datasource": f"""
+        WITH ids AS (SELECT unnest(generate_series(0, {Q_ROWS - 1})) AS i),
+        rows_ AS (
+            SELECT
+                CAST('0x' || substring(md5('u:' || i), 1, 8) AS BIGINT) % 100
+                    AS user_id,
+                CASE (CAST('0x' || substring(md5('t:' || i), 1, 8) AS BIGINT) % 3)
+                    WHEN 0 THEN 'view' WHEN 1 THEN 'click' ELSE 'purchase'
+                END AS event_type,
+                ROUND((CAST('0x' || substring(md5('v:' || i), 1, 8) AS BIGINT)
+                       % 10000) / 100.0, 2) AS value
+            FROM ids
+        )
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(SUM(value), 2) AS total_value
+        FROM rows_ GROUP BY event_type
+    """,
+}

@@ -1,0 +1,39 @@
+"""Custom Python DataSource (sources/pyds.py): partition planning and
+row determinism — the connector contracts the oracle check can't see."""
+
+from __future__ import annotations
+
+from pb_etl_spark.sources.pyds import (
+    DEFAULT_SLICES,
+    SyntheticEventsReader,
+    register,
+    synth_event_row,
+)
+
+
+def test_partition_planning_covers_rows_exactly():
+    r = SyntheticEventsReader({"rows": "1003", "slices": "8"})
+    parts = r.partitions()
+    assert len(parts) == 8
+    covered = []
+    for p in parts:
+        covered.extend(range(p.start, p.end))
+    assert covered == list(range(1003))  # no gap, no overlap
+
+
+def test_rows_are_deterministic_functions_of_id():
+    assert synth_event_row(0) == synth_event_row(0)
+    r0, r1 = synth_event_row(0), synth_event_row(1)
+    assert r0 != r1
+    eid, user, etype, value = r0
+    assert 0 <= user < 100 and etype in ("view", "click", "purchase")
+    assert 0 <= value < 100
+
+
+def test_read_through_spark_scans_in_parallel(spark):
+    register(spark)
+    df = spark.read.format("synthetic_events").option("rows", "64").load()
+    assert df.rdd.getNumPartitions() == DEFAULT_SLICES
+    rows = {r.event_id: (r.user_id, r.event_type, r.value) for r in df.collect()}
+    assert len(rows) == 64
+    assert rows[7] == synth_event_row(7)[1:]
