@@ -57,6 +57,13 @@ HEADLINE = [
     "pq_codes",
     "fuzzy_match_pairs",
     "gap_fill_resample",
+    # round-2 late additions: sketches, retrieval cascade, CDC diff,
+    # storage-layout math
+    "kmv_distinct_sketch",
+    "matryoshka_knn",
+    "snapshot_diff",
+    "zorder_key",
+    "mixture_resample",
 ]
 
 
