@@ -31,7 +31,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SYNTH_EVENT_TYPES = ("view", "click", "purchase")
 DEFAULT_ROWS = 1000
@@ -75,8 +80,39 @@ class SyntheticEventsReader(DataSourceReader):
             yield synth_event_row(i)
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed micro-batch source: the stream's offset is simply
+    the next row id ({"next": i}), advanced by ``batch_rows`` per
+    micro-batch up to ``rows`` total. Because ``readBetweenOffsets``
+    regenerates any (start, end) slice deterministically, a batch
+    replayed after a crash yields IDENTICAL rows — the replayability
+    contract exactly-once sinks (foreachBatch upsert, batch_id
+    overwrite) build on. ``commit`` is a no-op: nothing to clean up for
+    a generator (a queue-backed source would ack here)."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", DEFAULT_ROWS))
+        self.batch_rows = int(options.get("batch_rows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch_rows, self.n_rows)
+        return (
+            iter([synth_event_row(i) for i in range(lo, hi)]),
+            {"next": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([synth_event_row(i) for i in range(start["next"], end["next"])])
+
+
 class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("synthetic_events").option("rows", N)``."""
+    """``spark.read.format("synthetic_events").option("rows", N)`` —
+    batch scan with planned partitions, or ``spark.readStream`` for the
+    offset-managed micro-batch stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -87,6 +123,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:
@@ -116,11 +155,72 @@ def q_python_datasource(spark, sf_dir: str):
     )
 
 
+def q_stream_python_datasource(spark, sf_dir: str):
+    """The custom connector's STREAMING face: drain the offset-managed
+    synthetic_events micro-batch stream (4 batches of 500) into a memory
+    sink and aggregate — after a full drain the result equals the batch
+    read of the same id range, which the same DuckDB regeneration
+    oracle-checks. Covers initialOffset/read/readBetweenOffsets offset
+    arithmetic end-to-end (a gap or overlap between batches would break
+    the value hash)."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", Q_ROWS)
+        .option("batch_rows", Q_ROWS // 4)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("q_stream_python_datasource")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table("q_stream_python_datasource")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 QUERIES = {
     "python_datasource": q_python_datasource,
+    "stream_python_datasource": q_stream_python_datasource,
 }
 
+_SYNTH_AGG_ORACLE = f"""
+        WITH ids AS (SELECT unnest(generate_series(0, {Q_ROWS - 1})) AS i),
+        rows_ AS (
+            SELECT
+                CAST('0x' || substring(md5('u:' || i), 1, 8) AS BIGINT) % 100
+                    AS user_id,
+                CASE (CAST('0x' || substring(md5('t:' || i), 1, 8) AS BIGINT) % 3)
+                    WHEN 0 THEN 'view' WHEN 1 THEN 'click' ELSE 'purchase'
+                END AS event_type,
+                ROUND((CAST('0x' || substring(md5('v:' || i), 1, 8) AS BIGINT)
+                       % 10000) / 100.0, 2) AS value
+            FROM ids
+        )
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(SUM(value), 2) AS total_value
+        FROM rows_ GROUP BY event_type
+"""
+
 ORACLES: dict[str, str] = {
+    # batch and stream faces of the connector must both equal the same
+    # regenerated table after a full drain
+    "stream_python_datasource": _SYNTH_AGG_ORACLE,
     "python_datasource": f"""
         WITH ids AS (SELECT unnest(generate_series(0, {Q_ROWS - 1})) AS i),
         rows_ AS (

@@ -37,3 +37,27 @@ def test_read_through_spark_scans_in_parallel(spark):
     rows = {r.event_id: (r.user_id, r.event_type, r.value) for r in df.collect()}
     assert len(rows) == 64
     assert rows[7] == synth_event_row(7)[1:]
+
+
+def test_stream_batches_partition_the_id_space(spark):
+    """Drain the streaming face with small batches: every id arrives
+    exactly once (offset arithmetic has no gap/overlap across batches)."""
+    register(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "350")
+        .option("batch_rows", "100")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_pyds_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r.event_id for r in spark.table("t_pyds_stream").collect())
+    assert ids == list(range(350))
