@@ -85,6 +85,68 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the feature-store join that prevents label
+    leakage: each click event is matched to the dimension VERSION that
+    was valid at the event's timestamp, never a later one. The versioned
+    dimension is derived from the data itself (each purchase opens a new
+    per-user version; ``version_no`` counts them), so the query is
+    self-contained and oracle-checkable.
+
+    Implementation is the as-of union+window carry (not an interval
+    join): versions and facts are unioned, sorted per user by
+    (ts, side, version_no), and the last version STRUCT is carried
+    forward onto each fact row — one shuffle on the user key, linear,
+    no interval cross-product. At 100 TB this is the difference between
+    a window pass and a quadratic per-user range probe; an SCD2
+    dimension (cdc.scd2_merge output) plugs into the same shape with
+    valid_from as the sort key."""
+    ev = read_table(spark, sf_dir, "events")
+    w_v = W.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("version_no", F.row_number().over(w_v))
+        .select(
+            "user_id",
+            F.col("ts").alias("__ts"),
+            F.lit(0).alias("__side"),
+            F.struct(
+                F.col("version_no"), F.col("ts").alias("version_since")
+            ).alias("__ver"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None)
+        .cast("struct<version_no:int,version_since:timestamp>")
+        .alias("__ver"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("__ts", "__side", F.col("__ver.version_no").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = versions.unionByName(clicks).withColumn(
+        "__cur", F.last("__ver", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("__ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.col("__cur.version_no").cast("long").alias("version_no"),
+            F.date_format("__cur.version_since", "yyyy-MM-dd HH:mm:ss").alias(
+                "version_since"
+            ),
+        )
+    )
+
+
 def range_join_pairs(
     events: DataFrame, band_us: int = RANGE_BAND_US, key: str = "user_id"
 ) -> DataFrame:
@@ -238,10 +300,35 @@ ORACLES: dict[str, str] = {
           ON a.user_id = b.user_id AND a.event_id < b.event_id
          AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
     """,
+    "pit_join": """
+        WITH versions AS (
+            SELECT user_id, ts AS version_since,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS version_no
+            FROM events WHERE event_type = 'purchase'
+        ), clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), matched AS (
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.version_no, v.version_since,
+                   ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                      ORDER BY v.version_since DESC,
+                                               v.version_no DESC) AS rn
+            FROM clicks c
+            LEFT JOIN versions v
+              ON c.user_id = v.user_id AND v.version_since <= c.ts
+        )
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               CAST(version_no AS BIGINT) AS version_no,
+               strftime(version_since, '%Y-%m-%d %H:%M:%S') AS version_since
+        FROM matched WHERE rn = 1
+    """,
 }
 
 QUERIES = {
     "asof_join": q_asof_join,
+    "pit_join": q_pit_join,
     "range_join": q_range_join,
     "gap_fill_resample": q_gap_fill_resample,
     "multi_resolution_rollup": q_multi_resolution_rollup,
