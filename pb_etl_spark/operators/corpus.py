@@ -250,6 +250,31 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_SALT = "epoch0"
+
+
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: assign every document its position
+    in a pseudo-random permutation — ORDER BY md5(salt || doc_id). The
+    training-data ordering primitive: reshuffling 100 TB per epoch is a
+    SORT by a new salt's hash (fully distributed, reproducible on retry,
+    skew-free keys by construction), not an in-memory permutation.
+    Emitting the position makes the whole permutation value-checked.
+
+    Scale shape: one range-partitioned sort (Spark samples hash
+    boundaries). Writing the sorted output per epoch IS the shuffle; a
+    trainer then reads sequentially. The global row_number window here
+    exists only to surface positions for the oracle — production writes
+    the sort order itself."""
+    doc = read_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(SHUFFLE_SALT + ":"), F.col("doc_id").cast("string")))
+    w = W.orderBy("shuffle_key")
+    return (
+        doc.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
 N_CURRICULUM_BINS = 10
 
 
@@ -390,6 +415,7 @@ QUERIES = {
     "source_mix_report": q_source_mix_report,
     "mixture_resample": q_mixture_resample,
     "curriculum_buckets": q_curriculum_buckets,
+    "deterministic_shuffle": q_deterministic_shuffle,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -514,6 +540,14 @@ ORACLES: dict[str, str] = {
                            regexp_replace(text, '{PAT_EMAIL}', '<EMAIL>', 'g'),
                            '{PAT_NUM}', '<NUM>', 'g'),
                        '{PAT_TERM}', '<PII>', 'g')) AS redacted_md5
+        FROM documents
+    """,
+    "deterministic_shuffle": f"""
+        SELECT doc_id,
+               md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR))
+               ) AS pos
         FROM documents
     """,
     "curriculum_buckets": f"""

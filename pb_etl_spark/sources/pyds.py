@@ -34,8 +34,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SYNTH_EVENT_TYPES = ("view", "click", "purchase")
@@ -128,9 +130,71 @@ class SyntheticEventsDataSource(DataSource):
         return SyntheticEventsStreamReader(self.options)
 
 
+class _ReceiptCommit(WriterCommitMessage):
+    def __init__(self, n_rows: int, value_sum: float):
+        self.n_rows, self.value_sum = n_rows, value_sum
+
+
+class ReceiptSinkWriter(DataSourceWriter):
+    """Two-phase commit demo: each task's ``write`` tallies its partition
+    and returns a commit message; the DRIVER's ``commit`` — called only
+    once every task succeeded — writes a single JSON receipt atomically
+    (tmp + rename). A task retry's duplicate tally is discarded with its
+    failed attempt (Spark only forwards messages from committed task
+    attempts), and ``abort`` leaves no receipt: readers of the receipt
+    see all-or-nothing, the same contract a real table sink's manifest
+    commit provides."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("receipt_sink requires .option('path', ...)")
+
+    def write(self, iterator) -> _ReceiptCommit:
+        n, s = 0, 0.0
+        for row in iterator:
+            n += 1
+            s += float(row.value or 0.0)
+        return _ReceiptCommit(n, s)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        receipt = {
+            "n_rows": sum(m.n_rows for m in messages),
+            "value_sum": round(sum(m.value_sum for m in messages), 6),
+            "n_tasks": len(messages),
+        }
+        tmp = f"{self.path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(receipt, f)
+        os.replace(tmp, self.path)
+
+    def abort(self, messages) -> None:
+        import os
+
+        if os.path.exists(f"{self.path}.tmp"):
+            os.unlink(f"{self.path}.tmp")
+
+
+class ReceiptSinkDataSource(DataSource):
+    """``df.write.format("receipt_sink").option("path", p).save()`` —
+    writes an aggregate receipt, not the rows (the write-side accounting
+    pattern of ``write_parquet(observe=...)``, expressed as a connector)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "receipt_sink"
+
+    def writer(self, schema, overwrite: bool) -> ReceiptSinkWriter:
+        return ReceiptSinkWriter(self.options)
+
+
 def register(spark) -> None:
     """Idempotent per-session registration."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(ReceiptSinkDataSource)
 
 
 Q_ROWS = 2000

@@ -61,3 +61,21 @@ def test_stream_batches_partition_the_id_space(spark):
         q.stop()
     ids = sorted(r.event_id for r in spark.table("t_pyds_stream").collect())
     assert ids == list(range(350))
+
+
+def test_receipt_sink_two_phase_commit(spark, tmp_path):
+    """Writer face: per-task tallies aggregate into one atomic driver-side
+    receipt; totals equal the source's own aggregates."""
+    import json
+
+    register(spark)
+    receipt = str(tmp_path / "receipt.json")
+    df = spark.read.format("synthetic_events").option("rows", "500").load()
+    expected = df.agg({"value": "sum"}).first()[0]
+    df.write.format("receipt_sink").option("path", receipt).mode(
+        "overwrite"
+    ).save()
+    got = json.load(open(receipt))
+    assert got["n_rows"] == 500
+    assert got["n_tasks"] >= 2  # parallel write tasks, merged at commit
+    assert abs(got["value_sum"] - expected) < 1e-6
