@@ -162,3 +162,45 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling (enabled in the session): one hot key owning
+    ~98% of the left side gets its partition SPLIT at runtime —
+    SortMergeJoin(skew=true) with an 'AQEShuffleRead … skewed' input —
+    instead of one straggler task. This is the first line of defense at
+    100 TB; operators/skew.py's explicit salting covers the beyond-AQE
+    cases (aggregations, pathological keys). Thresholds are shrunk only
+    so the fixture-scale bytes qualify as 'skewed'."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(0, 51000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") < 50000, F.lit(0)).otherwise(F.col("id") % 100),
+            )
+            .withColumn("pay", F.md5(F.col("id").cast("string")))
+        )
+        right = (
+            spark.range(0, 100)
+            .withColumnRenamed("id", "k")
+            .withColumn("attr", F.md5(F.col("k").cast("string")))
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 51000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
