@@ -1,6 +1,7 @@
 """End-to-end corpus-curation DAG: quality filter → exact dedup →
-sequence packing → mixture report, composed from the round-2 corpus
-operators and the salted stage graph (``plans/stages.py``).
+mixture resample → sequence packing → epoch shuffle → report, composed
+from the corpus operators and the salted stage graph
+(``plans/stages.py``).
 
 This is the LLM-data twin of the reference's 7-stage feature pipeline
 (``pb_etl_spark/pipeline.py``): the same content-addressed incremental
@@ -47,8 +48,48 @@ def _dedup(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
     doc.join(keep, "doc_id", "left_semi").write.parquet(out)
 
 
-def _pack(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
+def _mixture(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
+    """Deterministic downsample to a uniform source mixture (the
+    q_mixture_resample rule applied to the deduped corpus): keep with
+    probability (total/k)/n_src, decided by md5(doc_id) — reproducible
+    on stage retry, which the salted DAG's resume semantics require."""
     doc = spark.read.parquet(deps["deduped"])
+    per_src = doc.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    rates = per_src.select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.sum("n_src").over(w_all) / F.count(F.lit(1)).over(w_all))
+            / F.col("n_src"),
+        ).alias("__keep_rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    (
+        doc.join(F.broadcast(rates), "source")
+        .filter(u < F.col("__keep_rate"))
+        .drop("__keep_rate")
+        .write.parquet(out)
+    )
+
+
+def _shuffle(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
+    """Epoch shuffle: globally sort the packed corpus by md5(salt||id) —
+    the distributed, deterministic permutation a trainer reads
+    sequentially (see q_deterministic_shuffle). Sorted parquet out."""
+    packed = spark.read.parquet(deps["packed"])
+    key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    packed.withColumn("__shuffle_key", key).sort("__shuffle_key").drop(
+        "__shuffle_key"
+    ).write.parquet(out)
+
+
+def _pack(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
+    doc = spark.read.parquet(deps["mixed"])
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
     w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
@@ -64,7 +105,7 @@ def _pack(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
 
 
 def _report(spark: SparkSession, out: str, deps: dict[str, str]) -> dict:
-    packed = spark.read.parquet(deps["packed"])
+    packed = spark.read.parquet(deps["shuffled"])
     row = packed.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
@@ -84,16 +125,23 @@ def build_corpus_pipeline(sf_dir: str) -> Stage:
         params={"sf_dir": sf_dir},
     )
     deduped = Stage(name="corpus_dedup", fn=_dedup, deps={"curated": curated})
+    mixed = Stage(name="corpus_mixture", fn=_mixture, deps={"deduped": deduped})
     packed = Stage(
         name="corpus_pack",
         fn=_pack,
-        deps={"deduped": deduped},
+        deps={"mixed": mixed},
         params={"budget": PACK_BUDGET},
+    )
+    shuffled = Stage(
+        name="corpus_shuffle",
+        fn=_shuffle,
+        deps={"packed": packed},
+        params={"epoch": 0},
     )
     return Stage(
         name="corpus_report",
         fn=_report,
-        deps={"packed": packed},
+        deps={"shuffled": shuffled},
         ephemeral=True,
     )
 

@@ -20,7 +20,9 @@ def test_pipeline_funnel_and_resume(spark, tmp_path):
     assert set(out["ran"]) == {
         "corpus_curate",
         "corpus_dedup",
+        "corpus_mixture",
         "corpus_pack",
+        "corpus_shuffle",
         "corpus_report",
     }
     assert out["skipped"] == []
@@ -37,7 +39,13 @@ def test_pipeline_funnel_and_resume(spark, tmp_path):
     # resume: everything materialized is skipped, report still runs
     out2 = run_corpus_pipeline(spark, SF_DIR, base)
     assert out2["ran"] == ["corpus_report"]
-    assert set(out2["skipped"]) == {"corpus_curate", "corpus_dedup", "corpus_pack"}
+    assert set(out2["skipped"]) == {
+        "corpus_curate",
+        "corpus_dedup",
+        "corpus_mixture",
+        "corpus_pack",
+        "corpus_shuffle",
+    }
     assert out2["n_docs"] == out["n_docs"]
 
 
@@ -49,14 +57,20 @@ def test_version_bump_cascades_downstream_only(spark, tmp_path):
     report = build_corpus_pipeline(SF_DIR)
     StageRunner(spark, base).run(report)
 
-    # bump the dedup stage's version: dedup + pack re-run, curate is reused
+    # bump the dedup stage's version: everything downstream re-runs,
+    # curate is reused
     report2 = build_corpus_pipeline(SF_DIR)
-    packed = report2.deps["packed"]
-    dedup = packed.deps["deduped"]
+    dedup = report2.deps["shuffled"].deps["packed"].deps["mixed"].deps["deduped"]
     dedup.version = "2.0"
     runner = StageRunner(spark, base)
     runner.run(report2)
-    assert set(runner.ran) == {"corpus_dedup", "corpus_pack", "corpus_report"}
+    assert set(runner.ran) == {
+        "corpus_dedup",
+        "corpus_mixture",
+        "corpus_pack",
+        "corpus_shuffle",
+        "corpus_report",
+    }
     assert runner.skipped == ["corpus_curate"]
 
 
@@ -68,7 +82,7 @@ def test_packed_output_is_contiguous_per_source(spark, tmp_path):
     report = build_corpus_pipeline(SF_DIR)
     runner = StageRunner(spark, base)
     runner.run(report)
-    packed_path = report.deps["packed"].out_path(base)
+    packed_path = report.deps["shuffled"].deps["packed"].out_path(base)
     packed = spark.read.parquet(packed_path)
     # within a source, pack_id is nondecreasing in doc_id order and the
     # tokens-before-this-doc count determines it exactly
