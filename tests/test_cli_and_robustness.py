@@ -46,7 +46,13 @@ def test_cli_corpus_mode_runs_dag(spark, tmp_path, capsys):
     rc = main(["--corpus", "--sf-dir", SF_DIR, "--workdir", workdir])
     assert rc == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert set(out2["skipped"]) == {"corpus_curate", "corpus_dedup", "corpus_pack"}
+    assert set(out2["skipped"]) == {
+        "corpus_curate",
+        "corpus_dedup",
+        "corpus_mixture",
+        "corpus_pack",
+        "corpus_shuffle",
+    }
 
 
 def test_csv_malformed_rows_degrade_to_nulls(spark, tmp_path):
