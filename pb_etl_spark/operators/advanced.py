@@ -251,6 +251,27 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_per_source_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-small-models: an OLS fit of n_chars ~ n_tokens PER SOURCE in
+    one grouped pass, via the REGR_* aggregate family (JVM codegen, map-
+    side combinable — the closed-form 'train a model per entity' shape
+    that needs no Python and no per-group collect). At 100 TB with 10⁶
+    groups this is one shuffle of per-group moment partials; the
+    applyInPandas per-group-sklearn variant is only needed for models
+    with no aggregate closed form."""
+    doc = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("double")
+    d = doc.select(
+        "source", n_tok.alias("x"), F.col("n_chars").cast("double").alias("y")
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
+
+
 def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmin/argmax aggregates: per-customer orderkey of the cheapest
     order and price of the newest orderkey. (o_totalprice is tie-free per
@@ -408,6 +429,19 @@ ORACLES: dict[str, str] = {
                ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
         FROM lineitem GROUP BY l_returnflag
     """,
+    "per_source_regression": """
+        WITH d AS (
+            SELECT source,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS x,
+                   CAST(n_chars AS DOUBLE) AS y
+            FROM documents
+        )
+        SELECT source, COUNT(*) AS n,
+               ROUND(REGR_SLOPE(y, x), 6) AS slope,
+               ROUND(REGR_INTERCEPT(y, x), 6) AS intercept,
+               ROUND(REGR_R2(y, x), 6) AS r2
+        FROM d GROUP BY source
+    """,
     "winsorized_stats": """
         WITH b AS (
             SELECT l_returnflag,
@@ -559,5 +593,6 @@ QUERIES = {
     "stats_aggs": q_stats_aggs,
     "percentiles": q_percentiles,
     "winsorized_stats": q_winsorized_stats,
+    "per_source_regression": q_per_source_regression,
     "min_max_by": q_min_max_by,
 }
