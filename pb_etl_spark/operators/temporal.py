@@ -147,6 +147,61 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cogroup_time_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-click seconds since the user's most recent purchase at-or-
+    before it (NULL when none) — the as-of semantic implemented on the
+    COGROUP API: ``clicks.groupBy(user).cogroup(purchases.groupBy(user))
+    .applyInPandas``, one Arrow batch per user holding both sides, the
+    match via ``np.searchsorted`` on the sorted purchase timestamps.
+
+    This is custom-operator rule (b) (Arrow-batched pandas where the
+    imperative form is clearer than a window composition): cogroup
+    shuffles each side ONCE on the key and streams aligned group pairs —
+    the right API whenever per-key logic needs BOTH tables in memory
+    (merge-asof, per-entity backtests, interleaved sequence alignment).
+    All time math on integer microseconds; the division to seconds is
+    the same float op in the oracle, so values hash-match."""
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+
+    def align(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if left.empty:
+            return pd.DataFrame(
+                {"user_id": [], "event_id": [], "secs_since_purchase": []}
+            )
+        c_us = left["us"].to_numpy(dtype="int64")
+        p_us = np.sort(right["us"].to_numpy(dtype="int64")) if len(right) else None
+        if p_us is None or len(p_us) == 0:
+            secs = np.full(len(c_us), np.nan)
+        else:
+            idx = np.searchsorted(p_us, c_us, side="right") - 1
+            secs = np.where(idx >= 0, (c_us - p_us[np.clip(idx, 0, None)]) / 1e6, np.nan)
+        return pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_id": left["event_id"].to_numpy(),
+                "secs_since_purchase": np.round(secs, 6),
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            align, schema="user_id long, event_id long, secs_since_purchase double"
+        )
+    )
+
+
 def range_join_pairs(
     events: DataFrame, band_us: int = RANGE_BAND_US, key: str = "user_id"
 ) -> DataFrame:
@@ -300,6 +355,24 @@ ORACLES: dict[str, str] = {
           ON a.user_id = b.user_id AND a.event_id < b.event_id
          AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
     """,
+    "cogroup_time_since": """
+        WITH clicks AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ), matched AS (
+            SELECT c.user_id, c.event_id, c.ts AS c_ts,
+                   MAX(p.ts) AS p_ts
+            FROM clicks c
+            LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND p.ts <= c.ts
+            GROUP BY c.user_id, c.event_id, c.ts
+        )
+        SELECT user_id, event_id,
+               ROUND((epoch_us(c_ts) - epoch_us(p_ts)) / 1000000.0, 6)
+                   AS secs_since_purchase
+        FROM matched
+    """,
     "pit_join": """
         WITH versions AS (
             SELECT user_id, ts AS version_since,
@@ -329,6 +402,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "asof_join": q_asof_join,
     "pit_join": q_pit_join,
+    "cogroup_time_since": q_cogroup_time_since,
     "range_join": q_range_join,
     "gap_fill_resample": q_gap_fill_resample,
     "multi_resolution_rollup": q_multi_resolution_rollup,
