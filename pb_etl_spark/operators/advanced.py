@@ -272,6 +272,33 @@ def q_per_source_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE (Spark 4) — hierarchy walk: parts form a
+    tree via parent(k) = k div 10; the recursion assigns every part its
+    root ancestor and depth. The BOM-explosion / org-chart shape that
+    previously needed a driver-side iteration loop (cf.
+    clustering.py's iterative connected components, which PRE-dates
+    native recursion and remains the right tool when each step needs
+    aggregation — recursive terms cannot aggregate). Linear work: each
+    row joins the frontier exactly once; no transitive-closure blow-up."""
+    read_table(spark, sf_dir, "part").createOrReplaceTempView(
+        "__rec_part"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(p_partkey, root, depth) AS (
+            SELECT p_partkey, p_partkey AS root, 0 AS depth
+            FROM __rec_part WHERE p_partkey < 10
+            UNION ALL
+            SELECT p.p_partkey, t.root, t.depth + 1
+            FROM __rec_part p JOIN tree t ON p.p_partkey DIV 10 = t.p_partkey
+            WHERE p.p_partkey >= 10
+        )
+        SELECT p_partkey, root, CAST(depth AS BIGINT) AS depth FROM tree
+        """
+    )
+
+
 def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmin/argmax aggregates: per-customer orderkey of the cheapest
     order and price of the newest orderkey. (o_totalprice is tie-free per
@@ -428,6 +455,17 @@ ORACLES: dict[str, str] = {
                ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
                ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "recursive_hierarchy": """
+        WITH RECURSIVE tree(p_partkey, root, depth) AS (
+            SELECT p_partkey, p_partkey AS root, 0 AS depth
+            FROM part WHERE p_partkey < 10
+            UNION ALL
+            SELECT p.p_partkey, t.root, t.depth + 1
+            FROM part p JOIN tree t ON p.p_partkey // 10 = t.p_partkey
+            WHERE p.p_partkey >= 10
+        )
+        SELECT p_partkey, root, CAST(depth AS BIGINT) AS depth FROM tree
     """,
     "per_source_regression": """
         WITH d AS (
@@ -594,5 +632,6 @@ QUERIES = {
     "percentiles": q_percentiles,
     "winsorized_stats": q_winsorized_stats,
     "per_source_regression": q_per_source_regression,
+    "recursive_hierarchy": q_recursive_hierarchy,
     "min_max_by": q_min_max_by,
 }
