@@ -222,3 +222,39 @@ def test_stream_upsert_maintains_latest_table(spark, tmp_path):
     g = {r["user_id"]: r["ts"] for r in got.collect()}
     e = {r["user_id"]: r["ts"] for r in want.collect()}
     assert g == e
+
+
+def test_stateful_op_identical_under_rocksdb_state_store(spark):
+    """The at-scale state backend: RocksDB state store (bounded memory,
+    incremental checkpoints) must produce the same drained state as the
+    default HDFS-backed provider for the custom stateful operator.
+    State-backend choice is a deployment knob, never a semantics change."""
+    from pb_etl_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        user_totals_stateful,
+    )
+    from tests.conftest import SF_DIR
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key)
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+
+    def drain(name):
+        sdf = read_event_stream(spark, SF_DIR, glob="events.parquet")
+        out = run_to_memory(
+            user_totals_stateful(sdf), name, output_mode="update"
+        )
+        return {
+            r.user_id: (r.n_events, r.total_value) for r in out.collect()
+        }
+
+    base = drain("t_state_default")
+    try:
+        spark.conf.set(key, rocks)
+        got = drain("t_state_rocksdb")
+    finally:
+        spark.conf.set(key, default)
+    assert got == base and len(got) > 0
