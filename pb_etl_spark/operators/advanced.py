@@ -299,6 +299,28 @@ def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): customer names are
+    case-mangled deterministically (every even key uppercased), then
+    grouped under UTF8_LCASE — case variants collapse WITHOUT rewriting
+    the data through lower() (at scale, collation is metadata the
+    optimizer understands: comparisons, joins, and aggregations on the
+    collated column stay codegen'd, and the original bytes survive for
+    display). The oracle expresses the same grouping via LOWER()."""
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    mangled = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper(F.col("c_name"))
+    ).otherwise(F.col("c_name"))
+    return (
+        cust.select(F.collate(mangled, "UTF8_LCASE").alias("name_ci"))
+        .groupBy("name_ci")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # normalize the grouping key for comparison: collation affects
+        # EQUALITY, not the stored bytes — either variant may surface
+        .select(F.lower("name_ci").alias("name_lc"), "n")
+    )
+
+
 def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmin/argmax aggregates: per-customer orderkey of the cheapest
     order and price of the newest orderkey. (o_totalprice is tie-free per
@@ -455,6 +477,15 @@ ORACLES: dict[str, str] = {
                ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
                ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "collated_group": """
+        WITH mangled AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_name)
+                        ELSE c_name END AS name
+            FROM customer WHERE c_custkey <= 200
+        )
+        SELECT LOWER(name) AS name_lc, COUNT(*) AS n
+        FROM mangled GROUP BY LOWER(name)
     """,
     "recursive_hierarchy": """
         WITH RECURSIVE tree(p_partkey, root, depth) AS (
@@ -633,5 +664,6 @@ QUERIES = {
     "winsorized_stats": q_winsorized_stats,
     "per_source_regression": q_per_source_regression,
     "recursive_hierarchy": q_recursive_hierarchy,
+    "collated_group": q_collated_group,
     "min_max_by": q_min_max_by,
 }
