@@ -1,0 +1,168 @@
+"""Versioned parquet table: copy-on-write snapshots with time travel —
+the lakehouse-lite layer over flat parquet.
+
+``upsert_parquet`` (sources/parquet.py) mutates its target in place
+(readers always see the newest state, old state is gone). This module
+keeps EVERY committed state as an immutable snapshot directory::
+
+    {path}/v=1/...   complete parquet dataset (never mutated)
+    {path}/v=2/...
+    {path}/_LATEST   text file holding the current version number
+
+giving the three properties a 100 TB pipeline actually buys a table
+format for:
+
+- **Snapshot isolation**: a reader resolves ``_LATEST`` once and reads
+  that frozen directory — a concurrent commit cannot shear its scan.
+- **Time travel**: any retained version is readable by number — the
+  "reproduce last Tuesday's training set" requirement.
+- **Atomic commit**: a version becomes visible only when the one-byte
+  ``_LATEST`` pointer is atomically replaced (os.replace); a crashed
+  writer leaves an orphan v-dir, never a torn table.
+
+Copy-on-write cost is the documented trade: every commit rewrites the
+survivors (same cost as upsert_parquet's rewrite — flat parquet cannot
+do file-level deltas; that is Delta/Iceberg manifest territory).
+``vacuum`` bounds retention. Single writer per table, same lock
+protocol as upsert_parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOCK_STALE_S = 3600
+
+
+class VersionedTable:
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+
+    # -- metadata ----------------------------------------------------------
+    def _latest_file(self) -> str:
+        return os.path.join(self.path, "_LATEST")
+
+    def latest_version(self) -> int:
+        """0 when the table does not exist yet."""
+        try:
+            with open(self._latest_file()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for d in os.listdir(self.path):
+            if d.startswith("v=") and os.path.exists(
+                os.path.join(self.path, d, "_SUCCESS")
+            ):
+                out.append(int(d[2:]))
+        return sorted(out)
+
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.path, f"v={v}")
+
+    # -- locking (single writer, stale-break) ------------------------------
+    def _take_lock(self) -> str:
+        lock = f"{self.path}__lock"
+        os.makedirs(self.path, exist_ok=True)
+        try:
+            if (
+                os.path.exists(lock)
+                and time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
+            ):
+                os.unlink(lock)
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+        except FileExistsError:
+            raise RuntimeError(
+                f"VersionedTable: {self.path} is locked by a concurrent "
+                "writer; commits are single-writer per table"
+            ) from None
+        return lock
+
+    # -- commits -----------------------------------------------------------
+    def _commit(self, df: DataFrame) -> int:
+        """Write df as the next snapshot; flip _LATEST atomically."""
+        lock = self._take_lock()
+        try:
+            v = self.latest_version() + 1
+            vdir = self._vdir(v)
+            df.write.mode("overwrite").parquet(vdir)
+            tmp = self._latest_file() + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._latest_file())
+            return v
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def write(self, df: DataFrame) -> int:
+        """Full overwrite as a new snapshot (old versions retained)."""
+        return self._commit(df)
+
+    def upsert(self, spark: SparkSession, updates: DataFrame, key: str | list[str]) -> int:
+        """MERGE as a new snapshot: same anti-join + unionByName shape as
+        upsert_parquet, but survivors come from the CURRENT SNAPSHOT and
+        the merge lands in a NEW one — previous versions stay readable."""
+        keys = [key] if isinstance(key, str) else list(key)
+        dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "VersionedTable.upsert: update batch has multiple rows for "
+                "at least one key — pre-compact with keep-latest first"
+            )
+        v = self.latest_version()
+        if v == 0:
+            return self._commit(updates)
+        current = self.read(updates.sparkSession, version=v)
+        survivors = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+        return self._commit(survivors.unionByName(updates, allowMissingColumns=True))
+
+    # -- reads -------------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Latest snapshot, or time-travel to ``version``."""
+        v = self.latest_version() if version is None else version
+        vdir = self._vdir(v)
+        if v == 0 or not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            raise FileNotFoundError(
+                f"VersionedTable: no complete snapshot v={v} under {self.path}"
+            )
+        return spark.read.parquet(vdir)
+
+    # -- retention ---------------------------------------------------------
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots; returns the
+        removed version numbers. Never removes the latest."""
+        vs = self.versions()
+        keep = set(vs[-max(1, keep_last):])
+        removed = []
+        lock = self._take_lock()
+        try:
+            for v in vs:
+                if v not in keep:
+                    shutil.rmtree(self._vdir(v), ignore_errors=True)
+                    removed.append(v)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+        return removed
