@@ -97,6 +97,30 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic battery: ``try_divide`` / ``Column.try_cast`` return NULL where strict ANSI mode would raise
+    (÷0, malformed cast) — the functions that make a pipeline ANSI-mode
+    clean without wrapping every expression in CASE. Division by zero
+    is manufactured deterministically from the data; the oracle builds
+    the same NULLs with NULLIF/TRY_CAST."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    denom = F.col("o_orderkey") % 3  # 0 for every third key
+    bad_str = F.when(
+        F.col("o_orderkey") % 2 == 0, F.lit("not-a-number")
+    ).otherwise(F.col("o_orderkey").cast("string"))
+    return o.select(
+        "o_orderkey",
+        # emit integer cents (floor) — ROUND(x/2, 2) lands on half-cent
+        # boundaries where engines' double rounding differs
+        F.floor(
+            F.try_divide(F.expr("cast(round(o_totalprice * 100) as bigint)"), denom)
+        ).cast("long").alias("price_per_cents"),
+        F.try_divide(F.col("o_totalprice"), denom).isNull().alias("div_failed"),
+        bad_str.try_cast("long").alias("parsed_key"),
+        bad_str.try_cast("long").isNull().alias("cast_failed"),
+    )
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, whitespace + BPE-ish regex (training-data surface):
     whitespace tokens vs regex sub-tokens per document."""
@@ -273,6 +297,22 @@ ORACLES: dict[str, str] = {
                ROUND(LEAST(l_discount, l_tax), 6) AS min_rate
         FROM lineitem WHERE l_orderkey <= 400
     """,
+    "try_funcs": """
+        WITH b AS (
+            SELECT o_orderkey, o_totalprice,
+                   o_orderkey % 3 AS denom,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'not-a-number'
+                        ELSE CAST(o_orderkey AS VARCHAR) END AS bad_str
+            FROM orders WHERE o_orderkey <= 5000
+        )
+        SELECT o_orderkey,
+               CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          / NULLIF(denom, 0)) AS BIGINT) AS price_per_cents,
+               (o_totalprice / NULLIF(denom, 0)) IS NULL AS div_failed,
+               TRY_CAST(bad_str AS BIGINT) AS parsed_key,
+               TRY_CAST(bad_str AS BIGINT) IS NULL AS cast_failed
+        FROM b
+    """,
     "null_handling": """
         SELECT o_orderkey,
                COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
@@ -306,6 +346,7 @@ QUERIES = {
     "date_funcs": q_date_funcs,
     "math_funcs": q_math_funcs,
     "null_handling": q_null_handling,
+    "try_funcs": q_try_funcs,
     "bpe_token_count": q_bpe_token_count,
     "array_funcs": q_array_funcs,
 }
