@@ -321,6 +321,25 @@ def q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, SQL:2023-era |> operators): the same
+    filter → aggregate → having shape expressed as a linear pipeline —
+    parses to the identical Catalyst plan as the nested-SELECT oracle,
+    demonstrating the surface is syntax, not a new engine path."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("__pipe_orders")
+    return spark.sql(
+        """
+        FROM __pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS total_price,
+                     ROUND(AVG(o_totalprice), 6) AS avg_price
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        """
+    )
+
+
 def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmin/argmax aggregates: per-customer orderkey of the cheapest
     order and price of the newest orderkey. (o_totalprice is tie-free per
@@ -477,6 +496,14 @@ ORACLES: dict[str, str] = {
                ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
                ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "pipe_syntax_agg": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price,
+               ROUND(AVG(o_totalprice), 6) AS avg_price
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        HAVING COUNT(*) > 10
     """,
     "collated_group": """
         WITH mangled AS (
@@ -665,5 +692,6 @@ QUERIES = {
     "per_source_regression": q_per_source_regression,
     "recursive_hierarchy": q_recursive_hierarchy,
     "collated_group": q_collated_group,
+    "pipe_syntax_agg": q_pipe_syntax_agg,
     "min_max_by": q_min_max_by,
 }
