@@ -340,6 +340,34 @@ def q_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (Spark 4 CREATE FUNCTION … RETURN expr):
+    named, typed scalar functions whose BODY is SQL — Catalyst inlines
+    them into the calling plan, so unlike Python UDFs they stay inside
+    whole-stage codegen and cost nothing at 100 TB. The oracle inlines
+    the same expressions by hand, proving the UDF layer is pure
+    naming/reuse, not an execution boundary."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __charged(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+    )
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__udf_li")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(__disc_price(l_extendedprice, l_discount)), 2)
+                   AS sum_disc_price,
+               ROUND(SUM(__charged(l_extendedprice, l_discount, l_tax)), 2)
+                   AS sum_charged
+        FROM __udf_li GROUP BY l_returnflag
+        """
+    )
+
+
 def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmin/argmax aggregates: per-customer orderkey of the cheapest
     order and price of the newest orderkey. (o_totalprice is tie-free per
@@ -495,6 +523,14 @@ ORACLES: dict[str, str] = {
                ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
                ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
                ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "sql_udf_pricing": """
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charged
         FROM lineitem GROUP BY l_returnflag
     """,
     "pipe_syntax_agg": """
@@ -693,5 +729,6 @@ QUERIES = {
     "recursive_hierarchy": q_recursive_hierarchy,
     "collated_group": q_collated_group,
     "pipe_syntax_agg": q_pipe_syntax_agg,
+    "sql_udf_pricing": q_sql_udf_pricing,
     "min_max_by": q_min_max_by,
 }
