@@ -49,43 +49,38 @@ def _dedup(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
 
 
 def _mixture(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
-    """Deterministic downsample to a uniform source mixture (the
-    q_mixture_resample rule applied to the deduped corpus): keep with
-    probability (total/k)/n_src, decided by md5(doc_id) — reproducible
-    on stage retry, which the salted DAG's resume semantics require."""
+    """Deterministic downsample to a uniform source mixture — shares the
+    rate/uniform builders with the oracle-checked q_mixture_resample, so
+    the DAG stage cannot drift from the verified rule. md5-keyed: a
+    stage retry re-selects the same rows (the salted DAG's resume
+    contract)."""
+    from pb_etl_spark.operators.corpus import doc_uniform, uniform_mixture_rates
+
     doc = spark.read.parquet(deps["deduped"])
-    per_src = doc.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    rates = per_src.select(
-        "source",
-        F.least(
-            F.lit(1.0),
-            (F.sum("n_src").over(w_all) / F.count(F.lit(1)).over(w_all))
-            / F.col("n_src"),
-        ).alias("__keep_rate"),
-    )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(float(1 << 32))
-    )
+    rates = uniform_mixture_rates(doc)
     (
         doc.join(F.broadcast(rates), "source")
-        .filter(u < F.col("__keep_rate"))
-        .drop("__keep_rate")
+        .filter(doc_uniform(F.col("doc_id")) < F.col("keep_rate"))
+        .drop("keep_rate")
         .write.parquet(out)
     )
 
 
+SHUFFLE_EPOCH = 0  # also the 'epoch' stage param — keep the two in lockstep
+
+
 def _shuffle(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
-    """Epoch shuffle: globally sort the packed corpus by md5(salt||id) —
-    the distributed, deterministic permutation a trainer reads
-    sequentially (see q_deterministic_shuffle). Sorted parquet out."""
+    """Epoch shuffle: globally sort the packed corpus by the shared
+    per-epoch permutation key (operators.corpus.shuffle_key — same
+    function the oracle-checked q_deterministic_shuffle uses). Sorted
+    parquet out; the epoch number is a stage param so bumping it
+    re-addresses the output."""
+    from pb_etl_spark.operators.corpus import shuffle_key
+
     packed = spark.read.parquet(deps["packed"])
-    key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
-    packed.withColumn("__shuffle_key", key).sort("__shuffle_key").drop(
-        "__shuffle_key"
-    ).write.parquet(out)
+    packed.withColumn(
+        "__shuffle_key", shuffle_key(F.col("doc_id"), epoch=SHUFFLE_EPOCH)
+    ).sort("__shuffle_key").drop("__shuffle_key").write.parquet(out)
 
 
 def _pack(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
@@ -136,7 +131,7 @@ def build_corpus_pipeline(sf_dir: str) -> Stage:
         name="corpus_shuffle",
         fn=_shuffle,
         deps={"packed": packed},
-        params={"epoch": 0},
+        params={"epoch": SHUFFLE_EPOCH},
     )
     return Stage(
         name="corpus_report",

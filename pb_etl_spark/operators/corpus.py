@@ -222,24 +222,10 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen. Rates and u are compared RAW (both sides compute identical
     doubles from exact integers) and only rounded in the projection."""
     doc = read_table(spark, sf_dir, "documents")
-    per_src = doc.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    rates = per_src.select(
-        "source",
-        F.least(
-            F.lit(1.0),
-            (F.sum("n_src").over(w_all) / F.count(F.lit(1)).over(w_all))
-            / F.col("n_src"),
-        ).alias("keep_rate"),
-    )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(float(1 << 32))
-    )
+    rates = uniform_mixture_rates(doc)
     return (
         doc.join(F.broadcast(rates), "source")  # bounded: one row per source
-        .withColumn("u", u)
+        .withColumn("u", doc_uniform(F.col("doc_id")))
         .filter(F.col("u") < F.col("keep_rate"))
         .select(
             "doc_id",
@@ -250,7 +236,36 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SHUFFLE_SALT = "epoch0"
+def doc_uniform(col):
+    """md5-derived uniform u(col) ∈ [0,1) — the engine's reproducible
+    Bernoulli source (cf. weighted_hash_sample); identical in DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
+def uniform_mixture_rates(doc: DataFrame) -> DataFrame:
+    """Per-source keep rates for a UNIFORM target mixture:
+    min(1, (total/n_sources)/n_src). One row per source — broadcast it."""
+    per_src = doc.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return per_src.select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.sum("n_src").over(w_all) / F.count(F.lit(1)).over(w_all))
+            / F.col("n_src"),
+        ).alias("keep_rate"),
+    )
+
+
+def shuffle_key(col, epoch: int = 0):
+    """Deterministic per-epoch permutation key: md5('epoch{N}:' || id)."""
+    return F.md5(F.concat(F.lit(f"epoch{epoch}:"), col.cast("string")))
+
+
+SHUFFLE_SALT = "epoch0"  # = shuffle_key(..., epoch=0)'s salt, used in oracles
 
 
 def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,10 +282,9 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists only to surface positions for the oracle — production writes
     the sort order itself."""
     doc = read_table(spark, sf_dir, "documents")
-    key = F.md5(F.concat(F.lit(SHUFFLE_SALT + ":"), F.col("doc_id").cast("string")))
     w = W.orderBy("shuffle_key")
     return (
-        doc.select("doc_id", key.alias("shuffle_key"))
+        doc.select("doc_id", shuffle_key(F.col("doc_id"), epoch=0).alias("shuffle_key"))
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
 

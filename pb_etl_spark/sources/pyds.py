@@ -283,24 +283,7 @@ _SYNTH_AGG_ORACLE = f"""
 
 ORACLES: dict[str, str] = {
     # batch and stream faces of the connector must both equal the same
-    # regenerated table after a full drain
+    # regenerated table after a full drain — one oracle, two queries
+    "python_datasource": _SYNTH_AGG_ORACLE,
     "stream_python_datasource": _SYNTH_AGG_ORACLE,
-    "python_datasource": f"""
-        WITH ids AS (SELECT unnest(generate_series(0, {Q_ROWS - 1})) AS i),
-        rows_ AS (
-            SELECT
-                CAST('0x' || substring(md5('u:' || i), 1, 8) AS BIGINT) % 100
-                    AS user_id,
-                CASE (CAST('0x' || substring(md5('t:' || i), 1, 8) AS BIGINT) % 3)
-                    WHEN 0 THEN 'view' WHEN 1 THEN 'click' ELSE 'purchase'
-                END AS event_type,
-                ROUND((CAST('0x' || substring(md5('v:' || i), 1, 8) AS BIGINT)
-                       % 10000) / 100.0, 2) AS value
-            FROM ids
-        )
-        SELECT event_type, COUNT(*) AS n_events,
-               COUNT(DISTINCT user_id) AS n_users,
-               ROUND(SUM(value), 2) AS total_value
-        FROM rows_ GROUP BY event_type
-    """,
 }

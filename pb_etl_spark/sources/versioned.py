@@ -71,6 +71,14 @@ class VersionedTable:
 
     # -- locking (single writer, stale-break) ------------------------------
     def _take_lock(self) -> str:
+        """O_EXCL lockfile. Stale-break is race-safe: the stale lock is
+        first RENAMED to a unique name (atomic — exactly one contender
+        wins; the loser's rename raises FileNotFoundError and it simply
+        proceeds to the create attempt). Never unlink-in-place: between
+        an unlink and the create, a rival's FRESH lock could land and be
+        destroyed, silently admitting two writers."""
+        import uuid
+
         lock = f"{self.path}__lock"
         os.makedirs(self.path, exist_ok=True)
         try:
@@ -78,7 +86,10 @@ class VersionedTable:
                 os.path.exists(lock)
                 and time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
             ):
-                os.unlink(lock)
+                try:
+                    os.rename(lock, f"{lock}.stale.{uuid.uuid4().hex[:8]}")
+                except FileNotFoundError:
+                    pass  # a rival broke it first; fall through to create
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, str(os.getpid()).encode())
             os.close(fd)
@@ -90,32 +101,39 @@ class VersionedTable:
         return lock
 
     # -- commits -----------------------------------------------------------
-    def _commit(self, df: DataFrame) -> int:
-        """Write df as the next snapshot; flip _LATEST atomically."""
+    def _commit_locked(self, df: DataFrame) -> int:
+        """Write df as the next snapshot; flip _LATEST atomically.
+        Caller must hold the lock."""
+        v = self.latest_version() + 1
+        vdir = self._vdir(v)
+        df.write.mode("overwrite").parquet(vdir)
+        tmp = self._latest_file() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._latest_file())
+        return v
+
+    def write(self, df: DataFrame) -> int:
+        """Full overwrite as a new snapshot (old versions retained)."""
         lock = self._take_lock()
         try:
-            v = self.latest_version() + 1
-            vdir = self._vdir(v)
-            df.write.mode("overwrite").parquet(vdir)
-            tmp = self._latest_file() + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(v))
-            os.replace(tmp, self._latest_file())
-            return v
+            return self._commit_locked(df)
         finally:
             try:
                 os.unlink(lock)
             except FileNotFoundError:
                 pass
 
-    def write(self, df: DataFrame) -> int:
-        """Full overwrite as a new snapshot (old versions retained)."""
-        return self._commit(df)
-
     def upsert(self, spark: SparkSession, updates: DataFrame, key: str | list[str]) -> int:
         """MERGE as a new snapshot: same anti-join + unionByName shape as
         upsert_parquet, but survivors come from the CURRENT SNAPSHOT and
-        the merge lands in a NEW one — previous versions stay readable."""
+        the merge lands in a NEW one — previous versions stay readable.
+
+        The lock wraps the WHOLE read-merge-commit cycle, not just the
+        pointer flip: with only the commit guarded, a rival's commit
+        landing between this upsert's read of the current snapshot and
+        its own commit would be silently overwritten by survivors
+        computed from the stale snapshot (lost update)."""
         keys = [key] if isinstance(key, str) else list(key)
         dup = (
             updates.groupBy(*keys)
@@ -129,12 +147,23 @@ class VersionedTable:
                 "VersionedTable.upsert: update batch has multiple rows for "
                 "at least one key — pre-compact with keep-latest first"
             )
-        v = self.latest_version()
-        if v == 0:
-            return self._commit(updates)
-        current = self.read(updates.sparkSession, version=v)
-        survivors = current.join(updates.select(*keys).distinct(), keys, "left_anti")
-        return self._commit(survivors.unionByName(updates, allowMissingColumns=True))
+        lock = self._take_lock()
+        try:
+            v = self.latest_version()
+            if v == 0:
+                return self._commit_locked(updates)
+            current = self.read(spark, version=v)
+            survivors = current.join(
+                updates.select(*keys).distinct(), keys, "left_anti"
+            )
+            return self._commit_locked(
+                survivors.unionByName(updates, allowMissingColumns=True)
+            )
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     # -- reads -------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
