@@ -86,28 +86,36 @@ _PRIORITY = [
     "media_feature_agg",
     "knn_cosine",
     "embedding_norms",
-    # -- the whole composite battery (TPC-H shapes + approx), never checked --
+    # -- representative composite battery (TPC-H shapes), never checked;
+    # the full 22 rotate through over rounds --
     "tpch_q1_pricing",
     "tpch_q6_revenue",
     "tpch_q10_returns",
     "tpch_q18_large_orders",
     "tpch_q7_nation_volume",
-    "tpch_q15_top_supplier",
     "tpch_q8_market_share",
-    "tpch_q17_small_qty",
-    "tpch_q14_promo",
     "tpch_q4_priority",
-    "tpch_q13_custdist",
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle_balances",
     "tpch_q3_shipping",
     "tpch_q5_region_volume",
     "window_ranking",
     "explode_history",
     "approx_distinct",
     "approx_percentiles",
-    # slot 50: hardest new decorrelation this round (double-EXISTS Q21)
+    # hardest decorrelation this round (double-EXISTS Q21)
     "tpch_q21_waiting_supplier",
+    # -- environment-sensitive novel paths: custom connector under the
+    # driver's own session, warehouse-writing queries, streaming drains,
+    # and the protobuf-gated transformWithState fallback — these are the
+    # queries whose behavior could differ between harnesses, so they get
+    # driver verification before more locally-green SQL shapes do --
+    "python_datasource",
+    "stream_python_datasource",
+    "bucketed_join",
+    "partition_pruned_scan",
+    "stream_foreach_upsert",
+    "stream_user_stats_tws",
+    # slot 51+: plain SQL shape, least environment-sensitive of the new set
+    "snapshot_diff",
 ]
 
 _MODULES = [
