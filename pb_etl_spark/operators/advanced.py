@@ -368,6 +368,41 @@ def q_sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: median + MAD (median absolute
+    deviation) of o_totalprice per order priority, and the count of
+    rows beyond median ± 3·1.4826·MAD — the outlier rule that, unlike
+    z-scores (see value_outliers), is not itself dragged by the
+    outliers. Two grouped percentile passes (median, then median of
+    |x − median| after a broadcast join-back of the 5-row median
+    table); the approx_percentile swap applies at 100 TB."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        "o_totalprice",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.first("med").alias("med"), F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "o_orderpriority")
+    return flagged.groupBy("o_orderpriority").agg(
+        F.round(F.first("med"), 2).alias("median_price"),
+        F.round(F.first("mad"), 2).alias("mad"),
+        F.sum(
+            (
+                F.abs(F.col("o_totalprice") - F.col("med"))
+                > 3 * 1.4826 * F.col("mad")
+            ).cast("long")
+        ).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmin/argmax aggregates: per-customer orderkey of the cheapest
     order and price of the newest orderkey. (o_totalprice is tie-free per
@@ -524,6 +559,29 @@ ORACLES: dict[str, str] = {
                ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
                ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "mad_outlier_stats": """
+        WITH med AS (
+            SELECT o_orderpriority,
+                   quantile_cont(o_totalprice, 0.5) AS med
+            FROM orders GROUP BY o_orderpriority
+        ), dev AS (
+            SELECT o.o_orderpriority, med.med, o.o_totalprice,
+                   ABS(o.o_totalprice - med.med) AS adev
+            FROM orders o JOIN med USING (o_orderpriority)
+        ), mad AS (
+            SELECT o_orderpriority, ANY_VALUE(med) AS med,
+                   quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY o_orderpriority
+        )
+        SELECT d.o_orderpriority,
+               ROUND(ANY_VALUE(m.med), 2) AS median_price,
+               ROUND(ANY_VALUE(m.mad), 2) AS mad,
+               SUM(CAST(ABS(d.o_totalprice - m.med) > 3 * 1.4826 * m.mad
+                        AS BIGINT)) AS n_outliers,
+               COUNT(*) AS n_rows
+        FROM dev d JOIN mad m USING (o_orderpriority)
+        GROUP BY d.o_orderpriority
     """,
     "sql_udf_pricing": """
         SELECT l_returnflag,
@@ -730,5 +788,6 @@ QUERIES = {
     "collated_group": q_collated_group,
     "pipe_syntax_agg": q_pipe_syntax_agg,
     "sql_udf_pricing": q_sql_udf_pricing,
+    "mad_outlier_stats": q_mad_outlier_stats,
     "min_max_by": q_min_max_by,
 }
