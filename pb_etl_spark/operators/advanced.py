@@ -373,23 +373,31 @@ def q_mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation) of o_totalprice per order priority, and the count of
     rows beyond median ± 3·1.4826·MAD — the outlier rule that, unlike
     z-scores (see value_outliers), is not itself dragged by the
-    outliers. Two grouped percentile passes (median, then median of
-    |x − median| after a broadcast join-back of the 5-row median
-    table); the approx_percentile swap applies at 100 TB."""
+    outliers. Exact MAD is inherently sequential — three scans (median;
+    median of |x − median|; flag) — so each stage's 5-row result is
+    COLLECTED and re-joined as a literal frame: a lazy reference would
+    make Spark physically re-execute the earlier scans+percentile aggs
+    inside every later branch (driver-sized collect, same rule as the
+    normalization denominators). The approx_percentile swap applies at
+    100 TB."""
     o = read_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    med = o.groupBy("o_orderpriority").agg(
-        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    med = spark.createDataFrame(
+        o.groupBy("o_orderpriority")
+        .agg(F.percentile("o_totalprice", F.lit(0.5)).alias("med"))
+        .collect()
     )
     dev = o.join(F.broadcast(med), "o_orderpriority").select(
         "o_orderpriority",
-        "med",
         "o_totalprice",
+        "med",
         F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
     )
-    mad = dev.groupBy("o_orderpriority").agg(
-        F.first("med").alias("med"), F.percentile("adev", F.lit(0.5)).alias("mad")
+    mad = spark.createDataFrame(
+        dev.groupBy("o_orderpriority")
+        .agg(F.first("med").alias("med"), F.percentile("adev", F.lit(0.5)).alias("mad"))
+        .collect()
     )
-    flagged = dev.drop("med").join(F.broadcast(mad), "o_orderpriority")
+    flagged = o.join(F.broadcast(mad), "o_orderpriority")
     return flagged.groupBy("o_orderpriority").agg(
         F.round(F.first("med"), 2).alias("median_price"),
         F.round(F.first("mad"), 2).alias("mad"),
