@@ -34,6 +34,7 @@ from pb_etl_spark.operators import (
     skew,
     temporal,
     text,
+    tokenize,
     vectors,
 )
 
@@ -137,6 +138,7 @@ _MODULES = [
     vectors,
     scalar_funcs,
     advanced,
+    tokenize,
     text,
     relational,
     reshape,
