@@ -318,6 +318,42 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card — the summary table a corpus release ships
+    with: sizes, source/language diversity, the dominant language, the
+    exact-duplicate rate, and length stats. One scan for the row-wise
+    stats + one digest-grouped pass for the dup rate; everything else
+    derives from grouped counts (bounded)."""
+    doc = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens()).cast("long")
+    base = doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.round(F.avg(n_tok), 6).alias("mean_doc_tokens"),
+        F.count_distinct(F.md5("text")).alias("n_unique_texts"),
+    )
+    top_lang = (
+        doc.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    return base.crossJoin(top_lang).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_sources",
+        "n_langs",
+        "mean_doc_tokens",
+        F.round(1 - F.col("n_unique_texts") / F.col("n_docs"), 6).alias("dup_rate"),
+        "top_lang",
+    )
+
+
 N_HASH_BUCKETS = 64  # feature-hashing dimensionality
 
 
@@ -430,6 +466,7 @@ QUERIES = {
     "mixture_resample": q_mixture_resample,
     "curriculum_buckets": q_curriculum_buckets,
     "deterministic_shuffle": q_deterministic_shuffle,
+    "dataset_card": q_dataset_card,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -555,6 +592,26 @@ ORACLES: dict[str, str] = {
                            '{PAT_NUM}', '<NUM>', 'g'),
                        '{PAT_TERM}', '<PII>', 'g')) AS redacted_md5
         FROM documents
+    """,
+    "dataset_card": """
+        WITH base AS (
+            SELECT COUNT(*) AS n_docs,
+                   SUM(len(string_split(text, ' '))) AS n_tokens,
+                   SUM(n_chars) AS n_chars,
+                   COUNT(DISTINCT source) AS n_sources,
+                   COUNT(DISTINCT lang) AS n_langs,
+                   ROUND(AVG(len(string_split(text, ' '))), 6) AS mean_doc_tokens,
+                   COUNT(DISTINCT md5(text)) AS n_unique_texts
+            FROM documents
+        ), top AS (
+            SELECT lang AS top_lang FROM documents
+            GROUP BY lang ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+        )
+        SELECT n_docs, n_tokens, n_chars, n_sources, n_langs,
+               mean_doc_tokens,
+               ROUND(1 - CAST(n_unique_texts AS DOUBLE) / n_docs, 6) AS dup_rate,
+               top_lang
+        FROM base CROSS JOIN top
     """,
     "deterministic_shuffle": f"""
         SELECT doc_id,

@@ -36,6 +36,8 @@ BNLJ_WHITELIST = {
     "bm25_topk",  # 1-row corpus-stats (N, avgdl) crossJoin
     "kmv_distinct_sketch",  # union row = k-row merged sketch crossJoined
     #   with the 1-row global exact count (accuracy report column)
+    "dataset_card",  # 1-row corpus summary crossJoined with the 1-row
+    #   top-language pick
 }
 
 
