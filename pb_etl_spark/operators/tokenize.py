@@ -118,8 +118,65 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched encoder applying the learned merges in RANK ORDER
+    to each whitespace word (the canonical BPE apply: training order =
+    application priority). The merge list is a driver-side constant
+    (KBs) shipped in the closure — the same pattern as the LSH
+    hyperplanes and PQ codebooks."""
+    from pyspark.sql.functions import pandas_udf
+
+    pairs = [(a, b) for a, b, *_ in merges]
+
+    @pandas_udf("long")
+    def encode_count(text_col: pd.Series) -> pd.Series:
+        def count_tokens(text: str) -> int:
+            total = 0
+            for w in text.split(" "):
+                if not w:
+                    continue
+                syms = list(w)
+                for a, b in pairs:
+                    i, out = 0, []
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                total += len(syms)
+            return total
+
+        return text_col.map(count_tokens)
+
+    return encode_count
+
+
+def q_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY side: learn the merge table (once, driver-side
+    loop over vocab-sized jobs), then encode every document with it —
+    per-doc BPE token counts plus the compression ratio vs raw
+    characters. The encode pass is embarrassingly parallel (merge table
+    broadcast in the closure; one corpus scan). Rows-only like the
+    trainer; exactness is pinned by the trainer's reference test plus
+    the compression sanity test."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    merges = learn_bpe_merges(spark, docs)
+    enc = bpe_encode_udf([(a, b) for a, b, _ in merges])
+    n_char_tokens = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
+    return docs.select(
+        "doc_id",
+        enc(F.col("text")).alias("bpe_tokens"),
+        n_char_tokens.alias("char_tokens"),
+        F.round(enc(F.col("text")) / n_char_tokens, 6).alias("compression"),
+    )
+
+
 QUERIES = {
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_encode_counts": q_bpe_encode_counts,
 }
 
 ORACLES: dict[str, str] = {}

@@ -58,3 +58,16 @@ def test_bpe_merges_match_python_reference(spark):
             if len(side) > 1:
                 assert side in produced, f"{side} used before produced"
         produced.add(a + b)
+
+
+def test_bpe_encode_compresses_and_bounds(spark):
+    """Applying the learned merges can only shrink or keep the symbol
+    count (each merge replaces 2 symbols with 1): for every doc,
+    bpe_tokens <= char_tokens, and some doc actually compresses."""
+    from pb_etl_spark.registry import all_queries
+
+    out = all_queries()["bpe_encode_counts"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    assert all(r.bpe_tokens <= r.char_tokens for r in out)
+    assert any(r.bpe_tokens < r.char_tokens for r in out)
+    assert all(0 < r.compression <= 1 for r in out)
