@@ -354,6 +354,81 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_FOLDS = 5
+STRATUM_K = 20
+N_NEGATIVES = 4
+
+
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment: fold = md5-uniform(doc_id)
+    bucketed into N_FOLDS — reproducible across engines, runs, and
+    partitionings (a ``rand()`` fold would re-deal on every retry,
+    leaking train into val). Shuffle-free row-wise codegen; the fold
+    histogram is the bounded check surface."""
+    doc = read_table(spark, sf_dir, "documents")
+    fold = F.floor(doc_uniform(F.col("doc_id")) * N_FOLDS).cast("long")
+    return (
+        doc.select("doc_id", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+def q_topk_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling: per source, the STRATUM_K docs
+    with the smallest md5-uniform — a fixed-SIZE deterministic sample
+    (eval-set construction), vs the fixed-RATE `stratified_hash_sample`.
+    One windowed top-k per stratum; state is k rows per group."""
+    doc = read_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.col("u_raw").asc(), F.col("doc_id").asc())
+    return (
+        doc.select("doc_id", "source", doc_uniform(F.col("doc_id")).alias("u_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_K)
+        .select(
+            "source",
+            "doc_id",
+            F.round("u_raw", 6).alias("u"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling: for each anchor doc,
+    N_NEGATIVES pseudo-random OTHER docs chosen by a deterministic hash
+    ring — neg_j = (anchor + 1 + md5(anchor:j) mod (n_docs-1)) mod
+    n_docs over the dense doc_id space. Self-pairs are impossible by
+    construction (offset ∈ [1, n-1]); the draw is reproducible on
+    retry, which a resumable pipeline needs. Shuffle-free: one row-wise
+    explode (the corpus count is a 1-row broadcast)."""
+    doc = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    n = doc.agg(F.count(F.lit(1)).alias("n_docs"))
+    negs = F.transform(
+        F.sequence(F.lit(0), F.lit(N_NEGATIVES - 1)),
+        lambda j: (
+            F.col("doc_id")
+            + 1
+            + F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), j.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % (F.col("n_docs") - 1)
+        )
+        % F.col("n_docs"),
+    )
+    return (
+        doc.crossJoin(F.broadcast(n))  # 1-row corpus size
+        .select("doc_id", F.posexplode(negs).alias("j", "neg_doc_id"))
+        .select("doc_id", F.col("j").cast("long").alias("j"), "neg_doc_id")
+    )
+
+
 N_HASH_BUCKETS = 64  # feature-hashing dimensionality
 
 
@@ -467,6 +542,9 @@ QUERIES = {
     "curriculum_buckets": q_curriculum_buckets,
     "deterministic_shuffle": q_deterministic_shuffle,
     "dataset_card": q_dataset_card,
+    "kfold_assign": q_kfold_assign,
+    "topk_hash_sample": q_topk_hash_sample,
+    "negative_sampling": q_negative_sampling,
 }
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -592,6 +670,45 @@ ORACLES: dict[str, str] = {
                            '{PAT_NUM}', '<NUM>', 'g'),
                        '{PAT_TERM}', '<PII>', 'g')) AS redacted_md5
         FROM documents
+    """,
+    "kfold_assign": f"""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(FLOOR(
+                       (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                  AS BIGINT) AS DOUBLE) / 4294967296.0) * {N_FOLDS}
+                   ) AS BIGINT) AS fold
+            FROM documents
+        )
+        SELECT fold, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+        FROM f GROUP BY fold
+    """,
+    "topk_hash_sample": f"""
+        WITH u AS (
+            SELECT doc_id, source,
+                   CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) AS DOUBLE) / 4294967296.0 AS u_raw
+            FROM documents
+        ), r AS (
+            SELECT source, doc_id, u_raw,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY u_raw ASC, doc_id ASC) AS rn
+            FROM u
+        )
+        SELECT source, doc_id, ROUND(u_raw, 6) AS u, rn
+        FROM r WHERE rn <= {STRATUM_K}
+    """,
+    "negative_sampling": f"""
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        n AS (SELECT COUNT(*) AS n_docs FROM d),
+        j AS (SELECT unnest(generate_series(0, {N_NEGATIVES - 1})) AS j)
+        SELECT d.doc_id, j.j,
+               (d.doc_id + 1
+                + CAST('0x' || substring(
+                      md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)),
+                      1, 8) AS BIGINT) % (n.n_docs - 1)
+               ) % n.n_docs AS neg_doc_id
+        FROM d CROSS JOIN j CROSS JOIN n
     """,
     "dataset_card": """
         WITH base AS (
