@@ -38,6 +38,8 @@ BNLJ_WHITELIST = {
     #   with the 1-row global exact count (accuracy report column)
     "dataset_card",  # 1-row corpus summary crossJoined with the 1-row
     #   top-language pick
+    "negative_sampling",  # 1-row corpus-count crossJoin feeding the
+    #   hash-ring offsets
 }
 
 
