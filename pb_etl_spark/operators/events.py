@@ -368,6 +368,67 @@ def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _read_doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (explicit schema —
+    streaming sources cannot infer)."""
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def q_stream_doc_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus monitoring in COMPLETE output mode (the third
+    mode — the window queries use append, the stateful ops update): the
+    running per-source doc/char totals table is fully re-emitted each
+    micro-batch; after a bounded drain it equals the batch GROUP BY,
+    which is the oracle. This is the live ingest dashboard behind
+    source_mix_report."""
+    from pb_etl_spark.streaming.windows import run_to_memory
+
+    sdf = _read_doc_stream(spark, sf_dir)
+    agg = sdf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    return run_to_memory(agg, "q_stream_doc_source_counts", output_mode="complete")
+
+
+def q_stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming document pipeline: quality-gate then exact-dedup the
+    incoming corpus ON THE STREAM — text fingerprints deduplicate via
+    dropDuplicates (unbounded state; the watermarked variant is
+    stream_dedup — documents carry no event time, so the state bound
+    would come from a processing-time TTL in production). The drained
+    survivor set equals the batch filter + min-doc_id-per-fingerprint…
+    except streaming dropDuplicates keeps the FIRST arrival, which is
+    nondeterministic under parallel file reads — so the registered
+    result is the per-FINGERPRINT count/length table (arrival-order
+    independent), value-checked against batch SQL."""
+    from pb_etl_spark.streaming.windows import run_to_memory
+
+    sdf = _read_doc_stream(spark, sf_dir).filter(
+        (F.length("text") > 50) & (F.col("lang") != "")
+    )
+    fp = sdf.select(
+        F.md5("text").alias("fp"), F.length("text").alias("text_len")
+    ).dropDuplicates(["fp"])
+    out = run_to_memory(fp, "q_stream_doc_dedup", output_mode="append")
+    return out.select("fp", F.col("text_len").cast("long").alias("text_len"))
+
+
 PATH_K = 3  # prefix length for path mining
 
 
@@ -586,6 +647,15 @@ ORACLES: dict[str, str] = {
                ROUND(MAX(value), 6) AS max_value
         FROM events GROUP BY user_id
     """,
+    "stream_doc_source_counts": """
+        SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        FROM documents GROUP BY source
+    """,
+    "stream_doc_dedup": """
+        SELECT DISTINCT md5(text) AS fp, LENGTH(text) AS text_len
+        FROM documents
+        WHERE LENGTH(text) > 50 AND lang <> ''
+    """,
     "stream_foreach_upsert": """
         SELECT user_id, event_id AS last_event_id,
                event_type AS last_type,
@@ -647,6 +717,8 @@ QUERIES = {
     "stream_user_totals": q_stream_user_totals,
     "stream_user_stats_tws": q_stream_user_stats_tws,
     "stream_foreach_upsert": q_stream_foreach_upsert,
+    "stream_doc_source_counts": q_stream_doc_source_counts,
+    "stream_doc_dedup": q_stream_doc_dedup,
     "stream_stream_join": q_stream_stream_join,
     "stream_dedup": q_stream_dedup,
     "stream_enrich": q_stream_enrich,
