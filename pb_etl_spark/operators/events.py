@@ -411,12 +411,11 @@ def q_stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming corpus ON THE STREAM — text fingerprints deduplicate via
     dropDuplicates (unbounded state; the watermarked variant is
     stream_dedup — documents carry no event time, so the state bound
-    would come from a processing-time TTL in production). The drained
-    survivor set equals the batch filter + min-doc_id-per-fingerprint…
-    except streaming dropDuplicates keeps the FIRST arrival, which is
-    nondeterministic under parallel file reads — so the registered
-    result is the per-FINGERPRINT count/length table (arrival-order
-    independent), value-checked against batch SQL."""
+    would come from a processing-time TTL in production). Streaming
+    dropDuplicates keeps the FIRST arrival, which is nondeterministic
+    under parallel file reads — so the registered result is the
+    (fingerprint, text_len) survivor set, which is arrival-order
+    independent and value-checked against batch DISTINCT SQL."""
     from pb_etl_spark.streaming.windows import run_to_memory
 
     sdf = _read_doc_stream(spark, sf_dir).filter(

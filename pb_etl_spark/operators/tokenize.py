@@ -48,25 +48,28 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _merge_udf(a: str, b: str):
+def _apply_merge(syms, a: str, b: str) -> list[str]:
     """Left-to-right non-overlapping replacement of adjacent (a, b) with
-    a+b in each symbol array — the canonical BPE apply step."""
+    a+b — the canonical BPE apply step. ONE implementation shared by the
+    trainer's and the encoder's UDFs: the training/apply equivalence
+    depends on both using identical overlap semantics."""
+    merged, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            merged.append(a + b)
+            i += 2
+        else:
+            merged.append(syms[i])
+            i += 1
+    return merged
+
+
+def _merge_udf(a: str, b: str):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
     def apply_merge(sym_col: pd.Series) -> pd.Series:
-        out = []
-        for syms in sym_col:
-            merged, i, n = [], 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                    merged.append(a + b)
-                    i += 2
-                else:
-                    merged.append(syms[i])
-                    i += 1
-            out.append(merged)
-        return pd.Series(out)
+        return pd.Series([_apply_merge(list(s), a, b) for s in sym_col])
 
     return apply_merge
 
@@ -99,10 +102,29 @@ def learn_bpe_merges(
             break
         a, b, c = top["p"]["a"], top["p"]["b"], int(top["c"])
         merges.append((a, b, c))
+        prev = cur
         cur = cur.withColumn("s", _merge_udf(a, b)(F.col("s"))).localCheckpoint(
             eager=True
         )
+        # drop the superseded round's blocks — same discipline as
+        # clustering.py: without this, executor storage pins O(n_merges)
+        # copies of the symbolized vocab
+        prev.unpersist()
     return merges
+
+
+# the trainer is deterministic per (corpus slice, n_merges): memoize so
+# the encode query (and any harness touching both registered queries)
+# does not replay the 15-iteration driver loop
+_MERGE_CACHE: dict[tuple[str, int], list[tuple[str, str, int]]] = {}
+
+
+def _merges_for(spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES):
+    key = (sf_dir.rstrip("/"), n_merges)
+    if key not in _MERGE_CACHE:
+        docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        _MERGE_CACHE[key] = learn_bpe_merges(spark, docs, n_merges)
+    return _MERGE_CACHE[key]
 
 
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,8 +132,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_count). Rows-only for the driver (iterative argmax has no
     single-SQL oracle); exact-equivalence vs a plain-Python reference
     implementation is asserted in tests/test_tokenize.py."""
-    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    merges = learn_bpe_merges(spark, docs)
+    merges = _merges_for(spark, sf_dir)
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "rank long, left string, right string, pair_count long",
@@ -137,15 +158,7 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
                     continue
                 syms = list(w)
                 for a, b in pairs:
-                    i, out = 0, []
-                    while i < len(syms):
-                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                            out.append(a + b)
-                            i += 2
-                        else:
-                            out.append(syms[i])
-                            i += 1
-                    syms = out
+                    syms = _apply_merge(syms, a, b)
                 total += len(syms)
             return total
 
@@ -162,8 +175,14 @@ def q_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast in the closure; one corpus scan). Rows-only like the
     trainer; exactness is pinned by the trainer's reference test plus
     the compression sanity test."""
-    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    merges = learn_bpe_merges(spark, docs)
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        # guard the ratio: an empty/all-space text has 0 char tokens and
+        # would emit a NULL compression
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+    )
+    merges = _merges_for(spark, sf_dir)
     enc = bpe_encode_udf([(a, b) for a, b, _ in merges])
     n_char_tokens = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
     return docs.select(

@@ -258,3 +258,44 @@ def test_stateful_op_identical_under_rocksdb_state_store(spark):
     finally:
         spark.conf.set(key, default)
     assert got == base and len(got) > 0
+
+
+def test_stream_doc_queries_run_genuinely_stateful(spark):
+    """The document-stream queries must execute as stateful streaming
+    (state-store-backed aggregation / dedup), not a batch fallback —
+    asserted from the drained query's stateOperators progress, the
+    plan-level audit test_plan_lint cannot do for stream_* entries."""
+    from pb_etl_spark.operators.events import _read_doc_stream
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    cases = {
+        "t_docstate_agg": (
+            _read_doc_stream(spark, SF_DIR)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs")),
+            "complete",
+        ),
+        "t_docstate_dedup": (
+            _read_doc_stream(spark, SF_DIR)
+            .select(F.md5("text").alias("fp"))
+            .dropDuplicates(["fp"]),
+            "append",
+        ),
+    }
+    for name, (sdf, mode) in cases.items():
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            progress = q.lastProgress
+        finally:
+            q.stop()
+        ops = progress["stateOperators"]
+        assert ops, f"{name}: no state operators — ran as stateless?"
+        assert any(o["numRowsTotal"] > 0 for o in ops), ops
