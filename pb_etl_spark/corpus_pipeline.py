@@ -66,21 +66,23 @@ def _mixture(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
     )
 
 
-SHUFFLE_EPOCH = 0  # also the 'epoch' stage param — keep the two in lockstep
-
-
-def _shuffle(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
+def _shuffle(epoch: int):
     """Epoch shuffle: globally sort the packed corpus by the shared
     per-epoch permutation key (operators.corpus.shuffle_key — same
     function the oracle-checked q_deterministic_shuffle uses). Sorted
-    parquet out; the epoch number is a stage param so bumping it
-    re-addresses the output."""
-    from pb_etl_spark.operators.corpus import shuffle_key
+    parquet out; the epoch number is the stage's param, so bumping it
+    re-addresses (and re-runs) ONLY the shuffle + report — the
+    curate/dedup/mixture/pack prefix is reused from its salt."""
 
-    packed = spark.read.parquet(deps["packed"])
-    packed.withColumn(
-        "__shuffle_key", shuffle_key(F.col("doc_id"), epoch=SHUFFLE_EPOCH)
-    ).sort("__shuffle_key").drop("__shuffle_key").write.parquet(out)
+    def fn(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
+        from pb_etl_spark.operators.corpus import shuffle_key
+
+        packed = spark.read.parquet(deps["packed"])
+        packed.withColumn(
+            "__shuffle_key", shuffle_key(F.col("doc_id"), epoch=epoch)
+        ).sort("__shuffle_key").drop("__shuffle_key").write.parquet(out)
+
+    return fn
 
 
 def _pack(spark: SparkSession, out: str, deps: dict[str, str]) -> None:
@@ -113,7 +115,7 @@ def _report(spark: SparkSession, out: str, deps: dict[str, str]) -> dict:
     }
 
 
-def build_corpus_pipeline(sf_dir: str) -> Stage:
+def build_corpus_pipeline(sf_dir: str, epoch: int = 0) -> Stage:
     curated = Stage(
         name="corpus_curate",
         fn=_curate(sf_dir),
@@ -129,9 +131,9 @@ def build_corpus_pipeline(sf_dir: str) -> Stage:
     )
     shuffled = Stage(
         name="corpus_shuffle",
-        fn=_shuffle,
+        fn=_shuffle(epoch),
         deps={"packed": packed},
-        params={"epoch": SHUFFLE_EPOCH},
+        params={"epoch": epoch},
     )
     return Stage(
         name="corpus_report",

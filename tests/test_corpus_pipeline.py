@@ -113,3 +113,26 @@ def test_incomplete_stage_output_fails_loud(spark, tmp_path):
     s = Stage(name="bad", fn=bad_stage)
     with pytest.raises(RuntimeError, match="did not produce a complete dataset"):
         StageRunner(spark, str(tmp_path / "wd")).run(s)
+
+
+def test_epoch_bump_reruns_only_shuffle(spark, tmp_path):
+    """A new training epoch = new shuffle param: only the shuffle stage
+    (and the ephemeral report) re-run; the curate→pack prefix is reused
+    from its content address. This is the incremental-compute payoff of
+    parameterized stages — a 100 TB corpus reshuffles without re-running
+    filtering/dedup."""
+    from pb_etl_spark.corpus_pipeline import build_corpus_pipeline
+    from pb_etl_spark.plans.stages import StageRunner
+
+    base = str(tmp_path / "corpus")
+    StageRunner(spark, base).run(build_corpus_pipeline(SF_DIR, epoch=0))
+
+    runner = StageRunner(spark, base)
+    runner.run(build_corpus_pipeline(SF_DIR, epoch=1))
+    assert set(runner.ran) == {"corpus_shuffle", "corpus_report"}
+    assert set(runner.skipped) == {
+        "corpus_curate",
+        "corpus_dedup",
+        "corpus_mixture",
+        "corpus_pack",
+    }

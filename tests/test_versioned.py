@@ -68,3 +68,19 @@ def test_reader_snapshot_isolated_from_commit(spark, tmp_path):
     t.upsert(spark, _df(spark, [(2, "B")]), key="k")
     assert {r.k: r.val for r in pinned.collect()} == {1: "a", 2: "b"}
     assert {r.k: r.val for r in t.read(spark).collect()} == {1: "a", 2: "B"}
+
+
+def test_time_travel_diff_composes_with_snapshot_diff(spark, tmp_path):
+    """The lakehouse composition: CHANGES BETWEEN v1 AND v2 = running
+    snapshot_diff over two time-travel reads of the same table."""
+    from pb_etl_spark.operators.cdc import snapshot_diff
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.upsert(spark, _df(spark, [(2, "B"), (4, "d")]), key="k")
+
+    feed = snapshot_diff(
+        t.read(spark, version=1), t.read(spark, version=2), "k", ["val"]
+    )
+    got = {(r.k, r.change_type) for r in feed.collect()}
+    assert got == {(2, "update"), (4, "insert")}
