@@ -30,6 +30,13 @@ def main(argv: list[str] | None = None) -> int:
         default="/root/testdata/sf0.001",
         help="testdata scale-factor dir for --corpus",
     )
+    p.add_argument(
+        "--epoch",
+        type=int,
+        default=0,
+        help="training epoch for --corpus: bumping it re-runs only the "
+        "shuffle stage (prefix stages reused from their content address)",
+    )
     args = p.parse_args(argv)
 
     from pb_etl_spark.session import get_spark
@@ -38,7 +45,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.corpus:
         from pb_etl_spark.corpus_pipeline import run_corpus_pipeline
 
-        print(json.dumps(run_corpus_pipeline(spark, args.sf_dir, args.workdir)))
+        print(
+            json.dumps(
+                run_corpus_pipeline(
+                    spark, args.sf_dir, args.workdir, epoch=args.epoch
+                )
+            )
+        )
         return 0
 
     from pb_etl_spark.pipeline import run_pipeline

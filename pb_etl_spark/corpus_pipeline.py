@@ -143,8 +143,10 @@ def build_corpus_pipeline(sf_dir: str, epoch: int = 0) -> Stage:
     )
 
 
-def run_corpus_pipeline(spark: SparkSession, sf_dir: str, base: str) -> dict:
+def run_corpus_pipeline(
+    spark: SparkSession, sf_dir: str, base: str, epoch: int = 0
+) -> dict:
     """Run (or resume) the DAG; returns the report plus run/skip lists."""
     runner = StageRunner(spark, base)
-    report = runner.run(build_corpus_pipeline(sf_dir))
+    report = runner.run(build_corpus_pipeline(sf_dir, epoch=epoch))
     return {**report, "ran": runner.ran, "skipped": runner.skipped}
