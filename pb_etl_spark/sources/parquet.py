@@ -92,29 +92,34 @@ _Z_BITS = 16  # bits per dimension in the interleaved z-value
 
 
 def zorder_value(df: DataFrame, cols: list[str]):
-    """Z-order (Morton) curve value over two numeric columns.
+    """Z-order (Morton) curve value over 2-4 numeric columns.
 
-    Each column is uniform-bucketized to ``2**_Z_BITS`` cells between its
-    min and max (one tiny agg — two rows to the driver, a literal in the
-    plan), then the bucket bits are interleaved. Sorting by the result
-    gives files whose parquet min/max stats are narrow in BOTH columns,
-    so predicates on EITHER dimension prune row groups — single-column
-    ``cluster_by`` only skips for its own key. This is the flat-parquet
-    twin of Delta/Iceberg Z-ORDER (uniform cells rather than
-    range-partition ranks: one agg instead of two extra shuffles; skewed
-    columns degrade toward single-dim clustering, acceptable for a
-    layout decision).
+    Each column is uniform-bucketized to ``2**(bits_per_dim)`` cells
+    between its min and max (one tiny agg — a 1-row literal in the
+    plan), then the bucket bits are interleaved round-robin across the
+    dimensions. Sorting by the result gives files whose parquet min/max
+    stats are narrow in EVERY interleaved column, so predicates on ANY
+    dimension prune row groups — single-column ``cluster_by`` only skips
+    for its own key. Bits per dimension shrink as dimensions grow
+    (16/2-dim, 10/3-dim, 8/4-dim): past ~4 dims the per-dim resolution
+    is too coarse to skip anything — the curse that makes wide z-orders
+    pointless in every table format. This is the flat-parquet twin of
+    Delta/Iceberg Z-ORDER (uniform cells rather than range-partition
+    ranks: one agg instead of extra shuffles; skewed columns degrade
+    toward fewer effective dims, acceptable for a layout decision).
 
     Returns (df_with_bounds, zcol) where zcol is the z-value expression.
     """
     from pyspark.sql import functions as F
 
-    if len(cols) != 2:
-        raise ValueError("zorder_value interleaves exactly 2 columns")
+    n_dims = len(cols)
+    if not 2 <= n_dims <= 4:
+        raise ValueError("zorder_value interleaves 2-4 columns")
+    bits = {2: _Z_BITS, 3: 10, 4: 8}[n_dims]
     bounds = df.agg(
         *[f(c).alias(f"{f.__name__}_{c}") for c in cols for f in (F.min, F.max)]
     ).first()
-    n_cells = 1 << _Z_BITS
+    n_cells = 1 << bits
     buckets = []
     for c in cols:
         lo = float(bounds[f"min_{c}"])
@@ -126,10 +131,12 @@ def zorder_value(df: DataFrame, cols: list[str]):
         ).cast("long")
         buckets.append(b)
     z = F.lit(0).cast("long")
-    for i in range(_Z_BITS):
+    for i in range(bits):
         for d, b in enumerate(buckets):
             z = z.bitwiseOR(
-                F.shiftleft(F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)), 2 * i + d)
+                F.shiftleft(
+                    F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)), n_dims * i + d
+                )
             )
     return df, z
 
