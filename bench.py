@@ -64,6 +64,15 @@ HEADLINE = [
     "snapshot_diff",
     "zorder_key",
     "mixture_resample",
+    # round-3 additions: the remaining heavy families, tracked before the
+    # driver ever times them (BPE encode, substring/semantic dedup,
+    # graph), plus the queries rewritten scale-safe this round
+    "bpe_encode_counts",
+    "substring_dup_spans",
+    "semantic_dedup",
+    "pagerank_knn",
+    "deterministic_shuffle",
+    "curriculum_buckets",
 ]
 
 

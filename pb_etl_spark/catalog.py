@@ -107,15 +107,23 @@ def parquet_ts_unit(path: str, column: str = "ts", glob_pat: str | None = None) 
     """Time unit (``'us'`` / ``'ns'`` / ``'ms'``) of a parquet timestamp
     column, read from the file footer with pyarrow — independent of any
     SparkSession conf, so every read path can pick the right decode without
-    assuming what the writer did. ``path`` may be one file or a directory
-    (first matching file wins; datasets are written with one unit).
+    assuming what the writer did. ``path`` may be one file or a directory.
 
-    Cached: the footers of the benchmark fixtures are immutable for a run.
+    Directory contract: ONE unit per directory. A dataset dir that mixes
+    units (e.g. a micros sink output landing beside nanos fixture files)
+    cannot be decoded with a single schema, so the first files are
+    cross-checked (up to ``_UNIT_SAMPLE``) and a mismatch raises instead
+    of silently decoding with the first file's unit.
+
+    Cached: the footers of the benchmark fixtures are immutable for a
+    run (the driver regenerates testdata only BETWEEN rounds/processes,
+    never while a session is open — so no mtime keying needed).
     """
     import glob as _glob
 
     import pyarrow.parquet as pq
 
+    _UNIT_SAMPLE = 8
     p = path
     if os.path.isdir(p):
         pat = os.path.join(p, glob_pat or "*.parquet")
@@ -124,7 +132,16 @@ def parquet_ts_unit(path: str, column: str = "ts", glob_pat: str | None = None) 
         )
         if not matches:
             raise FileNotFoundError(f"no parquet files under {p}")
-        p = matches[0]
+        units = {
+            pq.ParquetFile(m).schema_arrow.field(column).type.unit
+            for m in matches[:_UNIT_SAMPLE]
+        }
+        if len(units) > 1:
+            raise ValueError(
+                f"mixed timestamp units {sorted(units)} for '{column}' under "
+                f"{p}; one unit per directory is required"
+            )
+        return units.pop()
     return pq.ParquetFile(p).schema_arrow.field(column).type.unit
 
 

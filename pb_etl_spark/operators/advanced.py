@@ -425,14 +425,14 @@ def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROFILE_UNION = "\n        UNION ALL ".join(
     f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
-    f"SUM(CAST({c} IS NULL AS BIGINT)) AS n_nulls, "
+    f"CAST(SUM(CAST({c} IS NULL AS BIGINT)) AS BIGINT) AS n_nulls, "
     f"COUNT(DISTINCT {c}) AS n_distinct FROM orders"
     for c in ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
 )
 
 _CONSTRAINT_UNION = "\n        UNION ALL ".join(
     f"SELECT '{name}' AS rule, "
-    f"SUM(CAST(NOT COALESCE({pred}, FALSE) AS BIGINT)) AS n_violations, "
+    f"CAST(SUM(CAST(NOT COALESCE({pred}, FALSE) AS BIGINT)) AS BIGINT) AS n_violations, "
     f"COUNT(*) AS n_rows FROM orders"
     for name, pred in [
         ("positive_price", "o_totalprice > 0"),
@@ -445,13 +445,13 @@ _CONSTRAINT_UNION = "\n        UNION ALL ".join(
 ORACLES: dict[str, str] = {
     "table_checksum": """
         SELECT COUNT(*) AS n_rows,
-               SUM(CAST('0x' || substring(md5(
+               CAST(SUM(CAST('0x' || substring(md5(
                    COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)) || chr(31) ||
                    COALESCE(CAST(o_custkey AS VARCHAR), chr(0)) || chr(31) ||
                    COALESCE(o_orderstatus, chr(0)) || chr(31) ||
                    COALESCE(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
                                  AS VARCHAR), chr(0))
-               ), 1, 8) AS BIGINT)) AS checksum
+               ), 1, 8) AS BIGINT)) AS BIGINT) AS checksum
         FROM orders
     """,
     "constraint_check": f"""
@@ -585,8 +585,8 @@ ORACLES: dict[str, str] = {
         SELECT d.o_orderpriority,
                ROUND(ANY_VALUE(m.med), 2) AS median_price,
                ROUND(ANY_VALUE(m.mad), 2) AS mad,
-               SUM(CAST(ABS(d.o_totalprice - m.med) > 3 * 1.4826 * m.mad
-                        AS BIGINT)) AS n_outliers,
+               CAST(SUM(CAST(ABS(d.o_totalprice - m.med) > 3 * 1.4826 * m.mad
+                        AS BIGINT)) AS BIGINT) AS n_outliers,
                COUNT(*) AS n_rows
         FROM dev d JOIN mad m USING (o_orderpriority)
         GROUP BY d.o_orderpriority
@@ -657,8 +657,8 @@ ORACLES: dict[str, str] = {
                ROUND(ANY_VALUE(p01), 2) AS p01,
                ROUND(ANY_VALUE(p99), 2) AS p99,
                ROUND(AVG(w), 2) AS winsorized_mean,
-               SUM(lo) AS n_clipped_low,
-               SUM(hi) AS n_clipped_high
+               CAST(SUM(lo) AS BIGINT) AS n_clipped_low,
+               CAST(SUM(hi) AS BIGINT) AS n_clipped_high
         FROM c GROUP BY l_returnflag
     """,
     "min_max_by": """

@@ -67,10 +67,39 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _register_existing(
+    spark: SparkSession, tbl: str, key: str, path: Path, schema
+) -> bool:
+    """If a COMPLETE bucketed table already sits at ``path`` (_SUCCESS
+    marker), re-register the catalog entry only — no rewrite. Returns
+    True when the table is ready. Avoids re-paying the bucket write on
+    every call and the rewrite race between concurrent sessions
+    (pytest + bench) sharing the warehouse dir."""
+    if not (path / "_SUCCESS").exists():
+        return False
+    if spark.catalog.tableExists(tbl):
+        return True
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(
+        f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return True
+
+
 def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """orders/customer bucketed on custkey as session tables; returns the
-    two DataFrames reading from bucketed storage."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    two DataFrames reading from bucketed storage. The write runs at most
+    once per (sf_dir, fixture version): the cache tag folds in the source
+    parquet mtimes, so a regenerated fixture lands in a fresh dir instead
+    of being read stale, and later calls only re-register the catalog
+    entry."""
+    stamp = "|".join(
+        f"{t}:{os.path.getmtime(f'{sf_dir.rstrip(chr(47))}/{t}.parquet'):.0f}"
+        for t in ("orders", "customer")
+    )
+    tag = hashlib.md5(f"{sf_dir}|{stamp}".encode()).hexdigest()[:8]
     base = _WAREHOUSE / tag
     os.makedirs(base, exist_ok=True)
     specs = [
@@ -80,16 +109,9 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     out = []
     for name, key, cols in specs:
         tbl = f"pbspark_bkt_{name}_{tag}"
-        # the catalog entry dies with the session but the files persist:
-        # (re)register either way — DROP + saveAsTable(overwrite) is
-        # idempotent and cheap relative to the joins it unlocks
-        write_bucketed(
-            spark,
-            read_table(spark, sf_dir, name).select(*cols),
-            tbl,
-            key,
-            path=str(base / name),
-        )
+        src = read_table(spark, sf_dir, name).select(*cols)
+        if not _register_existing(spark, tbl, key, base / name, src.schema):
+            write_bucketed(spark, src, tbl, key, path=str(base / name))
         out.append(spark.table(tbl))
     return out[0], out[1]
 

@@ -194,18 +194,28 @@ def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens()).cast("long")).alias("n_tokens"),
     )
-    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # corpus total via a broadcast 1-row agg; the cumulative window gets
+    # an explicit constant partition key (bounded: rows = |sources|) so
+    # no unpartitioned WindowExec warning fires
+    totals = per_src.agg(F.sum("n_tokens").alias("_total_tokens"))
     w_cum = (
-        W.orderBy(F.col("n_tokens").desc(), F.col("source").asc())
+        W.partitionBy(F.lit(0))
+        .orderBy(F.col("n_tokens").desc(), F.col("source").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    total = F.sum("n_tokens").over(w_all)
-    return per_src.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
-        F.round(F.sum("n_tokens").over(w_cum) / total, 6).alias("cum_share"),
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_total_tokens"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                F.sum("n_tokens").over(w_cum) / F.col("_total_tokens"), 6
+            ).alias("cum_share"),
+        )
     )
 
 
@@ -249,14 +259,20 @@ def uniform_mixture_rates(doc: DataFrame) -> DataFrame:
     """Per-source keep rates for a UNIFORM target mixture:
     min(1, (total/n_sources)/n_src). One row per source — broadcast it."""
     per_src = doc.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return per_src.select(
-        "source",
-        F.least(
-            F.lit(1.0),
-            (F.sum("n_src").over(w_all) / F.count(F.lit(1)).over(w_all))
-            / F.col("n_src"),
-        ).alias("keep_rate"),
+    # totals via a broadcast 1-row agg, not an unpartitioned window —
+    # same bounded result, no WindowExec single-partition warning
+    totals = per_src.agg(
+        F.sum("n_src").alias("_n_total"), F.count(F.lit(1)).alias("_n_sources")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0),
+                (F.col("_n_total") / F.col("_n_sources")) / F.col("n_src"),
+            ).alias("keep_rate"),
+        )
     )
 
 
@@ -266,6 +282,49 @@ def shuffle_key(col, epoch: int = 0):
 
 
 SHUFFLE_SALT = "epoch0"  # = shuffle_key(..., epoch=0)'s salt, used in oracles
+
+
+def global_positions(
+    spark: SparkSession, df: DataFrame, order_cols: list[str]
+) -> tuple[DataFrame, int]:
+    """Total-order positions (1-based ``pos``) over ``order_cols``
+    WITHOUT a single-partition global window — the distributed
+    row-number primitive behind the epoch shuffle and exact ntile.
+
+    Shape: range-partition on the order key (Spark samples boundaries),
+    count rows per range (a |partitions|-row collect), prefix-sum the
+    counts on the driver, then add each partition's offset to a
+    per-partition row_number. Every stage is cluster-parallel; the
+    keyed frame is persisted so the sampled range boundaries are
+    identical across the counts job and the position job. Returns
+    (frame + pos, total_rows). ``order_cols`` must be a total order
+    (include a tiebreak column)."""
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keyed = df.repartitionByRange(nparts, *order_cols).persist()
+    counts = {
+        r["pid"]: r["n"]
+        for r in keyed.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    )
+    w = W.partitionBy("pid").orderBy(*order_cols)
+    out = (
+        keyed.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "pos",
+            F.row_number().over(w).cast("long")
+            + off_map[F.col("pid")].cast("long"),
+        )
+        .drop("pid")
+    )
+    return out, acc
 
 
 def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,15 +337,16 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one range-partitioned sort (Spark samples hash
     boundaries). Writing the sorted output per epoch IS the shuffle; a
-    trainer then reads sequentially. The global row_number window here
-    exists only to surface positions for the oracle — production writes
-    the sort order itself."""
+    trainer then reads sequentially. Positions come from
+    ``global_positions`` — range partition + per-partition row_number +
+    driver prefix-sum offsets — so every stage stays cluster-parallel;
+    no single-partition global window anywhere in the plan."""
     doc = read_table(spark, sf_dir, "documents")
-    w = W.orderBy("shuffle_key")
-    return (
-        doc.select("doc_id", shuffle_key(F.col("doc_id"), epoch=0).alias("shuffle_key"))
-        .withColumn("pos", F.row_number().over(w).cast("long"))
+    keyed = doc.select(
+        "doc_id", shuffle_key(F.col("doc_id"), epoch=0).alias("shuffle_key")
     )
+    pos, _n = global_positions(spark, keyed, ["shuffle_key"])
+    return pos.select("doc_id", "shuffle_key", "pos")
 
 
 N_CURRICULUM_BINS = 10
@@ -299,16 +359,30 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     run consumes bins in order (easy → hard); the bin column is what a
     curriculum sampler partitions on.
 
-    Scale shape: ntile needs a global order — at fixture scale one
-    ordered pass; at 100 TB the same bins come from percentile_approx
-    boundaries (one mergeable-sketch pass) + a width_bucket projection,
-    the standard exact→approx swap (see top_p_quality_sample's note).
-    The grouped report after binning is bounded (10 rows)."""
+    Scale shape: EXACT ntile semantics, fully distributed. NTILE(k)
+    over a total order is a pure function of the global row position:
+    bin = floor((pos-1)·k / n) + 1 (the first n mod k bins get the
+    extra row — the standard NTILE split). Positions come from
+    ``global_positions`` (range partition + per-partition row_number +
+    driver offset prefix-sum), so unlike a bare ntile window NOTHING
+    funnels through one task; the grouped report after binning is
+    bounded (k rows). At even larger scale the same bins can be
+    approximated by percentile_approx boundaries + width_bucket, but
+    the exact path above already holds at 100 TB."""
     doc = read_table(spark, sf_dir, "documents")
     n_tok = F.size(_tokens()).cast("long")
-    w = W.orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
-    binned = doc.select("doc_id", n_tok.alias("n_tokens")).withColumn(
-        "bin", F.ntile(N_CURRICULUM_BINS).over(w)
+    keyed = doc.select("doc_id", n_tok.alias("n_tokens"))
+    pos, n_total = global_positions(spark, keyed, ["n_tokens", "doc_id"])
+    binned = pos.withColumn(
+        "bin",
+        (
+            F.floor(
+                (F.col("pos") - F.lit(1))
+                * F.lit(N_CURRICULUM_BINS)
+                / F.lit(max(n_total, 1))
+            )
+            + F.lit(1)
+        ).cast("long"),
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -646,7 +720,7 @@ ORACLES: dict[str, str] = {
                    SUM(n_chars) OVER (PARTITION BY lang) AS lang_chars
             FROM s
         )
-        SELECT lang, doc_id, quality, cum_chars
+        SELECT lang, doc_id, quality, CAST(cum_chars AS BIGINT) AS cum_chars
         FROM c WHERE cum_chars <= {TOP_P} * lang_chars
     """,
     "incremental_dedup": """
@@ -713,8 +787,8 @@ ORACLES: dict[str, str] = {
     "dataset_card": """
         WITH base AS (
             SELECT COUNT(*) AS n_docs,
-                   SUM(len(string_split(text, ' '))) AS n_tokens,
-                   SUM(n_chars) AS n_chars,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
                    COUNT(DISTINCT source) AS n_sources,
                    COUNT(DISTINCT lang) AS n_langs,
                    ROUND(AVG(len(string_split(text, ' '))), 6) AS mean_doc_tokens,
@@ -748,7 +822,7 @@ ORACLES: dict[str, str] = {
         SELECT bin, COUNT(*) AS n_docs,
                MIN(n_tokens) AS min_tokens,
                MAX(n_tokens) AS max_tokens,
-               SUM(n_tokens) AS bin_tokens
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         FROM binned GROUP BY bin
     """,
     "mixture_resample": """
@@ -778,7 +852,7 @@ ORACLES: dict[str, str] = {
                    SUM(len(string_split(text, ' '))) AS n_tokens
             FROM documents GROUP BY source
         )
-        SELECT source, n_docs, n_tokens,
+        SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
                ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
                    AS token_share,
                ROUND(CAST(SUM(n_tokens)

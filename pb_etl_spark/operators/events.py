@@ -353,19 +353,18 @@ def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = read_event_stream(spark, sf_dir, glob="events.parquet")
     q = stream_upsert_parquet(sdf, target, key="user_id", ts_col="ts", checkpoint_dir=ckpt)
     q.awaitTermination()
-    out = (
-        spark.read.parquet(target)
-        .select(
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_type"),
-            F.round("value", 6).alias("last_value"),
-        )
-        .cache()
+    final = spark.read.parquet(target).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 6).alias("last_value"),
     )
-    out.count()  # materialize before the temp dir is swept
+    # materialize to the DRIVER before sweeping the temp dir: a cached
+    # DataFrame can lose partitions and recompute from the (deleted)
+    # path; the result is 1-row-per-user (bounded), so collect is safe
+    rows, schema = final.collect(), final.schema
     shutil.rmtree(base, ignore_errors=True)
-    return out
+    return spark.createDataFrame(rows, schema)
 
 
 DOCS_STREAM_SCHEMA = T.StructType(
@@ -513,7 +512,7 @@ ORACLES: dict[str, str] = {
     "variant_extract_agg": """
         SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_bucket,
                COUNT(*) AS n_events,
-               SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
                ROUND(AVG(CAST(props->>'k' AS BIGINT)), 6) AS avg_k
         FROM events
         GROUP BY k_bucket
@@ -579,9 +578,9 @@ ORACLES: dict[str, str] = {
         )
         SELECT COUNT(*) AS n_users,
                COUNT(first_view) AS n_viewers,
-               SUM(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
+               CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
                              AND first_view < first_click
-                        THEN 1 ELSE 0 END) AS n_converted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         FROM per_user
     """,
     "json_extract_agg": """
@@ -647,7 +646,7 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY user_id
     """,
     "stream_doc_source_counts": """
-        SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         FROM documents GROUP BY source
     """,
     "stream_doc_dedup": """

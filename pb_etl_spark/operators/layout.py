@@ -101,23 +101,30 @@ def zvalue(a, b, bits: int = Z_BITS):
 
 
 def znorm(col, cmin, cmax, bits: int = Z_BITS):
-    """Scale ``col`` from [cmin, cmax] onto [0, 2^bits): exact integer
-    arithmetic — (col - min) * 2^bits DIV (range + 1) — so both engines
-    compute identical values in any evaluation order."""
+    """Scale ``col`` from [cmin, cmax] onto [0, 2^bits) as a double:
+    (col - min) * 2^bits / (range + 1). NOTE this is IEEE double
+    division, not integer DIV — cross-engine stable because both sides
+    run the identical op and the numerator stays far below 2^53. The
+    layout keys use ``znorm_int``, which IS exact integer arithmetic."""
     return (
         (col.cast("long") - F.lit(int(cmin))) * F.lit(1 << bits)
     ) / F.lit(int(cmax) - int(cmin) + 1)
 
 
 def znorm_int(col, cmin, cmax, bits: int = Z_BITS):
-    return F.floor(znorm(col, cmin, cmax, bits)).cast("long")
+    """Integer znorm: (col - min) * 2^bits DIV (range + 1), computed as
+    (num - num % den) / den over longs — every step exact long
+    arithmetic (the division's quotient has no remainder), so no FLOOR
+    over a double anywhere and both engines agree bit-for-bit."""
+    num = (col.cast("long") - F.lit(int(cmin))) * F.lit(1 << bits)
+    den = F.lit(int(cmax) - int(cmin) + 1)
+    return ((num - num % den) / den).cast("long")
 
 
 def znorm_sql(col: str, cmin: int, cmax: int, bits: int = Z_BITS) -> str:
-    return (
-        f"CAST(FLOOR((({col} - {int(cmin)}) * {1 << bits}) "
-        f"/ ({int(cmax) - int(cmin) + 1})) AS BIGINT)"
-    )
+    num = f"(({col} - {int(cmin)}) * {1 << bits})"
+    den = int(cmax) - int(cmin) + 1
+    return f"CAST(({num} - {num} % {den}) / {den} AS BIGINT)"
 
 
 def zvalue_sql(a: str, b: str, bits: int = Z_BITS) -> str:

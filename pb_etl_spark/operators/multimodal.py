@@ -227,9 +227,11 @@ def q_media_decode(spark, sf_dir: str) -> DataFrame:
 
 def q_media_feature_agg(spark, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing over the binary column: byte-histogram
-    features per item, aggregated per kind. No oracle (byte-level UTF-8
-    histograms aren't SQL-expressible); tests pin exact vectors for known
-    payloads and the driver records the rows-only check."""
+    features per item, aggregated per kind. UNREGISTERED (kept for tests):
+    byte-level UTF-8 histogram averages aren't SQL-expressible, so this
+    shape can only ever be a rows-only driver row — the registered,
+    hash-checked face of the family is ``q_media_feature_summary``.
+    Tests pin exact vectors for known payloads."""
     media = media_table_from_documents(spark, sf_dir)
     feats = extract_features(media)
     joined = media.select("media_id", "kind").join(feats, "media_id")
@@ -237,6 +239,30 @@ def q_media_feature_agg(spark, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
         F.round(F.avg(F.element_at("features", 2)), 6).alias("avg_f1"),
+    )
+
+
+def q_media_feature_summary(spark, sf_dir: str) -> DataFrame:
+    """Hash-checked summary of the feature-extraction path: per kind,
+    item count, total payload bytes, the feature dim the UDF actually
+    emitted, and how many vectors are L1-normalized (sum≈1 — every
+    non-empty payload, by construction). The full byte-histogram isn't
+    SQL-expressible, but each of these IS predictable from ``documents``
+    — so the Arrow encode→extract plumbing gets a real oracle instead
+    of a rows-only row."""
+    media = media_table_from_documents(spark, sf_dir)
+    feats = extract_features(media)
+    joined = media.select(
+        "media_id", "kind", F.length("content").cast("long").alias("blob_bytes")
+    ).join(feats, "media_id")
+    feat_sum = F.aggregate(
+        "features", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return joined.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("blob_bytes") - F.lit(HEADER_LEN)).alias("total_payload_bytes"),
+        F.max(F.size("features")).cast("long").alias("feat_dim"),
+        F.sum((F.round(feat_sum, 3) == 1.0).cast("long")).alias("n_unit_norm"),
     )
 
 
@@ -248,6 +274,22 @@ ORACLES: dict[str, str] = {
                CAST(doc_id % 3 + 1 AS BIGINT) AS channels,
                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_payload_bytes
         FROM documents
+    """,
+    "media_feature_summary": """
+        WITH d AS (
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   octet_length(CAST(text AS BLOB)) AS payload_bytes
+            FROM documents
+        )
+        SELECT kind, COUNT(*) AS n_items,
+               CAST(SUM(payload_bytes) AS BIGINT) AS total_payload_bytes,
+               CAST(16 AS BIGINT) AS feat_dim,
+               CAST(SUM(CASE WHEN payload_bytes > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unit_norm
+        FROM d GROUP BY kind
     """,
 }
 
@@ -288,7 +330,7 @@ ORACLES["media_frame_sample"] = """
 
 QUERIES = {
     "media_decode": q_media_decode,
-    "media_feature_agg": q_media_feature_agg,
+    "media_feature_summary": q_media_feature_summary,
     "media_frame_sample": q_media_frame_sample,
 }
 

@@ -75,7 +75,9 @@ def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = o.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-    w = W.orderBy("month")
+    # constant partition key: bounded input (~24 monthly rows) and it
+    # silences the unpartitioned-WindowExec warning in the bench tail
+    w = W.partitionBy(F.lit(0)).orderBy("month")
     return monthly.select(
         "month",
         "revenue",

@@ -277,7 +277,9 @@ def q_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(hourly, ["user_id", "h"], "left")
         .select(
             "user_id",
-            "h",
+            # stringified: raw timestamps fetch as datetime64[ns] on Spark
+            # vs [us] on DuckDB and trip the driver's dtype-sensitive hash
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("h"),
             F.last("v", ignorenulls=True).over(w).alias("value"),
             F.col("v").isNull().cast("int").alias("was_filled"),
         )
@@ -305,7 +307,14 @@ def q_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("total_value"),
         )
-        .select("day", "hour", "g_day", "g_hour", "n_events", "total_value")
+        .select(
+            F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("day"),
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "g_day",
+            "g_hour",
+            "n_events",
+            "total_value",
+        )
     )
 
 
@@ -321,7 +330,7 @@ ORACLES: dict[str, str] = {
                    unnest(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
             FROM hourly GROUP BY user_id
         )
-        SELECT g.user_id, g.h,
+        SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS h,
                LAST_VALUE(hv.v IGNORE NULLS)
                    OVER (PARTITION BY g.user_id ORDER BY g.h
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -331,8 +340,8 @@ ORACLES: dict[str, str] = {
         LEFT JOIN hourly hv ON g.user_id = hv.user_id AND g.h = hv.h
     """,
     "multi_resolution_rollup": f"""
-        SELECT date_trunc('day', ts) AS day,
-               date_trunc('hour', ts) AS hour,
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day,
                CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS g_hour,
                COUNT(*) AS n_events,

@@ -129,9 +129,10 @@ def _merges_for(spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES):
 
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned merge table as a DataFrame: (rank, left, right,
-    pair_count). Rows-only for the driver (iterative argmax has no
-    single-SQL oracle); exact-equivalence vs a plain-Python reference
-    implementation is asserted in tests/test_tokenize.py."""
+    pair_count). Hash-checked: the oracle unrolls the trainer's argmax
+    loop into SQL CTE stages (see ``_bpe_cte_chain``); exact-equivalence
+    vs a plain-Python reference implementation is additionally asserted
+    in tests/test_tokenize.py."""
     merges = _merges_for(spark, sf_dir)
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
@@ -172,9 +173,9 @@ def q_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop over vocab-sized jobs), then encode every document with it —
     per-doc BPE token counts plus the compression ratio vs raw
     characters. The encode pass is embarrassingly parallel (merge table
-    broadcast in the closure; one corpus scan). Rows-only like the
-    trainer; exactness is pinned by the trainer's reference test plus
-    the compression sanity test."""
+    broadcast in the closure; one corpus scan). Hash-checked against
+    the same SQL replay of the trainer (``_bpe_cte_chain``) extended
+    with a per-word encode + per-doc rollup."""
     docs = (
         read_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
@@ -198,4 +199,92 @@ QUERIES = {
     "bpe_encode_counts": q_bpe_encode_counts,
 }
 
-ORACLES: dict[str, str] = {}
+
+def _bpe_cte_chain(n_merges: int = N_MERGES) -> str:
+    """DuckDB CTE chain that REPLAYS the whole distributed BPE trainer in
+    SQL — the iterative argmax loop unrolled into ``n_merges`` stages, so
+    both the learned merge table and the encode pass get a genuine
+    value-checked oracle (sf-independent: the oracle re-derives the
+    merges from whatever corpus slice it runs on, exactly like the Spark
+    trainer does).
+
+    Per stage k: ``pairs{{k}}`` counts adjacent symbol pairs weighted by
+    word frequency, ``top{{k}}`` is the deterministic argmax (count desc,
+    then lexicographic), ``vocab{{k}}`` applies the merge via a
+    ``list_reduce`` whose accumulator is the chr(31)-joined symbol
+    string. The reduce's "merge last symbol with x" step is equivalent
+    to the trainer's left-to-right non-overlapping ``_apply_merge``:
+    a freshly merged symbol (text a||b) can never equal the left operand
+    a again (b is non-empty), so it is never re-merged within a stage —
+    the same invariant the skip-2 scan enforces."""
+    parts = [
+        """words AS (
+            SELECT w, COUNT(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE doc_id < 200
+            ) WHERE w <> '' GROUP BY w
+        ), vocab0 AS MATERIALIZED (
+            SELECT w, n,
+                   array_to_string(
+                       list_transform(generate_series(1, length(w)), i -> w[i]),
+                       chr(31)) AS s
+            FROM words
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""pairs{k} AS MATERIALIZED (
+            SELECT v.a, v.b, CAST(SUM(v.n) AS BIGINT) AS c
+            FROM (
+                SELECT sy.n AS n, sy.syms[g.i] AS a, sy.syms[g.i + 1] AS b
+                FROM (SELECT n, string_split(s, chr(31)) AS syms
+                      FROM vocab{k - 1}) sy,
+                     LATERAL unnest(generate_series(1, len(sy.syms) - 1)) AS g(i)
+            ) v GROUP BY v.a, v.b
+        ), top{k} AS MATERIALIZED (
+            SELECT a, b, c FROM pairs{k} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+        ), vocab{k} AS MATERIALIZED (
+            SELECT v.w, v.n,
+                   list_reduce(string_split(v.s, chr(31)),
+                       (acc, x) -> CASE
+                           WHEN x = t.b AND (acc = t.a OR
+                                right(acc, length(t.a) + 1) = chr(31) || t.a)
+                           THEN left(acc, length(acc) - length(t.a)) || t.a || t.b
+                           ELSE acc || chr(31) || x END) AS s
+            FROM vocab{k - 1} v CROSS JOIN top{k} t
+        )""")
+    return ",\n        ".join(parts)
+
+
+_TRAIN_UNION = "\n            UNION ALL ".join(
+    f'SELECT CAST({k} AS BIGINT) AS "rank", a AS "left", b AS "right", '
+    f"c AS pair_count FROM top{k}"
+    for k in range(1, N_MERGES + 1)
+)
+
+ORACLES: dict[str, str] = {
+    "bpe_train_merges": f"""
+        WITH {_bpe_cte_chain()}
+        SELECT * FROM ({_TRAIN_UNION}) ORDER BY "rank"
+    """,
+    "bpe_encode_counts": f"""
+        WITH {_bpe_cte_chain()},
+        doc_words AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0
+            ) WHERE w <> ''
+        ), wtok AS (
+            SELECT w, CAST(len(string_split(s, chr(31))) AS BIGINT) AS n_tok
+            FROM vocab{N_MERGES}
+        ), counts AS (
+            SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens
+            FROM doc_words JOIN wtok USING (w) GROUP BY doc_id
+        )
+        SELECT d.doc_id, c.bpe_tokens,
+               CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS char_tokens,
+               ROUND(CAST(c.bpe_tokens AS DOUBLE)
+                     / length(replace(d.text, ' ', '')), 6) AS compression
+        FROM documents d JOIN counts c USING (doc_id)
+        WHERE d.doc_id < 200 AND length(trim(d.text)) > 0
+    """,
+}

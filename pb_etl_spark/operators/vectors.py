@@ -357,9 +357,9 @@ ORACLES: dict[str, str] = {
             FROM e JOIN s ON e.pos = s.pos
         )
         SELECT vec_id,
-               SUM(ABS(q)) AS l1_q,
-               SUM(q * q) AS l2_q,
-               SUM(q * (pos + 1)) AS pos_checksum,
+               CAST(SUM(ABS(q)) AS BIGINT) AS l1_q,
+               CAST(SUM(q * q) AS BIGINT) AS l2_q,
+               CAST(SUM(q * (pos + 1)) AS BIGINT) AS pos_checksum,
                COUNT(*) AS n_dims
         FROM q GROUP BY vec_id
     """,

@@ -41,82 +41,103 @@ from pb_etl_spark.operators import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Order matters: the driver's correctness harness verifies the FIRST ~50
-# registry entries (registry insertion order) each round. Round 1 checked
-# the first 50 (relational/reshape/events/text prefix); 8 of those failed
-# on the conf-dependent events read, since fixed. The round-2 priority
-# window below front-loads, by name:
-#   1. the 8 previously-FAILING queries (proof of the fix),
-#   2. the silently-at-risk events readers (dedup_keep_latest, asof_join,
-#      range_join) and every oracle added this round (stream_user_totals,
-#      stream joins/dedup/enrich, stratified_hash_sample),
-#   3. families with ZERO driver verification so far: dedup/LSH,
-#      clustering, skew, multimodal, similarity, all 19 TPC-H shapes.
-# Everything after _PRIORITY follows in module order, never-checked
-# modules first, round-1-green prefix last. Rotate again each round.
+# registry entries (registry insertion order) each round. Rounds 1-2
+# verified 91 unique queries (86 green latest-status). The round-3 window
+# front-loads, by name:
+#   1. funnel_conversion — the ONLY red r02 row (oracle HUGEINT cast
+#      fixed this round; must show green),
+#   2. queries whose code or oracle CHANGED this round (HUGEINT casts,
+#      timestamp stringification, the scale-safe shuffle/ntile rewrite,
+#      bounded-window rewrites, the new BPE/media oracles),
+#   3. never-checked novelties most likely to be environment- or
+#      algorithm-sensitive: Spark 4 surfaces, semantic/substring dedup,
+#      graph, fuzzy matching, temporal joins,
+#   4. the 13 never-checked TPC-H shapes.
+# Everything after _PRIORITY follows in module order. Rotate each round;
+# with ~50/round, round 4 completes full-registry driver coverage.
 _PRIORITY = [
-    # -- round-1 failures, now conf-independent reads --
-    "json_extract_agg",
-    "tumbling_window",
-    "sliding_window",
-    "session_window",
-    "sessionize_lag",
+    # -- the r02 red row, oracle type fixed --
     "funnel_conversion",
-    "cohort_retention",
-    "interval_funcs",
-    # -- at-risk events readers + new oracles --
-    "dedup_keep_latest",
-    "asof_join",
-    "range_join",
-    "stream_user_totals",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_enrich",
-    "stratified_hash_sample",
-    # -- never driver-checked families --
-    "embedding_near_dup_lsh",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_near_dup_pairs",
-    "simhash_fingerprints",
-    "embedding_near_dup",
-    "dedup_clusters",
-    "dedup_representatives",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "media_decode",
-    "media_feature_agg",
-    "knn_cosine",
-    "embedding_norms",
-    # -- representative composite battery (TPC-H shapes), never checked;
-    # the full 22 rotate through over rounds --
-    "tpch_q1_pricing",
-    "tpch_q6_revenue",
-    "tpch_q10_returns",
-    "tpch_q18_large_orders",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q4_priority",
-    "tpch_q3_shipping",
-    "tpch_q5_region_volume",
-    "window_ranking",
-    "explode_history",
-    "approx_distinct",
-    "approx_percentiles",
-    # hardest decorrelation this round (double-EXISTS Q21)
-    "tpch_q21_waiting_supplier",
-    # -- environment-sensitive novel paths: custom connector under the
-    # driver's own session, warehouse-writing queries, streaming drains,
-    # and the protobuf-gated transformWithState fallback — these are the
-    # queries whose behavior could differ between harnesses, so they get
-    # driver verification before more locally-green SQL shapes do --
-    "python_datasource",
-    "stream_python_datasource",
-    "bucketed_join",
-    "partition_pruned_scan",
-    "stream_foreach_upsert",
-    "stream_user_stats_tws",
-    # slot 51+: plain SQL shape, least environment-sensitive of the new set
+    # -- changed this round: oracle HUGEINT → BIGINT casts --
+    "variant_extract_agg",
+    "stream_doc_source_counts",
+    "table_checksum",
+    "table_profile",
+    "constraint_check",
+    "mad_outlier_stats",
+    "winsorized_stats",
+    "vector_quantize",
+    "substring_dup_spans",
+    "tpch_q12_priority_lines",
+    "dataset_card",
+    "top_p_quality_sample",
+    # -- changed this round: timestamp stringification --
+    "gap_fill_resample",
+    "multi_resolution_rollup",
+    # -- changed this round: scale-safe global positions / bounded windows --
+    "deterministic_shuffle",
+    "curriculum_buckets",
+    "source_mix_report",
+    "mixture_resample",
+    "monthly_growth",
+    # -- new oracles this round --
+    "bpe_train_merges",
+    "bpe_encode_counts",
+    "media_feature_summary",
+    # -- never-checked Spark 4 surfaces --
+    "recursive_hierarchy",
+    "collated_group",
+    "pipe_syntax_agg",
+    "sql_udf_pricing",
+    "udtf_chunking",
+    # -- never-checked dedup / graph / retrieval novelties --
+    "semantic_dedup",
+    "fuzzy_match_pairs",
+    "pagerank_knn",
+    "triangle_count_knn",
+    "bm25_topk",
+    "contamination_check",
+    "rolling_fingerprint",
+    "doc_chunking",
+    "incremental_dedup",
+    "dup_span_ratio",
+    "kmv_distinct_sketch",
+    # -- never-checked temporal --
+    "pit_join",
+    "cogroup_time_since",
+    # -- never-checked corpus / sampling / packing --
+    "seq_packing",
+    "pii_redaction",
+    "quality_filter_chain",
+    "weighted_hash_sample",
+    "kfold_assign",
+    "topk_hash_sample",
+    "negative_sampling",
+    "stream_doc_dedup",
+    # -- remaining never-checked TPC-H shapes (rest rotate to round 4) --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q20_part_shippers",
+    "tpch_q22_idle_balances",
+    # slot 60+: the scalar battery and vector/layout remainder follow in
+    # module order for round 4's window
     "snapshot_diff",
+    "zorder_key",
+    "matryoshka_knn",
+    "centroid_assign",
+    "pq_codes",
+    "dim_stats",
+    "feature_hashing",
+    "bigram_loglik",
+    "partial_agg_merge",
+    "media_frame_sample",
 ]
 
 _MODULES = [
