@@ -194,9 +194,10 @@ def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens()).cast("long")).alias("n_tokens"),
     )
-    # corpus total via a broadcast 1-row agg; the cumulative window gets
-    # an explicit constant partition key (bounded: rows = |sources|) so
-    # no unpartitioned WindowExec warning fires
+    # corpus total via a broadcast 1-row agg crossJoin (BNLJ-whitelisted,
+    # like maxabs_normalize); the cumulative window gets an explicit
+    # constant partition key (bounded: rows = |sources|) so no
+    # unpartitioned WindowExec warning fires
     totals = per_src.agg(F.sum("n_tokens").alias("_total_tokens"))
     w_cum = (
         W.partitionBy(F.lit(0))
@@ -259,8 +260,9 @@ def uniform_mixture_rates(doc: DataFrame) -> DataFrame:
     """Per-source keep rates for a UNIFORM target mixture:
     min(1, (total/n_sources)/n_src). One row per source — broadcast it."""
     per_src = doc.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    # totals via a broadcast 1-row agg, not an unpartitioned window —
-    # same bounded result, no WindowExec single-partition warning
+    # totals via a broadcast 1-row agg crossJoin (BNLJ-whitelisted, like
+    # maxabs_normalize), not an unpartitioned window — same bounded
+    # result, no WindowExec single-partition warning
     totals = per_src.agg(
         F.sum("n_src").alias("_n_total"), F.count(F.lit(1)).alias("_n_sources")
     )

@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 
 from pb_etl_spark.catalog import read_table
 from pb_etl_spark.operators.dedup import COSINE_DUP_THRESHOLD
-from pb_etl_spark.operators.similarity import _dot, _norm
 from pb_etl_spark.operators.vectors import CENTROIDS, N_CENTROIDS, _dot_const
 
 
@@ -61,21 +60,37 @@ def assign_cells(emb: DataFrame) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup decision table: every vector with its cell and whether it
     survives within-cell cosine dedup (cos ≥ 0.4 to a LOWER vec_id in the
-    same cell → dropped; the min id of each dup group survives)."""
+    same cell → dropped; the min id of each dup group survives).
+
+    Pair verification is ONE NumPy gram matrix per cell inside
+    ``applyInPandas`` — the same vectorized in-core shape as
+    ``embedding_near_dup_lsh`` — instead of a centroid self-join whose
+    per-pair cosine ran as 3 codegen'd 64-element folds (measured ~10 s
+    at sf0.1 vs ~1 s for the grouped-matmul form). No candidate-pair
+    relation is ever materialized; each cell emits only its dropped ids."""
+    import numpy as np
+
     assign = assign_cells(read_table(spark, sf_dir, "embeddings"))
-    a, b = assign.alias("a"), assign.alias("b")
-    raw_cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        _norm(F.col("a.v")) * _norm(F.col("b.v"))
-    )
+    threshold = COSINE_DUP_THRESHOLD
+
+    def cell_dropped(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": []})
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf["v"].to_numpy()[order])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        g = m @ m.T
+        iu, ju = np.triu_indices(len(m), 1)
+        hit = g[iu, ju] >= threshold  # ids sorted → ju side is the larger id
+        return pd.DataFrame({"vec_id": np.unique(ids[ju[hit]])})
+
     dropped = (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(raw_cos >= COSINE_DUP_THRESHOLD)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
+        assign.groupBy("centroid_id")
+        .applyInPandas(cell_dropped, schema="vec_id long")
         .withColumn("__dropped", F.lit(True))
     )
     return (

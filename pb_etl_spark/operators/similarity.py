@@ -354,8 +354,10 @@ def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 for vec_id<5. No oracle: the hash
-    family is engine-specific; tests bound recall vs the exact tier."""
+    """LSH-bucketed approximate top-5 for vec_id<5. HASH-CHECKED: the
+    seeded hyperplanes are embedded in the oracle as literals and the
+    whole bucket→re-rank path replays in SQL (``_lsh_oracle_sql``);
+    tests additionally bound recall vs the exact tier."""
     emb = read_table(spark, sf_dir, "embeddings")
     # plane count scales with |corpus| (≈log2(n) - 2): bucket occupancy
     # stays O(1) as the corpus grows, so candidate sets — and the re-rank
@@ -393,6 +395,68 @@ def _deterministic_gaussians(seed: int, n: int) -> list[float]:
         out.append(r * math.cos(2 * math.pi * u2))
         out.append(r * math.sin(2 * math.pi * u2))
     return out[:n]
+
+
+def _lsh_oracle_sql() -> str:
+    """Value-checked oracle for the LSH ANN tier: the hyperplanes are a
+    PURE seeded function (``_deterministic_gaussians`` is prefix-stable —
+    the first r·dim draws are identical for any n_planes), so the max
+    8×16 plane rows are embedded as DOUBLE[] literals and the oracle
+    re-derives n_planes from the corpus count with the same
+    log2-clamp the Spark side uses. Signature packing, bucket join,
+    dedup, exact cosine re-rank and top-k then replay in SQL. Sign bits
+    are FP-stable across engines: |<v, r>| has no mass near 0 at double
+    precision for random data."""
+    dim, n_tables, max_planes = 64, 8, 16
+    g = _deterministic_gaussians(42, n_tables * max_planes * dim)
+    rows = ",\n                ".join(
+        "({}, [{}])".format(
+            r, ", ".join(repr(x) for x in g[r * dim : (r + 1) * dim])
+        )
+        for r in range(n_tables * max_planes)
+    )
+    return f"""
+        WITH params AS (
+            SELECT GREATEST(4, LEAST(16,
+                       CAST(FLOOR(LOG2(GREATEST(COUNT(*), 2))) AS INT) - 2))
+                   AS n_planes
+            FROM embeddings
+        ), plane_lit(row_idx, p) AS (
+            VALUES {rows}
+        ), plane_map AS (
+            SELECT pl.row_idx // params.n_planes AS tbl,
+                   pl.row_idx % params.n_planes AS j,
+                   pl.p
+            FROM plane_lit pl CROSS JOIN params
+            WHERE pl.row_idx < {n_tables} * params.n_planes
+        ), vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sigs AS (
+            SELECT v.vec_id, pm.tbl,
+                   CAST(SUM(CASE WHEN list_dot_product(v.v, pm.p) >= 0
+                                 THEN (1::BIGINT << pm.j) ELSE 0 END)
+                        AS BIGINT) AS sig
+            FROM vecs v CROSS JOIN plane_map pm
+            GROUP BY v.vec_id, pm.tbl
+        ), cand AS (
+            SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+            FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+            WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+        ), scored AS (
+            SELECT cand.q_id, cand.n_id,
+                   list_cosine_similarity(qv.v, nv.v) AS cos
+            FROM cand
+            JOIN vecs qv ON qv.vec_id = cand.q_id
+            JOIN vecs nv ON nv.vec_id = cand.n_id
+        ), ranked AS (
+            SELECT q_id, n_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, n_id ASC) AS rank
+            FROM scored
+        )
+        SELECT q_id, n_id, rank, ROUND(cos, 6) AS cos
+        FROM ranked WHERE rank <= {TOP_K}
+    """
 
 
 ORACLES: dict[str, str] = {
@@ -444,6 +508,10 @@ ORACLES: dict[str, str] = {
         FROM rr WHERE rank <= {TOP_K}
     """,
 }
+
+# registered here (not in the dict literal) because the SQL builder needs
+# _deterministic_gaussians, defined above
+ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
 
 QUERIES = {
     "knn_cosine": q_knn_cosine,

@@ -40,6 +40,10 @@ BNLJ_WHITELIST = {
     #   top-language pick
     "negative_sampling",  # 1-row corpus-count crossJoin feeding the
     #   hash-ring offsets
+    "source_mix_report",  # 1-row corpus-token-total crossJoin (replaced
+    #   the unpartitioned total window, round 3)
+    "mixture_resample",  # same: 1-row (total, n_sources) rate constants
+    #   crossJoined onto the per-source table
 }
 
 
