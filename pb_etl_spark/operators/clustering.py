@@ -129,10 +129,15 @@ def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pb_etl_spark.operators.similarity import cosine_topk
 
     emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < PR_NODES)
-    edges = cosine_topk(emb, emb, k=PR_K).select(
-        F.col("q_id").alias("src"), F.col("n_id").alias("dst")
+    # checkpoint the bounded edge/node sets (≤ PR_NODES·PR_K rows): the
+    # edge subtree is referenced once PER ITERATION in the final plan,
+    # and without truncation the kNN build would run PR_ITERS times
+    edges = (
+        cosine_topk(emb, emb, k=PR_K)
+        .select(F.col("q_id").alias("src"), F.col("n_id").alias("dst"))
+        .localCheckpoint(eager=True)
     )
-    nodes = emb.select(F.col("vec_id").alias("node"))
+    nodes = emb.select(F.col("vec_id").alias("node")).localCheckpoint(eager=True)
     n = nodes.count()  # bounded (≤ PR_NODES) — baked as a literal
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(PR_ITERS):
@@ -273,9 +278,15 @@ def q_triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cosine_topk(emb, emb, k=PR_K).select(
         F.col("q_id").alias("src"), F.col("n_id").alias("dst")
     )
-    und = edges.select(
-        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
-    ).distinct()
+    # checkpoint: ``und`` is self-joined three times — without lineage
+    # truncation the kNN edge build would run once per join branch
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ab, bc, ac = und.alias("ab"), und.alias("bc"), und.alias("ac")
     tri = (
         ab.join(bc, F.col("ab.hi") == F.col("bc.lo"))

@@ -130,3 +130,56 @@ def test_source_mix_report_windows_after_aggregation(spark):
     assert plan.index("Window") < plan.index("HashAggregate")
     rows = {r.source: r for r in df.collect()}
     assert abs(sum(r.token_share for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_global_positions_is_a_total_order_without_global_window(spark):
+    """The distributed row-number primitive: pos must be exactly 1..n in
+    the order-key order, and the plan must contain NO unpartitioned
+    window (every Window line carries the pid partition spec)."""
+    from pb_etl_spark.operators.corpus import global_positions
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("tie")
+    )
+    out, n = global_positions(spark, df, ["k", "tie"])
+    assert n == 1000
+    rows = out.orderBy("pos").collect()
+    assert [r["pos"] for r in rows] == list(range(1, 1001))
+    # pos order == (k, tie) order
+    keys = [(r["k"], r["tie"]) for r in rows]
+    assert keys == sorted(keys)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "SinglePartition" not in plan, plan
+
+
+def test_curriculum_buckets_matches_exact_ntile(spark):
+    """The closed-form floor((pos-1)k/n)+1 binning must equal a literal
+    NTILE over the same total order."""
+    from pyspark.sql.window import Window as W
+
+    from pb_etl_spark.operators.corpus import N_CURRICULUM_BINS, q_curriculum_buckets
+    from pb_etl_spark.operators.corpus import _tokens
+    from pb_etl_spark.catalog import read_table
+
+    got = {
+        r["bin"]: (r["n_docs"], r["min_tokens"], r["max_tokens"], r["bin_tokens"])
+        for r in q_curriculum_buckets(spark, SF_DIR).collect()
+    }
+    doc = read_table(spark, SF_DIR, "documents")
+    w = W.orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
+    ref = (
+        doc.select("doc_id", F.size(_tokens()).cast("long").alias("n_tokens"))
+        .withColumn("bin", F.ntile(N_CURRICULUM_BINS).over(w).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
+    want = {
+        r["bin"]: (r["n_docs"], r["min_tokens"], r["max_tokens"], r["bin_tokens"])
+        for r in ref.collect()
+    }
+    assert got == want
