@@ -11,9 +11,11 @@ Two tiers (SURVEY.md §7 phase 4 / training-data surface):
   cosine re-ranks candidates only. At 100 TB the bucket join replaces the
   full cross product; recall tunes with #planes/#tables.
 
-DuckDB oracle uses list_cosine_similarity for the exact tier; the LSH tier
-is checked against the exact tier in tests (recall ≥ threshold), since the
-hash family is engine-specific.
+DuckDB oracles: list_cosine_similarity for the exact tier, and FULL SQL
+replays for both ANN tiers — the LSH oracle embeds the seeded hyperplanes
+as literals, the IVF oracle re-derives centroids from the data — so every
+registered similarity query is value-checked end-to-end (recall bounds
+vs the exact tier are additionally asserted in tests).
 """
 
 from __future__ import annotations
@@ -388,8 +390,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate top-5 for vec_id<5. No oracle:
-    cell membership is engine-specific; tests bound recall vs exact."""
+    """IVF-partitioned approximate top-5 for vec_id<5. HASH-CHECKED:
+    the whole seed→Lloyd→assign→probe→re-rank pipeline is a
+    deterministic function of the data and replays in SQL
+    (``_ivf_oracle_sql``); tests additionally bound recall vs exact."""
     emb = read_table(spark, sf_dir, "embeddings")
     return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < N_QUERY_VECS))
 
@@ -525,9 +529,87 @@ ORACLES: dict[str, str] = {
     """,
 }
 
-# registered here (not in the dict literal) because the SQL builder needs
-# _deterministic_gaussians, defined above
+def _ivf_oracle_sql(
+    n_centroids: int = 16, n_probe: int = 4, dim: int = 64
+) -> str:
+    """Value-checked oracle for the IVF ANN tier — the whole pipeline is
+    a deterministic function of the data, so it replays in SQL: seed
+    centroids are the first ``n_centroids`` vectors by id (exact data,
+    no FP), the single Lloyd step is a per-cell per-dimension AVG, and
+    every argmin/argsort maps to ``ORDER BY distance ASC, cell ASC``
+    (numpy's argmin/stable argsort return the FIRST index on ties).
+    Cross-engine FP drift (summation order in distances and means) can
+    only flip an assignment on a near-exact Voronoi tie — no mass there
+    for random embeddings, and both engines are deterministic, so a pass
+    on the fixed fixtures is stable."""
+    return f"""
+        WITH vecs AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c0 AS MATERIALIZED (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+            FROM vecs ORDER BY vec_id LIMIT {n_centroids}
+        ), a0 AS MATERIALIZED (
+            SELECT vec_id, cell FROM (
+                SELECT x.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                           ORDER BY list_distance(x.v, c.v) ASC, c.cell ASC)
+                           AS rn
+                FROM vecs x CROSS JOIN c0 c
+            ) WHERE rn = 1
+        ), c1 AS MATERIALIZED (
+            SELECT cell, array_agg(mean_val ORDER BY pos) AS v FROM (
+                SELECT a.cell, g.i AS pos, AVG(x.v[g.i]) AS mean_val
+                FROM a0 a JOIN vecs x USING (vec_id),
+                     LATERAL unnest(generate_series(1, {dim})) AS g(i)
+                GROUP BY a.cell, g.i
+            ) GROUP BY cell
+        ), c1f AS MATERIALIZED (
+            SELECT cell, v FROM c1
+            UNION ALL
+            SELECT c0.cell, c0.v FROM c0
+            WHERE c0.cell NOT IN (SELECT cell FROM c1)
+        ), af AS MATERIALIZED (
+            SELECT vec_id, cell FROM (
+                SELECT x.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                           ORDER BY list_distance(x.v, c.v) ASC, c.cell ASC)
+                           AS rn
+                FROM vecs x CROSS JOIN c1f c
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS q_id, cell FROM (
+                SELECT x.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                           ORDER BY list_distance(x.v, c.v) ASC, c.cell ASC)
+                           AS rn
+                FROM vecs x CROSS JOIN c1f c
+                WHERE x.vec_id < {N_QUERY_VECS}
+            ) WHERE rn <= {n_probe}
+        ), cand AS (
+            SELECT p.q_id, a.vec_id AS n_id
+            FROM probes p JOIN af a USING (cell)
+            WHERE a.vec_id <> p.q_id
+        ), scored AS (
+            SELECT cand.q_id, cand.n_id,
+                   list_cosine_similarity(qv.v, nv.v) AS cos
+            FROM cand
+            JOIN vecs qv ON qv.vec_id = cand.q_id
+            JOIN vecs nv ON nv.vec_id = cand.n_id
+        ), ranked AS (
+            SELECT q_id, n_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, n_id ASC) AS rank
+            FROM scored
+        )
+        SELECT q_id, n_id, rank, ROUND(cos, 6) AS cos
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+# registered here (not in the dict literal) because the SQL builders need
+# _deterministic_gaussians / the module constants, defined above
 ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
+ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
 
 QUERIES = {
     "knn_cosine": q_knn_cosine,

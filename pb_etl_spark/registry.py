@@ -84,6 +84,8 @@ _PRIORITY = [
     "bpe_train_merges",
     "bpe_encode_counts",
     "media_feature_summary",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     # -- never-checked Spark 4 surfaces --
     "recursive_hierarchy",
     "collated_group",
