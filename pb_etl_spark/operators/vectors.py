@@ -222,10 +222,12 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_id, vec_id, partial-sum) triples; raw vectors are touched again
     solely for the shortlist join (|queries| × 50 rows). The driver
     holds the training sample (1024 rows) and distance tables (KBs) —
-    both bounded regardless of corpus size. No oracle: approximation is
-    codebook-specific; tests bound shortlist recall and re-ranked
-    quality against the exact tier (recall@10 ≈ 0.9 / 0.4 at fixture
-    scale vs 0.02 for random selection)."""
+    both bounded regardless of corpus size. HASH-CHECKED: the trainer's
+    20 Lloyd iterations unroll into SQL CTE stages and the whole
+    sample→train→encode→ADC→re-rank path replays in the oracle
+    (``_pq_oracle_sql``); tests additionally bound shortlist recall and
+    re-ranked quality against the exact tier (recall@10 ≈ 0.9 / 0.4 at
+    fixture scale vs 0.02 for random selection)."""
     import numpy as np
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -407,3 +409,109 @@ ORACLES: dict[str, str] = {
         FROM e GROUP BY pos
     """,
 }
+
+
+def _pq_oracle_sql(iters: int = 20) -> str:
+    """Value-checked oracle for the PQ ANN tier: the ENTIRE pipeline —
+    sample selection, per-subspace Lloyd k-means (``iters`` iterations
+    unrolled as materialized CTE stages, empty clusters carrying their
+    previous centroid), corpus encoding, the asymmetric distance table,
+    shortlist, and exact re-rank — is a deterministic function of the
+    data and replays in SQL. argmin/stable-argsort tie-breaks map to
+    ``ORDER BY distance ASC, code ASC``; squared distances use explicit
+    (a-b)*(a-b) sums to mirror numpy. Cross-engine FP drift can only
+    flip a code on a near-exact Voronoi tie (no mass there for random
+    embeddings), and both engines are deterministic, so a pass on the
+    fixed fixtures is stable."""
+    sd, nsub = PQ_SUB_DIM, PQ_SUBSPACES
+    parts = [
+        f"""params AS (
+            SELECT LEAST({ANN_PQ_TRAIN_K},
+                         GREATEST(2, LEAST({ANN_PQ_TRAIN_SAMPLE}, COUNT(*)) // 4))
+                   AS k
+            FROM embeddings
+        ), vecs AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sample AS MATERIALIZED (
+            SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM vecs QUALIFY rn <= {ANN_PQ_TRAIN_SAMPLE}
+        ), subs AS MATERIALIZED (
+            SELECT s.rn AS sid, g.s AS sub,
+                   s.v[g.s * {sd} + 1 : g.s * {sd} + {sd}] AS x
+            FROM sample s, LATERAL unnest(generate_series(0, {nsub - 1})) AS g(s)
+        ), b0 AS MATERIALIZED (
+            SELECT sub, sid - 1 AS code, x AS v
+            FROM subs, params WHERE sid <= params.k
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+            SELECT sid, sub, code FROM (
+                SELECT s.sid, s.sub, b.code,
+                       ROW_NUMBER() OVER (PARTITION BY s.sid, s.sub
+                           ORDER BY list_distance(s.x, b.v) ASC, b.code ASC)
+                           AS rn2
+                FROM subs s JOIN b{i - 1} b USING (sub)
+            ) WHERE rn2 = 1
+        ), m{i} AS MATERIALIZED (
+            SELECT sub, code, array_agg(mv ORDER BY pos) AS v FROM (
+                SELECT a.sub, a.code, g.i AS pos, AVG(s.x[g.i]) AS mv
+                FROM a{i} a JOIN subs s USING (sid, sub),
+                     LATERAL unnest(generate_series(1, {sd})) AS g(i)
+                GROUP BY a.sub, a.code, g.i
+            ) GROUP BY sub, code
+        ), b{i} AS MATERIALIZED (
+            SELECT sub, code, v FROM m{i}
+            UNION ALL
+            SELECT b.sub, b.code, b.v FROM b{i - 1} b
+            WHERE NOT EXISTS (SELECT 1 FROM m{i} m
+                              WHERE m.sub = b.sub AND m.code = b.code)
+        )""")
+    parts.append(f"""csub AS MATERIALIZED (
+            SELECT s.vec_id, g.s AS sub,
+                   s.v[g.s * {sd} + 1 : g.s * {sd} + {sd}] AS x
+            FROM vecs s, LATERAL unnest(generate_series(0, {nsub - 1})) AS g(s)
+        ), codes AS MATERIALIZED (
+            SELECT vec_id, sub, code FROM (
+                SELECT c.vec_id, c.sub, b.code,
+                       ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.sub
+                           ORDER BY list_distance(c.x, b.v) ASC, b.code ASC)
+                           AS rn2
+                FROM csub c JOIN b{iters} b USING (sub)
+            ) WHERE rn2 = 1
+        ), dtable AS MATERIALIZED (
+            SELECT q.vec_id AS q_id, b.sub, b.code,
+                   list_sum(list_transform(generate_series(1, {sd}),
+                       i -> (q.x[i] - b.v[i]) * (q.x[i] - b.v[i]))) AS d2
+            FROM csub q JOIN b{iters} b USING (sub)
+            WHERE q.vec_id < 5
+        ), appx AS MATERIALIZED (
+            SELECT d.q_id, c.vec_id, SUM(d.d2) AS approx_d2
+            FROM codes c JOIN dtable d ON d.sub = c.sub AND d.code = c.code
+            GROUP BY d.q_id, c.vec_id
+        ), sl AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY approx_d2 ASC, vec_id ASC) AS srank
+                FROM appx WHERE vec_id <> q_id
+            ) WHERE srank <= {ANN_PQ_SHORTLIST}
+        ), rr AS (
+            SELECT sl.q_id, sl.vec_id AS n_id,
+                   list_sum(list_transform(generate_series(1, {DIM}),
+                       i -> (qv.v[i] - nv.v[i]) * (qv.v[i] - nv.v[i]))) AS d2
+            FROM sl
+            JOIN vecs qv ON qv.vec_id = sl.q_id
+            JOIN vecs nv ON nv.vec_id = sl.vec_id
+        ), ranked AS (
+            SELECT q_id, n_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY d2 ASC, n_id ASC) AS rank
+            FROM rr
+        )
+        SELECT q_id, n_id, rank, ROUND(d2, 6) AS d2
+        FROM ranked WHERE rank <= {ANN_PQ_K}""")
+    return "WITH " + ",\n        ".join(parts)
+
+
+ORACLES["ann_pq_topk"] = _pq_oracle_sql()

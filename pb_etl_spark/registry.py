@@ -86,6 +86,7 @@ _PRIORITY = [
     "media_feature_summary",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     # -- never-checked Spark 4 surfaces --
     "recursive_hierarchy",
     "collated_group",
