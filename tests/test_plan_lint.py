@@ -8,7 +8,12 @@ Rules:
 - no ``BatchEvalPython`` (row-at-a-time Python; every Python touchpoint
   must be Arrow-batched: ArrowEvalPython / mapInPandas / applyInPandas);
 - ``BroadcastNestedLoopJoin`` only where the broadcast side is provably
-  tiny by construction (whitelisted below with the reason).
+  tiny by construction (whitelisted below with the reason);
+- no single-partition Exchange feeding a Window unless the window's
+  input is bounded by construction (whitelisted below) — the pattern
+  that made round 2's ``deterministic_shuffle`` a one-task stage at any
+  cluster size; fact-sized total orders must use
+  ``corpus.global_positions`` instead.
 """
 
 from __future__ import annotations
@@ -29,10 +34,9 @@ BNLJ_WHITELIST = {
     "tpch_q11_important_parts",  # 1-row scalar-subquery crossJoin
     "maxabs_normalize",  # 1-row global-aggregate crossJoin (fit constants)
     "zscore_normalize",  # same shape: 1-row (mean, stddev) crossJoin
-    "pagerank_knn",  # edge build = exact kNN over a PR_NODES-bounded slice
-    #   (200×200 by construction); the scale path builds edges via ANN
-    "triangle_count_knn",  # same PR_NODES-bounded kNN edge build as
-    #   pagerank_knn; the triangle joins themselves are equi-joins
+    # (pagerank_knn / triangle_count_knn: their PR_NODES-bounded kNN
+    #  edge-build BNLJ now runs inside an eager localCheckpoint job, so
+    #  it no longer appears in the registered plan)
     "bm25_topk",  # 1-row corpus-stats (N, avgdl) crossJoin
     "kmv_distinct_sketch",  # union row = k-row merged sketch crossJoined
     #   with the 1-row global exact count (accuracy report column)
@@ -44,6 +48,15 @@ BNLJ_WHITELIST = {
     #   the unpartitioned total window, round 3)
     "mixture_resample",  # same: 1-row (total, n_sources) rate constants
     #   crossJoined onto the per-source table
+}
+
+
+# a single-partition exchange under a Window is fine ONLY when the
+# window's input is bounded by construction (post-aggregation frames):
+GLOBAL_WINDOW_WHITELIST = {
+    "source_mix_report",  # cumulative share over one row per source
+    "monthly_growth",  # lag over the ~monthly revenue series
+    "kmv_distinct_sketch",  # rank over the k-row merged sketch
 }
 
 
@@ -66,6 +79,12 @@ def test_no_scale_antipatterns_in_any_registered_plan(spark):
             hits.append("BatchEvalPython(row-at-a-time Python)")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
             hits.append("BroadcastNestedLoopJoin(unwhitelisted)")
+        if (
+            "Exchange SinglePartition" in plan
+            and "Window" in plan
+            and name not in GLOBAL_WINDOW_WHITELIST
+        ):
+            hits.append("SinglePartitionExchange+Window(unwhitelisted)")
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
