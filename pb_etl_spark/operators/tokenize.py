@@ -186,11 +186,17 @@ def q_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _merges_for(spark, sf_dir)
     enc = bpe_encode_udf([(a, b) for a, b, _ in merges])
     n_char_tokens = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
+    # two-step select: the encode UDF runs ONCE per row (Catalyst does
+    # not CSE duplicate pandas-UDF calls across output columns)
     return docs.select(
         "doc_id",
         enc(F.col("text")).alias("bpe_tokens"),
         n_char_tokens.alias("char_tokens"),
-        F.round(enc(F.col("text")) / n_char_tokens, 6).alias("compression"),
+    ).select(
+        "doc_id",
+        "bpe_tokens",
+        "char_tokens",
+        F.round(F.col("bpe_tokens") / F.col("char_tokens"), 6).alias("compression"),
     )
 
 
