@@ -278,6 +278,57 @@ def uniform_mixture_rates(doc: DataFrame) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.3  # sampling temperature (mT5/XLM-R style alpha)
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture (alpha-sampling): sampling
+    weight q_l ∝ p_l^alpha with alpha < 1 upweights tail languages —
+    the standard multilingual-pretraining resampler (mT5/XLM-R use
+    alpha ≈ 0.3). Keep rate per language = min(1, q_l·N / n_l)
+    (downsample-only, no duplication); the keep decision compares the
+    md5-derived uniform u(doc_id) against the ROUNDED rate, so both
+    engines' pow() results quantize to the same 1e-6 grid before any
+    comparison.
+
+    Scale shape: two bounded grouped aggs (one row per language) with
+    broadcast 1-row totals (BNLJ-whitelisted), then a shuffle-free
+    row-wise keep projection — same shape as ``mixture_resample``."""
+    doc = read_table(spark, sf_dir, "documents")
+    per_lang = doc.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    tot = per_lang.agg(F.sum("n_lang").alias("_n_total"))
+    weighted = per_lang.crossJoin(F.broadcast(tot)).withColumn(
+        "w", F.pow(F.col("n_lang") / F.col("_n_total"), F.lit(MIX_ALPHA))
+    )
+    z = weighted.agg(F.sum("w").alias("_z"))
+    rates = (
+        weighted.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("w") / F.col("_z"))
+                    * F.col("_n_total")
+                    / F.col("n_lang"),
+                ),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+    return (
+        doc.join(F.broadcast(rates), "lang")  # bounded: one row per language
+        .withColumn("u", doc_uniform(F.col("doc_id")))
+        .filter(F.col("u") < F.col("keep_rate"))
+        .select(
+            "doc_id",
+            "lang",
+            "keep_rate",
+            F.round("u", 6).alias("u"),
+        )
+    )
+
+
 def shuffle_key(col, epoch: int = 0):
     """Deterministic per-epoch permutation key: md5('epoch{N}:' || id)."""
     return F.md5(F.concat(F.lit(f"epoch{epoch}:"), col.cast("string")))
@@ -615,6 +666,7 @@ QUERIES = {
     "pii_redaction": q_pii_redaction,
     "source_mix_report": q_source_mix_report,
     "mixture_resample": q_mixture_resample,
+    "temperature_mixture": q_temperature_mixture,
     "curriculum_buckets": q_curriculum_buckets,
     "deterministic_shuffle": q_deterministic_shuffle,
     "dataset_card": q_dataset_card,
@@ -826,6 +878,33 @@ ORACLES: dict[str, str] = {
                MAX(n_tokens) AS max_tokens,
                CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         FROM binned GROUP BY bin
+    """,
+    "temperature_mixture": f"""
+        WITH per_lang AS (
+            SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT CAST(SUM(n_lang) AS BIGINT) AS n_total FROM per_lang
+        ), weighted AS (
+            SELECT lang, n_lang,
+                   POWER(CAST(n_lang AS DOUBLE) / n_total, {MIX_ALPHA}) AS w
+            FROM per_lang CROSS JOIN tot
+        ), z AS (
+            SELECT SUM(w) AS z FROM weighted
+        ), rates AS (
+            SELECT lang,
+                   ROUND(LEAST(1.0, (w / z.z) * t.n_total / n_lang), 6)
+                       AS keep_rate
+            FROM weighted CROSS JOIN z CROSS JOIN tot t
+        )
+        SELECT d.doc_id, d.lang, r.keep_rate, ROUND(u.u, 6) AS u
+        FROM documents d
+        JOIN rates r ON d.lang = r.lang
+        CROSS JOIN LATERAL (
+            SELECT CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+                                               1, 8)
+                             AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        ) u
+        WHERE u.u < r.keep_rate
     """,
     "mixture_resample": """
         WITH per_src AS (

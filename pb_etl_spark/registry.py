@@ -116,6 +116,7 @@ _PRIORITY = [
     "kfold_assign",
     "topk_hash_sample",
     "negative_sampling",
+    "temperature_mixture",
     "stream_doc_dedup",
     # -- remaining never-checked TPC-H shapes (rest rotate to round 4) --
     "tpch_q2_min_cost_supplier",

@@ -48,6 +48,8 @@ BNLJ_WHITELIST = {
     #   the unpartitioned total window, round 3)
     "mixture_resample",  # same: 1-row (total, n_sources) rate constants
     #   crossJoined onto the per-source table
+    "temperature_mixture",  # same: 1-row total + 1-row normalizer
+    #   crossJoined onto the per-language table
 }
 
 
