@@ -92,6 +92,20 @@ def test_no_scale_antipatterns_in_any_registered_plan(spark):
     assert not offenders, offenders
 
 
+def test_global_window_whitelist_is_not_stale(spark):
+    """Whitelisted bounded-global-window queries must still exist and
+    still exercise the pattern, or the exemption silently rots."""
+    queries = _batch_queries()
+    for name in GLOBAL_WINDOW_WHITELIST:
+        assert name in queries, f"whitelisted query {name} no longer registered"
+        plan = queries[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if not ("Exchange SinglePartition" in plan and "Window" in plan):
+            pytest.fail(
+                f"{name} no longer has a single-partition window — remove "
+                "it from GLOBAL_WINDOW_WHITELIST"
+            )
+
+
 def test_bnlj_whitelist_is_not_stale(spark):
     """Every whitelisted query must still exist and still need the
     exemption — a stale entry would silently re-admit the pattern."""
