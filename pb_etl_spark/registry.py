@@ -117,6 +117,7 @@ _PRIORITY = [
     "topk_hash_sample",
     "negative_sampling",
     "temperature_mixture",
+    "span_dedup_rewrite",
     "stream_doc_dedup",
     # -- remaining never-checked TPC-H shapes (rest rotate to round 4) --
     "tpch_q2_min_cost_supplier",
