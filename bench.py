@@ -73,6 +73,12 @@ HEADLINE = [
     "pagerank_knn",
     "deterministic_shuffle",
     "curriculum_buckets",
+    # round-3 new operators: selection / monitoring / sketch set-ops
+    "ols2_per_group",
+    "dsir_weights",
+    "vocab_drift",
+    "shard_manifest",
+    "kmv_jaccard_sources",
 ]
 
 

@@ -380,6 +380,51 @@ def global_positions(
     return out, acc
 
 
+def global_running_sum(
+    spark: SparkSession, df: DataFrame, order_cols: list[str], value_col: str
+) -> DataFrame:
+    """Running total of ``value_col`` over the total order ``order_cols``
+    WITHOUT a single-partition global window — ``global_positions``'s
+    sibling for weighted cumsums (token budgets, byte offsets).
+
+    Same shape: range-partition on the order key, total ``value_col``
+    per range (a |partitions|-row collect), prefix-sum those totals on
+    the driver, then add each partition's offset to a per-partition
+    cumulative-sum window. Every stage is cluster-parallel. The cumsum
+    is INCLUSIVE (``cum`` includes the current row). ``value_col`` must
+    be integral (the driver prefix-sum and the windowed sum must agree
+    exactly; float addition would make them order-sensitive)."""
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keyed = df.repartitionByRange(nparts, *order_cols).persist()
+    totals = {
+        r["pid"]: r["s"]
+        for r in keyed.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_map = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    )
+    w = (
+        W.partitionBy("pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        keyed.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "cum",
+            F.sum(value_col).over(w).cast("long")
+            + off_map[F.col("pid")].cast("long"),
+        )
+        .drop("pid")
+    )
+
+
 def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle: assign every document its position
     in a pseudo-random permutation — ORDER BY md5(salt || doc_id). The

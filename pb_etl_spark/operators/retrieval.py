@@ -341,11 +341,135 @@ _PARTIAL_MERGE_ORACLE = """
     GROUP BY l_returnflag
 """
 
+KMV_JACCARD_K = 128  # per-source sketch size for the pairwise estimates
+
+
+def q_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary-overlap (Jaccard) estimates between every
+    pair of sources, computed ENTIRELY from per-source KMV sketches —
+    the sketch set-operation that answers "which crawls duplicate each
+    other" without ever joining token sets. Estimator (Beyer et al.
+    2007): rank the UNION of the two k-minima sketches, keep the k
+    smallest, and count how many of those sit in both sketches:
+    J ≈ |sketch_k(A∪B) ∩ sig_A ∩ sig_B| / k.
+
+    Determinism: minima are 52-bit md5-prefix INTEGERS (no float
+    anywhere until the final exact-ratio round), so DuckDB reproduces
+    every sketch and the estimate bit-for-bit — the same property
+    ``kmv_distinct_sketch`` exploits.
+
+    Scale shape: the corpus is touched ONCE (distinct (source, token)
+    shuffle + per-source top-k window whose state is k values/group);
+    everything pairwise runs on |sources|·k sketch rows — driver-sized
+    however big the corpus is, which is the entire point of sketch
+    set-ops at 100 TB. The source-pair frame is |sources|² by
+    construction (inequality join on a dimension-sized input —
+    BNLJ-whitelisted, like negative_sampling's bounded crossJoin)."""
+    from pyspark.sql.window import Window as W
+
+    doc = read_table(spark, sf_dir, "documents")
+    tok = (
+        doc.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    u = F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("long")
+    hu = tok.select("source", u.alias("u")).distinct()
+    w = W.partitionBy("source").orderBy("u")
+    kept = (
+        hu.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_JACCARD_K)
+        .select("source", "u")
+        .persist()  # feeds pair build + both tag branches
+    )
+    srcs = kept.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("sa")).join(
+        srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
+    )
+    tag_a = pairs.join(kept.withColumnRenamed("source", "sa"), "sa").select(
+        "sa", "sb", "u", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    tag_b = pairs.join(kept.withColumnRenamed("source", "sb"), "sb").select(
+        "sa", "sb", "u", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    uni = (
+        tag_a.unionByName(tag_b)
+        .groupBy("sa", "sb", "u")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wr = W.partitionBy("sa", "sb").orderBy("u")  # bounded: ≤ 2k rows/pair
+    topk = uni.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") <= KMV_JACCARD_K
+    )
+    return (
+        topk.groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("k_union"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("k_both"),
+        )
+        .select(
+            "sa",
+            "sb",
+            "k_union",
+            "k_both",
+            F.round(F.col("k_both") / F.col("k_union"), 4).alias("jaccard_est"),
+        )
+    )
+
+
+_KMV_JACCARD_ORACLE = f"""
+    WITH tok AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    hu AS (
+        SELECT DISTINCT source,
+               CAST('0x' || substring(md5(tok), 1, 13) AS BIGINT) AS u
+        FROM tok
+    ),
+    kept AS (
+        SELECT source, u FROM (
+            SELECT source, u,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY u) AS rn
+            FROM hu
+        ) WHERE rn <= {KMV_JACCARD_K}
+    ),
+    srcs AS (SELECT DISTINCT source FROM kept),
+    pairs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    tagged AS (
+        SELECT p.sa, p.sb, k.u, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN kept k ON k.source = p.sa
+        UNION ALL
+        SELECT p.sa, p.sb, k.u, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN kept k ON k.source = p.sb
+    ),
+    uni AS (
+        SELECT sa, sb, u, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+        FROM tagged GROUP BY sa, sb, u
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY u) AS rn
+            FROM uni
+        ) WHERE rn <= {KMV_JACCARD_K}
+    )
+    SELECT sa, sb,
+           COUNT(*) AS k_union,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS k_both,
+           ROUND(CAST(SUM(in_a * in_b) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4)
+               AS jaccard_est
+    FROM topk GROUP BY sa, sb
+"""
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "dup_span_ratio": q_dup_span_ratio,
     "partial_agg_merge": q_partial_agg_merge,
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
+    "kmv_jaccard_sources": q_kmv_jaccard_sources,
 }
 
 ORACLES: dict[str, str] = {
@@ -353,4 +477,5 @@ ORACLES: dict[str, str] = {
     "dup_span_ratio": _DUP_SPAN_ORACLE,
     "partial_agg_merge": _PARTIAL_MERGE_ORACLE,
     "kmv_distinct_sketch": _KMV_ORACLE,
+    "kmv_jaccard_sources": _KMV_JACCARD_ORACLE,
 }

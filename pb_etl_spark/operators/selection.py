@@ -1,0 +1,499 @@
+"""Data-selection and corpus-monitoring operators: the analytics a
+training-data pipeline runs to DECIDE what goes into a run — per-segment
+closed-form model fits, importance-weighted selection (DSIR), snapshot
+drift detection, and token-budget shard assignment for the release.
+
+Reference parity note: the reference (``/root/reference/pb_etl``) trains
+ONE model over the whole feature frame; these operators extend the same
+engine to the fleet-of-tiny-models / select-then-train shapes a 100 TB
+corpus needs. Everything is built-in ``pyspark.sql.functions`` — no
+Python UDF anywhere, so cost is scan + shuffle rate.
+
+Cross-engine determinism design (the property every oracle here leans
+on): all model inputs are INTEGER-VALUED (token counts, character
+counts, bucket counts). Sums of integer-valued doubles below 2^53 are
+EXACT regardless of partial-aggregation order, so the downstream scalar
+algebra (normal equations, log-likelihood ratios, smoothed log odds)
+receives bit-identical operands in Spark and DuckDB and — because both
+engines evaluate the identical IEEE-754 expression tree — produces
+bit-identical doubles. No tolerance needed; ROUND only formats.
+
+Scale design, per operator:
+
+- ``ols2_per_group``: a 2-feature OLS per group is NINE grouped sums
+  (map-side combinable, one shuffle) + a scalar 2×2 normal-equation
+  solve as a projection. "Train a million tiny models" with no Python,
+  no per-group collect, no iteration. The applyInPandas/sklearn variant
+  is only needed once a model has no aggregate closed form.
+- ``dsir_weights``: DSIR (Xie et al. 2023, arXiv:2302.03169) hashed
+  importance weights. The two n-gram models are bucket-count aggregates
+  (bounded: N_DSIR_BUCKETS rows each — broadcast-sized whatever the
+  corpus size); scoring is one broadcast join on the bucket id + a
+  per-document sum. Corpus touched twice (model pass, scoring pass).
+- ``vocab_drift``: per-token Dunning G² between two corpus snapshots —
+  two grouped counts + a fixed scalar formula, then a global top-k
+  (TakeOrderedAndProject, no full sort). The "did the crawl change
+  under me" monitor that gates a retrain.
+- ``shard_manifest``: token-budget shard assignment needs a GLOBAL
+  running token total over the release order; that cumsum comes from
+  ``global_running_sum`` (range partition + per-partition window +
+  driver prefix-sum offsets), so no single-partition window exists in
+  the plan. Per-shard rollup is bounded (corpus_tokens/budget rows).
+  The order-independent content signature (sum of per-doc 48-bit
+  digests) lets a resumed/re-run release prove shard equality without
+  re-reading bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pb_etl_spark.catalog import read_table
+from pb_etl_spark.operators.corpus import (
+    SHUFFLE_SALT,
+    global_running_sum,
+    shuffle_key,
+)
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+# ---------------------------------------------------------------------------
+# ols2_per_group — closed-form multi-feature OLS via normal equations
+# ---------------------------------------------------------------------------
+
+
+def q_ols2_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 2-feature OLS fit n_chars ~ n_tokens + n_periods,
+    solved in closed form from the normal equations — nine grouped sums
+    and a 2×2 inverse as a projection. The multi-feature step up from
+    ``per_source_regression``'s REGR_* single-feature fit.
+
+    Determinism: x1, x2, y are integer counts, so every grouped sum is
+    exact (see module docstring) and the scalar solve is bit-identical
+    cross-engine. A singular system (det == 0 — e.g. a one-document
+    group) yields NULL coefficients on both engines by an explicit
+    guard, never an engine-specific division-by-zero artifact."""
+    doc = read_table(spark, sf_dir, "documents")
+    x1 = F.size(_tokens()).cast("double")
+    x2 = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("."), F.lit("")))
+    ).cast("double")
+    y = F.col("n_chars").cast("double")
+    d = doc.select("source", x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n")
+    a11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    a12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    a22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    b1 = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    b2 = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    det = a11 * a22 - a12 * a12
+    beta1 = (a22 * b1 - a12 * b2) / det
+    beta2 = (a11 * b2 - a12 * b1) / det
+    alpha = (F.col("sy") - beta1 * F.col("s1") - beta2 * F.col("s2")) / n
+    ok = det != F.lit(0.0)
+    return g.select(
+        "source",
+        n.cast("long").alias("n_docs"),
+        F.round(F.when(ok, beta1), 6).alias("beta_tokens"),
+        F.round(F.when(ok, beta2), 6).alias("beta_periods"),
+        F.round(F.when(ok, alpha), 6).alias("intercept"),
+    )
+
+
+_OLS2_ORACLE = """
+    WITH d AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1,
+               CAST(length(text) - length(replace(text, '.', '')) AS DOUBLE) AS x2,
+               CAST(n_chars AS DOUBLE) AS y
+        FROM documents
+    ),
+    g AS (
+        SELECT source,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+               SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x1 * x2) AS s12,
+               SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+        FROM d GROUP BY source
+    ),
+    m AS (
+        SELECT source, n, s1, s2, sy,
+               s11 - s1 * s1 / n AS a11,
+               s12 - s1 * s2 / n AS a12,
+               s22 - s2 * s2 / n AS a22,
+               s1y - s1 * sy / n AS b1,
+               s2y - s2 * sy / n AS b2
+        FROM g
+    ),
+    sol AS (
+        SELECT source, n, s1, s2, sy,
+               a11 * a22 - a12 * a12 AS det,
+               a11, a12, a22, b1, b2
+        FROM m
+    ),
+    beta AS (
+        SELECT source, n, s1, s2, sy, det,
+               (a22 * b1 - a12 * b2) / det AS beta1,
+               (a11 * b2 - a12 * b1) / det AS beta2
+        FROM sol
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           ROUND(CASE WHEN det <> 0 THEN beta1 END, 6) AS beta_tokens,
+           ROUND(CASE WHEN det <> 0 THEN beta2 END, 6) AS beta_periods,
+           ROUND(CASE WHEN det <> 0
+                      THEN (sy - beta1 * s1 - beta2 * s2) / n END, 6) AS intercept
+    FROM beta
+"""
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights — hashed importance weights (DSIR)
+# ---------------------------------------------------------------------------
+
+N_DSIR_BUCKETS = 512
+
+
+def _bucket(col):
+    """Deterministic feature bucket: top 32 bits of md5, mod B — the
+    same md5-prefix hash family every other cross-engine operator uses
+    (e.g. feature_hashing, kmv_distinct_sketch)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % N_DSIR_BUCKETS
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    every raw document by log P_target(doc) − log P_raw(doc) under two
+    hashed unigram bucket models — target = the English slice (stand-in
+    for any small high-quality target set), raw = the whole corpus.
+    High weight ⇒ the document looks like the target distribution;
+    downstream selection resamples proportionally to exp(weight).
+
+    Both models are one grouped count over the hashed-token stream
+    (bounded output: N_DSIR_BUCKETS rows), add-1 smoothed. Scoring joins
+    each document's per-bucket counts (integers — exact sums) against
+    the broadcast-sized log-ratio table; per-term ROUND(·, 9)
+    quantization before the per-document sum follows bigram_loglik's
+    convention so grouped-sum association stays far from the final
+    ROUND(·, 6) boundary."""
+    doc = read_table(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("w")
+    ).withColumn("b", _bucket(F.col("w")))
+    # per-(doc, bucket) integer counts: exact, and shrinks the join input.
+    # lang rides along (functionally dependent on doc_id) so the final
+    # projection needs no second corpus scan.
+    db = tok.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    # BOTH bucket models in ONE conditional-aggregate pass (raw count +
+    # target count per bucket), and the two totals read off the bounded
+    # bucket table — one corpus aggregation instead of four
+    model = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    ).localCheckpoint(eager=True)  # ≤ N_DSIR_BUCKETS rows; feeds totals + lam
+    tots = model.agg(F.sum("cr"), F.sum("ct")).collect()[0]
+    tot_raw, tot_tgt = int(tots[0]), int(tots[1])
+    lam = model.select(
+        "b",
+        F.round(
+            F.log(
+                (F.col("ct") + 1) / F.lit(float(tot_tgt + N_DSIR_BUCKETS))
+            )
+            - F.log(
+                (F.col("cr") + 1) / F.lit(float(tot_raw + N_DSIR_BUCKETS))
+            ),
+            9,
+        ).alias("lam"),
+    )
+    return (
+        db.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_toks"),
+            F.round(F.sum(F.col("c") * F.col("lam")), 6).alias("log_weight"),
+        )
+        .select("doc_id", "lang", "n_toks", "log_weight")
+    )
+
+
+_DSIR_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substring(md5(unnest(string_split(text, ' '))), 1, 8)
+                    AS BIGINT) % {N_DSIR_BUCKETS} AS b
+        FROM documents
+    ),
+    db AS (SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY doc_id, b),
+    raw AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY b),
+    tots AS (
+        SELECT (SELECT COUNT(*) FROM tok) AS tot_raw,
+               (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS tot_tgt
+    ),
+    lam AS (
+        SELECT raw.b,
+               ROUND(LN((COALESCE(tgt.ct, 0) + 1)
+                        / CAST(tots.tot_tgt + {N_DSIR_BUCKETS} AS DOUBLE))
+                     - LN((raw.cr + 1)
+                          / CAST(tots.tot_raw + {N_DSIR_BUCKETS} AS DOUBLE)),
+                     9) AS lam
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+    )
+    SELECT db.doc_id, d.lang,
+           CAST(SUM(db.c) AS BIGINT) AS n_toks,
+           ROUND(SUM(db.c * lam.lam), 6) AS log_weight
+    FROM db JOIN lam ON db.b = lam.b
+    JOIN documents d ON db.doc_id = d.doc_id
+    GROUP BY db.doc_id, d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocab_drift — Dunning G² between corpus snapshots
+# ---------------------------------------------------------------------------
+
+DRIFT_TOPK = 40
+
+
+def _xlx(c):
+    """x·ln(x) with the 0·ln(0)=0 convention — the G² building block."""
+    return F.when(c > 0, c.cast("double") * F.log(c.cast("double"))).otherwise(
+        F.lit(0.0)
+    )
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots ("old" =
+    even doc_id, "new" = odd — standing in for consecutive crawls):
+    Dunning's G² log-likelihood-ratio per token on the 2×2 contingency
+    table (token-vs-rest × old-vs-new), top movers first. The monitor a
+    pipeline runs before blending a new crawl in; a G² spike on a token
+    family means the source composition changed.
+
+    Same G² formulation as ``bigram_loglik``'s family: all eight cell
+    counts are integers, so every ln() operand and every product is
+    bit-identical cross-engine; the top-k is a TakeOrderedAndProject
+    (no global sort materialization) with (G² desc, token) total
+    order."""
+    doc = read_table(spark, sf_dir, "documents")
+    tok = doc.select(
+        (F.col("doc_id") % 2 == 1).alias("is_new"),
+        F.explode(_tokens()).alias("w"),
+    )
+    per = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("k11"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("k12"),
+    )
+    totals = tok.groupBy().agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("n2"),
+    )
+    n1, n2 = totals.collect()[0]  # two scalars — the only driver data
+    k11, k12 = F.col("k11"), F.col("k12")
+    k21, k22 = F.lit(int(n1)) - k11, F.lit(int(n2)) - k12
+    g2 = (
+        F.lit(2.0)
+        * (
+            _xlx(k11)
+            + _xlx(k12)
+            + _xlx(k21)
+            + _xlx(k22)
+            - _xlx(k11 + k12)
+            - _xlx(k21 + k22)
+            - _xlx(k11 + k21)
+            - _xlx(k12 + k22)
+            + _xlx(F.lit(int(n1) + int(n2)))
+        )
+    )
+    ranked = per.select(
+        F.col("w").alias("token"),
+        k11.cast("long").alias("c_new"),
+        k12.cast("long").alias("c_old"),
+        F.round(k11 / F.lit(float(n1)), 9).alias("rate_new"),
+        F.round(k12 / F.lit(float(n2)), 9).alias("rate_old"),
+        g2.alias("_g2"),
+    )
+    return (
+        ranked.orderBy(F.col("_g2").desc(), "token")
+        .limit(DRIFT_TOPK)
+        .select(
+            "token",
+            "c_new",
+            "c_old",
+            "rate_new",
+            "rate_old",
+            F.round("_g2", 6).alias("g2"),
+        )
+    )
+
+
+_VOCAB_DRIFT_ORACLE = f"""
+    WITH tok AS (
+        SELECT (doc_id % 2 = 1) AS is_new,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    per AS (
+        SELECT w,
+               SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS k11,
+               SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS k12
+        FROM tok GROUP BY w
+    ),
+    tot AS (
+        SELECT SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS n2
+        FROM tok
+    ),
+    cells AS (
+        SELECT w, k11, k12, tot.n1 - k11 AS k21, tot.n2 - k12 AS k22,
+               tot.n1, tot.n2
+        FROM per CROSS JOIN tot
+    ),
+    g AS (
+        SELECT w, k11, k12, n1, n2,
+               2.0 * (
+                   (CASE WHEN k11 > 0 THEN k11 * LN(CAST(k11 AS DOUBLE)) ELSE 0 END)
+                 + (CASE WHEN k12 > 0 THEN k12 * LN(CAST(k12 AS DOUBLE)) ELSE 0 END)
+                 + (CASE WHEN k21 > 0 THEN k21 * LN(CAST(k21 AS DOUBLE)) ELSE 0 END)
+                 + (CASE WHEN k22 > 0 THEN k22 * LN(CAST(k22 AS DOUBLE)) ELSE 0 END)
+                 - (CASE WHEN k11 + k12 > 0
+                         THEN (k11 + k12) * LN(CAST(k11 + k12 AS DOUBLE)) ELSE 0 END)
+                 - (CASE WHEN k21 + k22 > 0
+                         THEN (k21 + k22) * LN(CAST(k21 + k22 AS DOUBLE)) ELSE 0 END)
+                 - (CASE WHEN k11 + k21 > 0
+                         THEN (k11 + k21) * LN(CAST(k11 + k21 AS DOUBLE)) ELSE 0 END)
+                 - (CASE WHEN k12 + k22 > 0
+                         THEN (k12 + k22) * LN(CAST(k12 + k22 AS DOUBLE)) ELSE 0 END)
+                 + (n1 + n2) * LN(CAST(n1 + n2 AS DOUBLE))
+               ) AS g2
+        FROM cells
+    )
+    SELECT w AS token,
+           CAST(k11 AS BIGINT) AS c_new,
+           CAST(k12 AS BIGINT) AS c_old,
+           ROUND(k11 / CAST(n1 AS DOUBLE), 9) AS rate_new,
+           ROUND(k12 / CAST(n2 AS DOUBLE), 9) AS rate_old,
+           ROUND(g2, 6) AS g2
+    FROM g
+    ORDER BY g.g2 DESC, token
+    LIMIT {DRIFT_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest — token-budget release sharding over the epoch order
+# ---------------------------------------------------------------------------
+
+SHARD_BUDGET = 8192  # tokens per release shard
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-shard manifest: lay the shuffled corpus (epoch-0
+    deterministic permutation — same order ``deterministic_shuffle``
+    emits) end-to-end and cut a shard every SHARD_BUDGET tokens; report
+    per-shard document/token totals, the key range, and an
+    order-independent content signature (exact BIGINT sum of per-doc
+    48-bit md5 digests — re-runnable proof two releases hold the same
+    documents without comparing bodies).
+
+    A document belongs to the shard containing its FIRST token:
+    shard = (cum_before_doc) div budget over the global running token
+    total, which ``global_running_sum`` computes with no
+    single-partition stage (range partition + per-partition cumsum +
+    driver prefix-sum offsets). The manifest is bounded:
+    corpus_tokens / budget rows."""
+    doc = read_table(spark, sf_dir, "documents")
+    d = doc.select(
+        "doc_id",
+        shuffle_key(F.col("doc_id")).alias("sk"),
+        F.size(_tokens()).cast("long").alias("n_tok"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+        )
+        .cast("long")
+        .alias("sig"),
+    )
+    c = global_running_sum(spark, d, ["sk", "doc_id"], "n_tok")
+    sharded = c.withColumn(
+        "shard_id", F.expr(f"(cum - n_tok) div {SHARD_BUDGET}")
+    )
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("sk").alias("first_key"),
+            F.max("sk").alias("last_key"),
+            F.sum("sig").alias("content_sig"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "first_key",
+            "last_key",
+            F.col("content_sig").cast("long").alias("content_sig"),
+        )
+    )
+
+
+_SHARD_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)) AS sk,
+               len(string_split(text, ' ')) AS n_tok,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS sig
+        FROM documents
+    ),
+    c AS (
+        SELECT *,
+               SUM(n_tok) OVER (
+                   ORDER BY sk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM d
+    )
+    SELECT CAST((cum - n_tok) // {SHARD_BUDGET} AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(sk) AS first_key,
+           MAX(sk) AS last_key,
+           CAST(SUM(sig) AS BIGINT) AS content_sig
+    FROM c
+    GROUP BY 1
+"""
+
+
+QUERIES = {
+    "ols2_per_group": q_ols2_per_group,
+    "dsir_weights": q_dsir_weights,
+    "vocab_drift": q_vocab_drift,
+    "shard_manifest": q_shard_manifest,
+}
+
+ORACLES: dict[str, str] = {
+    "ols2_per_group": _OLS2_ORACLE,
+    "dsir_weights": _DSIR_ORACLE,
+    "vocab_drift": _VOCAB_DRIFT_ORACLE,
+    "shard_manifest": _SHARD_ORACLE,
+}

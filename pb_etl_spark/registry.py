@@ -29,6 +29,7 @@ from pb_etl_spark.operators import (
     reshape,
     retrieval,
     scalar_funcs,
+    selection,
     semdedup,
     similarity,
     skew,
@@ -87,6 +88,12 @@ _PRIORITY = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    # -- new operators this round (selection/monitoring/sketch set-ops) --
+    "ols2_per_group",
+    "dsir_weights",
+    "vocab_drift",
+    "shard_manifest",
+    "kmv_jaccard_sources",
     # -- never-checked Spark 4 surfaces --
     "recursive_hierarchy",
     "collated_group",
@@ -154,6 +161,7 @@ _MODULES = [
     composite_ext,
     corpus,
     retrieval,
+    selection,
     semdedup,
     dedup,
     clustering,

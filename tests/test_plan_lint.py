@@ -50,6 +50,9 @@ BNLJ_WHITELIST = {
     #   crossJoined onto the per-source table
     "temperature_mixture",  # same: 1-row total + 1-row normalizer
     #   crossJoined onto the per-language table
+    "kmv_jaccard_sources",  # |sources|² pair build (inequality join on
+    #   the dimension-sized source list); all pairwise work runs on
+    #   |sources|·k sketch rows, never the corpus
 }
 
 
