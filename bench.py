@@ -79,6 +79,7 @@ HEADLINE = [
     "vocab_drift",
     "shard_manifest",
     "kmv_jaccard_sources",
+    "ewma_user_value",
 ]
 
 

@@ -368,6 +368,36 @@ def q_sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSVAR_MIN_SHIP = "1998-01-01 00:00:00"
+SESSVAR_MAX_DISC = 0.06
+
+
+def q_session_variable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized queries via BOTH Spark-4 binding surfaces: a SQL
+    session variable (DECLARE … / SET VAR …, referenced by name in the
+    WHERE clause) and a named parameter marker (:max_disc bound through
+    ``spark.sql(..., args=...)``). The ops-parameterization layer a
+    scheduled 100 TB job needs — thresholds land as PLAN LITERALS, so
+    partition pruning / predicate pushdown see their values (unlike
+    driver-side string interpolation, which loses typing, or a config
+    lookup UDF, which blinds the optimizer). The oracle inlines the
+    same constants, proving binding is free."""
+    spark.sql("DECLARE OR REPLACE VARIABLE __min_ship TIMESTAMP")
+    spark.sql(f"SET VAR __min_ship = TIMESTAMP'{SESSVAR_MIN_SHIP}'")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__var_li")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_lines,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM __var_li
+        WHERE l_shipdate >= __min_ship AND l_discount <= :max_disc
+        GROUP BY l_returnflag
+        """,
+        args={"max_disc": SESSVAR_MAX_DISC},
+    )
+
+
 def q_mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust dispersion per group: median + MAD (median absolute
     deviation) of o_totalprice per order priority, and the count of
@@ -599,6 +629,15 @@ ORACLES: dict[str, str] = {
                    AS sum_charged
         FROM lineitem GROUP BY l_returnflag
     """,
+    "session_variable_agg": f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n_lines,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP'{SESSVAR_MIN_SHIP}'
+          AND l_discount <= {SESSVAR_MAX_DISC}
+        GROUP BY l_returnflag
+    """,
     "pipe_syntax_agg": """
         SELECT o_orderpriority, COUNT(*) AS n_orders,
                ROUND(SUM(o_totalprice), 2) AS total_price,
@@ -796,6 +835,7 @@ QUERIES = {
     "collated_group": q_collated_group,
     "pipe_syntax_agg": q_pipe_syntax_agg,
     "sql_udf_pricing": q_sql_udf_pricing,
+    "session_variable_agg": q_session_variable_agg,
     "mad_outlier_stats": q_mad_outlier_stats,
     "min_max_by": q_min_max_by,
 }

@@ -318,7 +318,73 @@ def q_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.3  # decay: weight (1-α)^j on the j-th most recent event
+EWMA_LAGS = 20  # truncation depth — the trailing-feature window
+EWMA_USERS = 200  # scored-user slice for the checkable query
+_EWMA_W = [(1.0 - EWMA_ALPHA) ** j for j in range(EWMA_LAGS)]
+
+
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed trailing average of each user's event
+    values — the classic decayed-recency feature (recent behavior
+    weighted (1-α)^age). Truncated at EWMA_LAGS terms and normalized by
+    the weights actually present, so early rows (short histories) are
+    proper weighted means, not zero-padded.
+
+    DELIBERATELY 20 explicit LAG terms summed in fixed expression
+    order, NOT a windowed SUM over a bounded frame: bounded-frame
+    double sums hash-diverge cross-engine (DuckDB's segment tree
+    associates pairwise, Spark sums sequentially — see
+    trailing_rows_avg), while LAG chains evaluate the identical
+    left-associated expression tree in both engines, bit-for-bit.
+    Scale shape: ONE shuffle on user_id, one sort per partition; the
+    20-lag window state is constant per row. The same trick is how a
+    feature store backfills decayed counters without a Python UDF."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < EWMA_USERS
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j, wt in enumerate(_EWMA_W):
+        lagv = F.lag("value", j).over(w)
+        t_num = F.coalesce(lagv * F.lit(wt), F.lit(0.0))
+        t_den = F.when(lagv.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.least(F.row_number().over(w), F.lit(EWMA_LAGS))
+        .cast("long")
+        .alias("n_terms"),
+        F.round(num / den, 6).alias("ewma_value"),
+    )
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    nums, dens = [], []
+    for j, wt in enumerate(_EWMA_W):
+        nums.append(f"COALESCE(LAG(value, {j}) OVER w * {wt!r}, 0.0)")
+        dens.append(
+            f"(CASE WHEN LAG(value, {j}) OVER w IS NOT NULL"
+            f" THEN {wt!r} ELSE 0.0 END)"
+        )
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_sql_terms()
+
+
 ORACLES: dict[str, str] = {
+    "ewma_user_value": f"""
+        SELECT user_id, event_id,
+               LEAST(ROW_NUMBER() OVER w, {EWMA_LAGS}) AS n_terms,
+               ROUND(({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}), 6) AS ewma_value
+        FROM events
+        WHERE user_id < {EWMA_USERS}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "gap_fill_resample": f"""
         WITH hourly AS (
             SELECT user_id, date_trunc('hour', ts) AS h,
@@ -409,6 +475,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "ewma_user_value": q_ewma_user_value,
     "asof_join": q_asof_join,
     "pit_join": q_pit_join,
     "cogroup_time_since": q_cogroup_time_since,

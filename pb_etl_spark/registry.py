@@ -94,6 +94,8 @@ _PRIORITY = [
     "vocab_drift",
     "shard_manifest",
     "kmv_jaccard_sources",
+    "ewma_user_value",
+    "session_variable_agg",
     # -- never-checked Spark 4 surfaces --
     "recursive_hierarchy",
     "collated_group",

@@ -4,6 +4,7 @@ operator's own shape)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -82,3 +83,44 @@ def test_pit_join_matches_bruteforce_interval_join(spark):
     for eid, ver in got.items():
         assert want.get(eid) == ver, (eid, ver, want.get(eid))
     assert len(got) >= len(want)
+
+
+def test_ewma_matches_python_replay(spark):
+    """Replay the truncated decayed mean in plain Python per user and
+    compare every row: weights (1-a)^j over the last 20 events,
+    normalized by the weights present."""
+    from tests.conftest import SF_DIR
+
+    from pb_etl_spark.operators.temporal import (
+        EWMA_ALPHA,
+        EWMA_LAGS,
+        EWMA_USERS,
+        q_ewma_user_value,
+    )
+
+    out = {
+        r["event_id"]: (r["n_terms"], r["ewma_value"])
+        for r in q_ewma_user_value(spark, SF_DIR).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("user_id") < EWMA_USERS)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_checked = 0
+    for rows in by_user.values():
+        hist: list[float] = []
+        for r in rows:
+            hist.append(r["value"])
+            tail = hist[-EWMA_LAGS:][::-1]  # most recent first
+            num = sum(v * (1 - EWMA_ALPHA) ** j for j, v in enumerate(tail))
+            den = sum((1 - EWMA_ALPHA) ** j for j in range(len(tail)))
+            n_terms, got = out[r["event_id"]]
+            assert n_terms == len(tail)
+            assert got == pytest.approx(num / den, abs=1e-5)
+            n_checked += 1
+    assert n_checked == len(out) and n_checked > 0
