@@ -368,6 +368,8 @@ def q_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     doc = read_table(spark, sf_dir, "documents")
+    # bare explode (md5 runs AFTER the distinct shuffle, parallel) — a
+    # pre-explode repartition measured slower, see vocab_drift's note
     tok = (
         doc.select("source", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
