@@ -183,11 +183,93 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge end-to-end (driver-checkable): the orders table plays
+    an open dimension (every row current since its order date); an
+    update batch re-prioritizes keys ≡0 (mod 7) thirty days later and
+    lands brand-new keys (originals ≡0 (mod 50), offset by 1e7) after
+    45 days. Output = the merged dimension: closed old versions,
+    reopened current versions, untouched rows, and inserts.
+
+    Exercises scd2_merge()'s whole decision table with a SQL-expressible
+    outcome partition (every update changes the attribute and is newer
+    than valid_from, so applied/stale/no-op branches are deterministic).
+    The update batch is broadcast inside scd2_merge — correct for
+    trickle batches; a 100 TB bulk merge would flip to a shuffled join
+    (AQE decides when the hint is dropped)."""
+    from pb_etl_spark.catalog import read_table
+
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    dim = base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(OPEN_END).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X-REVIEW").alias("o_orderpriority"),
+            (F.col("o_orderdate") + F.expr("interval 30 days")).alias("eff_ts"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 50 == 0).select(
+                (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+                F.lit("X-NEW").alias("o_orderpriority"),
+                (F.col("o_orderdate") + F.expr("interval 45 days")).alias(
+                    "eff_ts"
+                ),
+            )
+        )
+    )
+    merged = scd2_merge(
+        dim, updates, "o_orderkey", ts_col="eff_ts", attr_cols=["o_orderpriority"]
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
 QUERIES = {
     "snapshot_diff": q_snapshot_diff,
+    "scd2_merge_orders": q_scd2_merge_orders,
 }
 
 ORACLES: dict[str, str] = {
+    "scd2_merge_orders": """
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+        )
+        SELECT o_orderkey, o_orderpriority,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(o_orderdate + INTERVAL 30 DAY,
+                        '%Y-%m-%d %H:%M:%S') AS valid_to,
+               0 AS is_current
+        FROM base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 'X-REVIEW',
+               strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S'),
+               '9999-12-31 23:59:59', 1
+        FROM base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+               '9999-12-31 23:59:59', 1
+        FROM base WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'X-NEW',
+               strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d %H:%M:%S'),
+               '9999-12-31 23:59:59', 1
+        FROM base WHERE o_orderkey % 50 = 0
+    """,
     "snapshot_diff": """
         WITH a AS (
             SELECT o_orderkey, o_totalprice, o_orderstatus

@@ -191,10 +191,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both models are one grouped count over the hashed-token stream
     (bounded output: N_DSIR_BUCKETS rows), add-1 smoothed. Scoring joins
     each document's per-bucket counts (integers — exact sums) against
-    the broadcast-sized log-ratio table; per-term ROUND(·, 9)
-    quantization before the per-document sum follows bigram_loglik's
-    convention so grouped-sum association stays far from the final
-    ROUND(·, 6) boundary."""
+    the broadcast-sized log-ratio table. The per-bucket log ratio is
+    quantized to an int64 NANO grid (ROUND(λ·1e9) — one deterministic
+    op on identical double inputs), so the per-document Σ c·λ is pure
+    int64 arithmetic: order-independent, hence hash-identical across
+    engines. 9-dp double rounding alone is NOT enough — at sf0.01 two
+    documents landed exactly on a ROUND(·,6) half-boundary where
+    Spark's and DuckDB's summation orders disagreed."""
     doc = read_table(spark, sf_dir, "documents")
     # explode multiplies rows |tokens|× and md5-hashes each token:
     # spread docs across cores FIRST (compact fixture files are one
@@ -221,21 +224,36 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = model.select(
         "b",
         F.round(
-            F.log(
-                (F.col("ct") + 1) / F.lit(float(tot_tgt + N_DSIR_BUCKETS))
+            (
+                F.log(
+                    (F.col("ct") + 1) / F.lit(float(tot_tgt + N_DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("cr") + 1) / F.lit(float(tot_raw + N_DSIR_BUCKETS))
+                )
             )
-            - F.log(
-                (F.col("cr") + 1) / F.lit(float(tot_raw + N_DSIR_BUCKETS))
-            ),
-            9,
-        ).alias("lam"),
+            * F.lit(1e9),
+            0,
+        )
+        .cast("long")
+        .alias("lam"),
+    )
+    # Σ c·λ is exact int64 nanos; the 6-dp result is produced by INTEGER
+    # half-away-from-zero rounding to micro-units (never ROUND(double):
+    # Spark rounds the exact BigDecimal expansion, DuckDB multiplies by
+    # 1e6 first — they disagree on half-boundaries) and one final double
+    # division, which is bit-identical cross-engine.
+    s = F.sum(F.col("c") * F.col("lam"))
+    micro = (
+        F.when(s < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.floor((F.abs(s) + F.lit(500)) / F.lit(1000)).cast("long")
     )
     return (
         db.join(F.broadcast(lam), "b")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("c").cast("long").alias("n_toks"),
-            F.round(F.sum(F.col("c") * F.col("lam")), 6).alias("log_weight"),
+            (micro.cast("double") / F.lit(1e6)).alias("log_weight"),
         )
         .select("doc_id", "lang", "n_toks", "log_weight")
     )
@@ -257,16 +275,18 @@ _DSIR_ORACLE = f"""
     ),
     lam AS (
         SELECT raw.b,
-               ROUND(LN((COALESCE(tgt.ct, 0) + 1)
-                        / CAST(tots.tot_tgt + {N_DSIR_BUCKETS} AS DOUBLE))
-                     - LN((raw.cr + 1)
-                          / CAST(tots.tot_raw + {N_DSIR_BUCKETS} AS DOUBLE)),
-                     9) AS lam
+               CAST(ROUND((LN((COALESCE(tgt.ct, 0) + 1)
+                              / CAST(tots.tot_tgt + {N_DSIR_BUCKETS} AS DOUBLE))
+                           - LN((raw.cr + 1)
+                                / CAST(tots.tot_raw + {N_DSIR_BUCKETS} AS DOUBLE)))
+                          * 1000000000.0) AS BIGINT) AS lam
         FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
     )
     SELECT db.doc_id, d.lang,
            CAST(SUM(db.c) AS BIGINT) AS n_toks,
-           ROUND(SUM(db.c * lam.lam), 6) AS log_weight
+           CAST((CASE WHEN SUM(db.c * lam.lam) < 0 THEN -1 ELSE 1 END)
+                * ((ABS(CAST(SUM(db.c * lam.lam) AS BIGINT)) + 500) // 1000)
+                AS DOUBLE) / 1000000.0 AS log_weight
     FROM db JOIN lam ON db.b = lam.b
     JOIN documents d ON db.doc_id = d.doc_id
     GROUP BY db.doc_id, d.lang

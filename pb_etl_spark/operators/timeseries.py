@@ -1,0 +1,408 @@
+"""Event time-series analytics: rolling actives, transition matrices,
+OHLC resampling, attribution, time-weighted averages, CUSUM changepoints.
+
+These are the product-analytics / monitoring queries a training-data
+platform runs over its own telemetry (and the classic "hypertable" read
+patterns of a timeseries store), expressed as pure DataFrame
+compositions — custom-operator rule (a): no UDFs anywhere in this module.
+
+Reference scope note: the reference pipeline (pb_etl/tasks.py) has no
+temporal operators at all (SURVEY.md §2.7 — "none implemented"); this
+module is part of the beyond-reference surface the north star requires.
+
+Cross-engine float discipline: ``events.value`` is 2-dp money, so every
+SUM in this module runs on the integer-cents grid (``ROUND(value*100)``
+cast to int64) — order-independent, hence hash-identical across engines
+regardless of partitioning (the trailing_rows_avg / dsir_weights rule).
+Final divisions produce one deterministic double per row.
+
+Scale shape per query is documented on the function; none of them
+window over an unpartitioned fact-sized frame, and the only row
+multiplication (rolling_active_users' ×7 day-explode) happens on the
+already-deduplicated (user, day) pair set, not raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pb_etl_spark.catalog import read_table
+
+
+def _cents(col) -> F.Column:
+    """events.value on the exact integer-cents grid."""
+    return F.round(col * 100).cast("long")
+
+
+ROLLING_DAYS = 7
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) + same-day actives (DAU) per
+    calendar day — the sliding-window COUNT DISTINCT that naive SQL
+    writes as a per-day self-join over the fact table.
+
+    Scale shape: dedup events to (user, day) pairs FIRST (a hash
+    aggregate that shrinks the input by the per-user daily event rate),
+    then explode each pair onto the ≤7 report days it can serve, and
+    hash-aggregate COUNT(DISTINCT user) per report day. Shuffle volume
+    is 7×|distinct pairs| — linear, no self-join, no per-day rescan.
+    The trailing window is exact (not HLL); swap count_distinct for
+    approx_count_distinct when a 100 TB fleet can tolerate ±2%.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    days = pairs.select("day").distinct()
+    ex = pairs.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"interval {ROLLING_DAYS - 1} days"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("rday"),
+    )
+    return (
+        ex.join(days.select(F.col("day").alias("rday")), "rday")
+        .groupBy("rday")
+        .agg(
+            F.count_distinct("user_id").alias("active_7d"),
+            F.count_distinct(
+                F.when(F.col("day") == F.col("rday"), F.col("user_id"))
+            ).alias("active_1d"),
+        )
+        .select(
+            F.date_format("rday", "yyyy-MM-dd").alias("day"),
+            "active_7d",
+            "active_1d",
+        )
+    )
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = dst | current = src), with transition counts.
+    The behavioral-model fit that powers next-action prediction and
+    anomalous-session scoring.
+
+    Scale shape: ONE window pass per user (shuffle on user_id) emits the
+    (src, dst) stream; counts hash-aggregate to a |types|² frame, and
+    the probability normalization windows over THAT bounded frame (≤25
+    rows here), never the fact table."""
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_src = W.partitionBy("src")  # bounded: rows = |event types|²
+    return pairs.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(w_src),
+            6,
+        ).alias("prob"),
+    )
+
+
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlesticks over event values: open/close = first/
+    last value in the hour (ordered by ts, event_id), high/low = max/min,
+    volume = exact cents-grid sum — the canonical timeseries downsample.
+
+    Scale shape: two row_number windows partitioned BY THE HOUR (naturally
+    bounded partitions), then one hash aggregate per hour. open/close
+    are single picked values and high/low are order-free extremes, so
+    every output is cross-engine exact."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    w_asc = W.partitionBy("hour").orderBy("ts", "event_id")
+    w_desc = W.partitionBy("hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "hour",
+            "value",
+            F.row_number().over(w_asc).alias("rn_a"),
+            F.row_number().over(w_desc).alias("rn_d"),
+        )
+        .groupBy("hour")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            (F.sum(_cents(F.col("value"))).cast("double") / F.lit(100.0)).alias(
+                "volume"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_events",
+        )
+    )
+
+
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's total purchase revenue is
+    credited to the event type of their FIRST-ever event (their
+    acquisition channel). Per channel: users acquired and exact
+    cents-grid revenue.
+
+    Scale shape: one window pass per user picks the first touch, one
+    hash aggregate per user sums purchase cents, one broadcastable join
+    stitches them, and the final aggregate is |channels|-sized. No
+    self-joins, no fact-sized windows without a partition key."""
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    revenue = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(_cents(F.col("value"))).alias("rev_cents"))
+    )
+    return (
+        firsts.join(revenue, "user_id", "left")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (
+                F.sum(F.coalesce(F.col("rev_cents"), F.lit(0))).cast("double")
+                / F.lit(100.0)
+            ).alias("attributed_revenue"),
+        )
+    )
+
+
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): each event's value
+    holds until the user's next event; the average weighs each value by
+    its holding time. The standard fix for irregularly-sampled series
+    where a plain AVG over-counts burst periods.
+
+    Exactness: weights are integer milliseconds, values integer cents —
+    Σ cents·ms is pure int64 (max ~8.6e15 at 30-day spans, far inside
+    int64), so the only float op is one final division. Scale shape: one
+    lead() window pass and one hash aggregate, both keyed on user_id."""
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = (
+        ev.select(
+            "user_id",
+            _cents(F.col("value")).alias("cents"),
+            F.unix_micros("ts").alias("us"),
+            F.unix_micros(F.lead("ts").over(w)).alias("next_us"),
+        )
+        .filter(F.col("next_us").isNotNull())
+        .withColumn("dt_ms", ((F.col("next_us") - F.col("us")) / 1000).cast("long"))
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        (
+            F.sum(F.col("cents") * F.col("dt_ms")).cast("double")
+            / F.sum("dt_ms").cast("double")
+            / F.lit(100.0)
+        ).alias("twap_value"),
+    )
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift statistic: the maximum absolute deviation of
+    the running value sum from its expected trajectory (k/N of the user
+    total) — the classic changepoint / level-shift detector, reported as
+    max |CUSUM| per user. High values flag users whose value stream
+    shifted regime mid-window.
+
+    Exactness: with prefix_k and S on the cents grid, the deviation
+    prefix_k − (k/N)·S is scaled by N to N·prefix_k − k·S — pure int64
+    (≤ ~2e8 per user here; ≤ N·S in general), max'd exactly, and divided
+    once at the end. Scale shape: one cumulative window pass (UNBOUNDED
+    PRECEDING — exact integer prefix sums) plus one hash aggregate, both
+    keyed on user_id."""
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = W.partitionBy("user_id")
+    rows = ev.select(
+        "user_id",
+        _cents(F.col("value")).alias("cents"),
+        F.row_number().over(w).alias("k"),
+        F.sum(_cents(F.col("value")))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("prefix"),
+    ).select(
+        "user_id",
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("total"),
+        "k",
+        "prefix",
+    )
+    return (
+        rows.withColumn(
+            "scaled",
+            F.abs(F.col("n") * F.col("prefix") - F.col("k") * F.col("total")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            (
+                F.max("scaled").cast("double")
+                / (F.max("n") * F.lit(100.0))
+            ).alias("max_cusum"),
+        )
+    )
+
+
+QUERIES = {
+    "rolling_active_users": q_rolling_active_users,
+    "event_transition_matrix": q_event_transition_matrix,
+    "ohlc_hourly": q_ohlc_hourly,
+    "attribution_first_touch": q_attribution_first_touch,
+    "twap_user_value": q_twap_user_value,
+    "cusum_changepoint": q_cusum_changepoint,
+}
+
+ORACLES: dict[str, str] = {
+    "rolling_active_users": f"""
+        WITH pairs AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ), days AS (
+            SELECT DISTINCT day FROM pairs
+        ), ex AS (
+            SELECT user_id, day,
+                   unnest(generate_series(
+                       day, day + INTERVAL {ROLLING_DAYS - 1} DAY,
+                       INTERVAL 1 DAY)) AS rday
+            FROM pairs
+        )
+        SELECT strftime(ex.rday, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT ex.user_id) AS BIGINT) AS active_7d,
+               CAST(COUNT(DISTINCT CASE WHEN ex.day = ex.rday
+                                        THEN ex.user_id END) AS BIGINT)
+                   AS active_1d
+        FROM ex JOIN days d ON ex.rday = d.day
+        GROUP BY ex.rday
+    """,
+    "event_transition_matrix": """
+        WITH pairs AS (
+            SELECT event_type AS src,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS dst
+            FROM events
+        ), counts AS (
+            SELECT src, dst, COUNT(*) AS n_transitions
+            FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+        )
+        SELECT src, dst, n_transitions,
+               ROUND(CAST(n_transitions AS DOUBLE)
+                     / SUM(n_transitions) OVER (PARTITION BY src), 6) AS prob
+        FROM counts
+    """,
+    "ohlc_hourly": """
+        WITH ranked AS (
+            SELECT date_trunc('hour', ts) AS hour, value,
+                   ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS volume,
+               COUNT(*) AS n_events
+        FROM ranked GROUP BY hour
+    """,
+    "attribution_first_touch": """
+        WITH firsts AS (
+            SELECT user_id, event_type AS channel
+            FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        ), revenue AS (
+            SELECT user_id,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev_cents
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT f.channel,
+               COUNT(*) AS n_users,
+               CAST(CAST(SUM(COALESCE(r.rev_cents, 0)) AS BIGINT) AS DOUBLE)
+                   / 100.0 AS attributed_revenue
+        FROM firsts f LEFT JOIN revenue r ON f.user_id = r.user_id
+        GROUP BY f.channel
+    """,
+    "twap_user_value": """
+        WITH spans AS (
+            SELECT user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   (epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id))
+                    - epoch_us(ts)) // 1000 AS dt_ms
+            FROM events
+        )
+        SELECT user_id,
+               COUNT(*) AS n_intervals,
+               CAST(CAST(SUM(cents * dt_ms) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(SUM(dt_ms) AS BIGINT) AS DOUBLE)
+                   / 100.0 AS twap_value
+        FROM spans WHERE dt_ms IS NOT NULL
+        GROUP BY user_id
+    """,
+    "cusum_changepoint": """
+        WITH rows_g AS (
+            SELECT user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER w AS k,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS prefix,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id) AS total
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               CAST(CAST(MAX(ABS(n * prefix - k * total)) AS BIGINT) AS DOUBLE)
+                   / (MAX(n) * 100.0) AS max_cusum
+        FROM rows_g GROUP BY user_id
+    """,
+}

@@ -35,6 +35,7 @@ from pb_etl_spark.operators import (
     skew,
     temporal,
     text,
+    timeseries,
     tokenize,
     vectors,
 )
@@ -168,6 +169,7 @@ _MODULES = [
     dedup,
     clustering,
     temporal,
+    timeseries,
     skew,
     multimodal,
     similarity,
