@@ -80,6 +80,11 @@ HEADLINE = [
     "shard_manifest",
     "kmv_jaccard_sources",
     "ewma_user_value",
+    # round-3 event-analytics family: the sliding COUNT DISTINCT is the
+    # scale-interesting one (x7 explode of the deduped pair set), and the
+    # SCD2 merge tracks the union+join cost of dimension maintenance
+    "rolling_active_users",
+    "scd2_merge_orders",
 ]
 
 

@@ -89,6 +89,15 @@ _PRIORITY = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    # -- new operators this round: event analytics + SCD2 (timeseries.py,
+    #    cdc.py) — brand-new code, highest verification value --
+    "rolling_active_users",
+    "event_transition_matrix",
+    "ohlc_hourly",
+    "attribution_first_touch",
+    "twap_user_value",
+    "cusum_changepoint",
+    "scd2_merge_orders",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "dsir_weights",
