@@ -1,0 +1,133 @@
+"""Invariant tests for the event-analytics family (operators/timeseries.py).
+
+The oracle-parity suite already hash-checks every query against DuckDB;
+these tests assert the SEMANTIC invariants that a hash can't express —
+conservation laws (revenue fully attributed, transitions counted once),
+order relations (low ≤ open/close ≤ high), and probability normalization.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from pb_etl_spark.catalog import read_table
+
+    return read_table(spark, SF_DIR, "events").cache()
+
+
+def test_transition_matrix_probabilities_normalize(spark, events):
+    from pb_etl_spark.operators.timeseries import q_event_transition_matrix
+
+    out = q_event_transition_matrix(spark, SF_DIR).toPandas()
+    sums = out.groupby("src")["prob"].sum()
+    assert ((sums - 1.0).abs() < 1e-5).all(), sums
+    # every event except each user's last contributes exactly one transition
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert out["n_transitions"].sum() == n_events - n_users
+
+
+def test_rolling_active_users_bounds(spark, events):
+    from pb_etl_spark.operators.timeseries import q_rolling_active_users
+
+    out = q_rolling_active_users(spark, SF_DIR).toPandas()
+    assert (out["active_7d"] >= out["active_1d"]).all()
+    n_days = events.select(F.date_trunc("day", "ts")).distinct().count()
+    assert len(out) == n_days
+    n_users = events.select("user_id").distinct().count()
+    assert out["active_7d"].max() <= n_users
+    # a trailing window can only grow a single day's count
+    daily = out.set_index("day")["active_1d"]
+    assert (out.set_index("day")["active_7d"] >= daily).all()
+
+
+def test_ohlc_order_relations_and_conservation(spark, events):
+    from pb_etl_spark.operators.timeseries import q_ohlc_hourly
+
+    out = q_ohlc_hourly(spark, SF_DIR).toPandas()
+    assert (out["low"] <= out["open"]).all()
+    assert (out["low"] <= out["close"]).all()
+    assert (out["open"] <= out["high"]).all()
+    assert (out["close"] <= out["high"]).all()
+    assert out["n_events"].sum() == events.count()
+    total_cents = (
+        events.select(F.sum(F.round(F.col("value") * 100).cast("long"))).first()[0]
+    )
+    assert abs(out["volume"].sum() * 100 - total_cents) < 1
+
+
+def test_attribution_conserves_revenue_and_users(spark, events):
+    from pb_etl_spark.operators.timeseries import q_attribution_first_touch
+
+    out = q_attribution_first_touch(spark, SF_DIR).toPandas()
+    n_users = events.select("user_id").distinct().count()
+    assert out["n_users"].sum() == n_users
+    total_purchase_cents = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .first()[0]
+    )
+    assert abs(out["attributed_revenue"].sum() * 100 - total_purchase_cents) < 1
+
+
+def test_twap_within_value_envelope(spark, events):
+    from pb_etl_spark.operators.timeseries import q_twap_user_value
+
+    out = q_twap_user_value(spark, SF_DIR).toPandas()
+    env = (
+        events.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    merged = out.set_index("user_id").join(env)
+    # TWAP is a convex combination of the user's values (the last event
+    # carries no weight, so use the global envelope: still a bound)
+    assert (merged["twap_value"] >= merged["lo"] - 1e-9).all()
+    assert (merged["twap_value"] <= merged["hi"] + 1e-9).all()
+
+
+def test_cusum_nonnegative_and_zero_for_constant_series(spark):
+    from pb_etl_spark.operators.timeseries import q_cusum_changepoint
+
+    out = q_cusum_changepoint(spark, SF_DIR).toPandas()
+    assert (out["max_cusum"] >= 0).all()
+    # constant series ⇒ prefix_k == (k/N)·S exactly ⇒ CUSUM ≡ 0: build a
+    # tiny synthetic frame through the same arithmetic
+    from pyspark.sql import Row
+
+    import pb_etl_spark.operators.timeseries as ts
+
+    rows = [
+        Row(event_id=i, user_id=1, ts=f"2024-01-01 00:00:{i:02d}", value=7.25)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    orig = ts.read_table
+    ts.read_table = lambda *_: df
+    try:
+        const = ts.q_cusum_changepoint(spark, SF_DIR).toPandas()
+    finally:
+        ts.read_table = orig
+    assert (const["max_cusum"] == 0).all()
+
+
+def test_scd2_merge_row_accounting(spark):
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.cdc import q_scd2_merge_orders
+
+    orders = read_table(spark, SF_DIR, "orders")
+    n = orders.count()
+    n_mod7 = orders.filter(F.col("o_orderkey") % 7 == 0).count()
+    n_mod50 = orders.filter(F.col("o_orderkey") % 50 == 0).count()
+    out = q_scd2_merge_orders(spark, SF_DIR)
+    # untouched + (closed + reopened per mod-7 key) + inserts
+    assert out.count() == n + n_mod7 + n_mod50
+    cur = out.filter(F.col("is_current") == 1).count()
+    assert cur == n + n_mod50  # exactly one current row per live key
