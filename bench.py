@@ -85,6 +85,7 @@ HEADLINE = [
     # SCD2 merge tracks the union+join cost of dimension maintenance
     "rolling_active_users",
     "scd2_merge_orders",
+    "interval_overlap_join",
 ]
 
 

@@ -362,6 +362,96 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 h inactivity closes a session
+OVERLAP_BUCKET_US = 4 * 3600 * 1_000_000  # bucket width ≈ min session span
+OVERLAP_USERS = 100  # bounded user slice for the checkable query
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (the general two-sided interval join of
+    Flink SQL / temporal databases): which pairs of USERS were co-active,
+    i.e. had overlapping activity sessions, and for how long in total.
+
+    Sessions are gap-based (a session closes after SESSION_GAP_US of
+    inactivity, and its interval extends that gap past the last event —
+    the same semantics as F.session_window). Overlap is the classic
+    symmetric predicate a.start <= b.end AND b.start <= a.end.
+
+    Scale shape — uniform time bucketing, NOT an inequality join: each
+    session explodes onto the W-wide buckets it covers (bounded by
+    span/W + 1), pairs meet through a bucket EQUI-join, and each pair is
+    emitted exactly once — in the bucket containing the overlap start
+    (= max of the two starts, which both intervals cover). Shuffle is
+    linear in exploded sessions; there is no quadratic time-range probe.
+    The same skeleton serves trajectory co-location and ad-impression
+    overlap joins; pick W ≈ median interval length so the explode factor
+    stays ~2-3. All interval math in exact integer microseconds.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < OVERLAP_USERS
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = (
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > SESSION_GAP_US,
+            1,
+        )
+        .otherwise(0)
+    )
+    sessions = (
+        ev.withColumn("new_sess", gap_flag)
+        .withColumn(
+            "sid",
+            F.sum("new_sess").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_us"),
+            (F.max(F.unix_micros("ts")) + F.lit(SESSION_GAP_US)).alias("e_us"),
+        )
+    )
+    exploded = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_us") / OVERLAP_BUCKET_US),
+                F.floor(F.col("e_us") / OVERLAP_BUCKET_US),
+            )
+        ),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.s_us") <= F.col("b.e_us"))
+        & (F.col("b.s_us") <= F.col("a.e_us"))
+        # emit exactly once: only in the bucket holding the overlap start
+        & (
+            F.floor(
+                F.greatest(F.col("a.s_us"), F.col("b.s_us"))
+                / OVERLAP_BUCKET_US
+            )
+            == F.col("a.bucket")
+        ),
+    ).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        (
+            F.least(F.col("a.e_us"), F.col("b.e_us"))
+            - F.greatest(F.col("a.s_us"), F.col("b.s_us"))
+        ).alias("ov_us"),
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        (F.sum("ov_us").cast("double") / F.lit(1e6)).alias("overlap_secs"),
+    )
+
+
 def _ewma_sql_terms() -> tuple[str, str]:
     nums, dens = [], []
     for j, wt in enumerate(_EWMA_W):
@@ -377,6 +467,39 @@ _EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_sql_terms()
 
 
 ORACLES: dict[str, str] = {
+    "interval_overlap_join": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts)
+                             - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id))
+                             > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WHERE user_id < {OVERLAP_USERS}
+        ), numbered AS (
+            SELECT user_id,
+                   SUM(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS sid,
+                   ts
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id,
+                   MIN(epoch_us(ts)) AS s_us,
+                   MAX(epoch_us(ts)) + {SESSION_GAP_US} AS e_us
+            FROM numbered GROUP BY user_id, sid
+        )
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               COUNT(*) AS n_overlaps,
+               CAST(CAST(SUM(LEAST(a.e_us, b.e_us)
+                             - GREATEST(a.s_us, b.s_us)) AS BIGINT) AS DOUBLE)
+                   / 1000000.0 AS overlap_secs
+        FROM sessions a JOIN sessions b
+          ON a.user_id < b.user_id
+         AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+        GROUP BY a.user_id, b.user_id
+    """,
     "ewma_user_value": f"""
         SELECT user_id, event_id,
                LEAST(ROW_NUMBER() OVER w, {EWMA_LAGS}) AS n_terms,
@@ -475,6 +598,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "interval_overlap_join": q_interval_overlap_join,
     "ewma_user_value": q_ewma_user_value,
     "asof_join": q_asof_join,
     "pit_join": q_pit_join,

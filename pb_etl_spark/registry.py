@@ -98,6 +98,7 @@ _PRIORITY = [
     "twap_user_value",
     "cusum_changepoint",
     "scd2_merge_orders",
+    "interval_overlap_join",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "dsir_weights",
