@@ -515,11 +515,109 @@ _SHARD_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# psi_drift — Population Stability Index over a numeric feature
+# ---------------------------------------------------------------------------
+
+PSI_BUCKET_WIDTH = 25.0  # fixed-width value buckets (value spans ~0..500)
+PSI_BUCKETS = 21  # smoothing constant: add-1 over the nominal bucket count
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI (Population Stability Index) drift monitor over the numeric
+    ``events.value`` distribution: first half of the month (day ≤ 15) is
+    the baseline, the second half the comparison. Per fixed-width value
+    bucket: both counts and the bucket's PSI contribution
+    (p−q)·ln(p/q) with add-1 smoothing; a final bucket=-1 row carries
+    the PSI total. The numeric sibling of the categorical
+    ``vocab_drift`` (Dunning-G²) monitor — PSI > 0.2 is the classic
+    retrain / investigate trigger.
+
+    Cross-engine exactness: each bucket's term is a pure function of
+    four integers (bucket counts + totals), quantized to int64 nanos,
+    and the PSI total is the INTEGER sum of those nanos — no double
+    accumulation anywhere (the [[cross-engine-float-rule]]). Scale
+    shape: one conditional-aggregate scan (bounded ≤ |buckets| output),
+    a 1-row totals cross-join, and a bounded union — nothing fact-sized
+    past the first aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            F.floor(F.col("value") / PSI_BUCKET_WIDTH).alias("bucket"),
+            F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("in_a"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("in_a").alias("n_a"),
+            F.sum(1 - F.col("in_a")).alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    p = (F.col("n_a") + 1) / (F.col("tot_a") + PSI_BUCKETS)
+    q = (F.col("n_b") + 1) / (F.col("tot_b") + PSI_BUCKETS)
+    per_bucket = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round((p - q) * F.log(p / q) * F.lit(1e9), 0)
+        .cast("long")
+        .alias("term_nano"),
+    )
+    total = per_bucket.agg(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
+        F.sum("term_nano").alias("term_nano"),
+    )
+    return per_bucket.unionByName(total).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        (F.col("term_nano").cast("double") / F.lit(1e9)).alias("psi_term"),
+    )
+
+
+_PSI_ORACLE = f"""
+    WITH counts AS (
+        SELECT CAST(FLOOR(value / {PSI_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+               SUM(CASE WHEN dayofmonth(ts) <= 15 THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN dayofmonth(ts) <= 15 THEN 0 ELSE 1 END) AS n_b
+        FROM events GROUP BY 1
+    ), tots AS (
+        SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM counts
+    ), per_bucket AS (
+        SELECT bucket,
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(ROUND(
+                   (CAST(n_a + 1 AS DOUBLE) / (tot_a + {PSI_BUCKETS})
+                    - CAST(n_b + 1 AS DOUBLE) / (tot_b + {PSI_BUCKETS}))
+                   * LN((CAST(n_a + 1 AS DOUBLE) / (tot_a + {PSI_BUCKETS}))
+                        / (CAST(n_b + 1 AS DOUBLE) / (tot_b + {PSI_BUCKETS})))
+                   * 1000000000.0) AS BIGINT) AS term_nano
+        FROM counts CROSS JOIN tots
+    ), unioned AS (
+        SELECT bucket, n_a, n_b, term_nano FROM per_bucket
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT),
+               CAST(SUM(n_a) AS BIGINT), CAST(SUM(n_b) AS BIGINT),
+               CAST(SUM(term_nano) AS BIGINT)
+        FROM per_bucket
+    )
+    SELECT bucket, n_a, n_b,
+           CAST(term_nano AS DOUBLE) / 1000000000.0 AS psi_term
+    FROM unioned
+"""
+
+
 QUERIES = {
     "ols2_per_group": q_ols2_per_group,
     "dsir_weights": q_dsir_weights,
     "vocab_drift": q_vocab_drift,
     "shard_manifest": q_shard_manifest,
+    "psi_drift": q_psi_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -527,4 +625,5 @@ ORACLES: dict[str, str] = {
     "dsir_weights": _DSIR_ORACLE,
     "vocab_drift": _VOCAB_DRIFT_ORACLE,
     "shard_manifest": _SHARD_ORACLE,
+    "psi_drift": _PSI_ORACLE,
 }

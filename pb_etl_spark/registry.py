@@ -99,6 +99,7 @@ _PRIORITY = [
     "cusum_changepoint",
     "scd2_merge_orders",
     "interval_overlap_join",
+    "psi_drift",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "dsir_weights",

@@ -38,6 +38,8 @@ BNLJ_WHITELIST = {
     #  edge-build BNLJ now runs inside an eager localCheckpoint job, so
     #  it no longer appears in the registered plan)
     "bm25_topk",  # 1-row corpus-stats (N, avgdl) crossJoin
+    "psi_drift",  # 1-row (tot_a, tot_b) totals crossJoin over the
+    #   ≤|buckets| counts frame
     "kmv_distinct_sketch",  # union row = k-row merged sketch crossJoined
     #   with the 1-row global exact count (accuracy report column)
     "dataset_card",  # 1-row corpus summary crossJoined with the 1-row
