@@ -362,6 +362,97 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of each user's value series onto an hourly
+    grid — the continuous-view read path a hypertable exposes as
+    ``interpolate()`` (vs ``gap_fill_resample``'s LOCF). For every grid
+    point t: v0 + (v1−v0)·(t−t0)/(t1−t0) between the surrounding events
+    (NULL outside the observed range).
+
+    Implementation is the union+window carry (same skeleton as
+    asof_join): events and grid points interleave in ONE per-user
+    ordered pass; the previous event (value, ts) is carried forward and
+    the next event carried backward — two window frames over one
+    shuffle, no interval join, no per-grid-point probe. Exactness:
+    values in integer cents, timestamps integer micros; the interpolation
+    is computed per row from those integers with identical double ops in
+    both engines — no cross-engine sums anywhere."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < GAP_FILL_USERS
+    )
+    pts = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lit(0).alias("side"),
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("mn"),
+            F.date_trunc("hour", F.max("ts")).alias("mx"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("h").alias("us"),
+            F.lit(None).cast("long").alias("cents"),
+            F.lit(1).alias("side"),
+        )
+    )
+    # events sort BEFORE grid points at equal timestamps (side 0 < 1), so
+    # an event exactly on a grid point is its own "previous" (t == t0 ⇒
+    # interp == v0 exactly)
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy("us", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_bwd = (
+        W.partitionBy("user_id")
+        .orderBy("us", "side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    ev_us = F.when(F.col("side") == 0, F.col("us"))
+    ev_cents = F.when(F.col("side") == 0, F.col("cents"))
+    carried = pts.unionByName(grid).select(
+        "user_id",
+        "us",
+        "side",
+        F.last(ev_us, ignorenulls=True).over(w_fwd).alias("t0"),
+        F.last(ev_cents, ignorenulls=True).over(w_fwd).alias("v0"),
+        F.first(ev_us, ignorenulls=True).over(w_bwd).alias("t1"),
+        F.first(ev_cents, ignorenulls=True).over(w_bwd).alias("v1"),
+    )
+    interp = F.when(
+        F.col("t1") == F.col("t0"), F.col("v0").cast("double") / 100.0
+    ).otherwise(
+        (
+            F.col("v0").cast("double")
+            + (
+                (F.col("v1") - F.col("v0")) * (F.col("us") - F.col("t0"))
+            ).cast("double")
+            / (F.col("t1") - F.col("t0")).cast("double")
+        )
+        / 100.0
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "user_id",
+            F.date_format(F.timestamp_micros(F.col("us")), "yyyy-MM-dd HH:mm:ss").alias("h"),
+            F.when(
+                F.col("t0").isNotNull() & F.col("t1").isNotNull(), interp
+            ).alias("value_interp"),
+        )
+    )
+
+
 SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 h inactivity closes a session
 OVERLAP_BUCKET_US = 4 * 3600 * 1_000_000  # bucket width ≈ min session span
 OVERLAP_USERS = 100  # bounded user slice for the checkable query
@@ -467,6 +558,48 @@ _EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_sql_terms()
 
 
 ORACLES: dict[str, str] = {
+    "time_interpolate": f"""
+        WITH pts AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents, 0 AS side
+            FROM events WHERE user_id < {GAP_FILL_USERS}
+        ), spans AS (
+            SELECT user_id, date_trunc('hour', MIN(ts)) AS mn,
+                   date_trunc('hour', MAX(ts)) AS mx
+            FROM events WHERE user_id < {GAP_FILL_USERS} GROUP BY user_id
+        ), grid AS (
+            SELECT user_id,
+                   epoch_us(unnest(generate_series(mn, mx, INTERVAL 1 HOUR)))
+                       AS us,
+                   CAST(NULL AS BIGINT) AS cents, 1 AS side
+            FROM spans
+        ), u AS (
+            SELECT * FROM pts UNION ALL SELECT * FROM grid
+        ), c AS (
+            SELECT user_id, us, side,
+                   LAST_VALUE(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+                       OVER w_f AS t0,
+                   LAST_VALUE(CASE WHEN side = 0 THEN cents END IGNORE NULLS)
+                       OVER w_f AS v0,
+                   FIRST_VALUE(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+                       OVER w_b AS t1,
+                   FIRST_VALUE(CASE WHEN side = 0 THEN cents END IGNORE NULLS)
+                       OVER w_b AS v1
+            FROM u
+            WINDOW w_f AS (PARTITION BY user_id ORDER BY us, side
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_b AS (PARTITION BY user_id ORDER BY us, side
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id,
+               strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS h,
+               CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL THEN
+                   (CAST(v0 AS DOUBLE)
+                    + CAST((v1 - v0) * (us - t0) AS DOUBLE)
+                      / CAST(t1 - t0 AS DOUBLE)) / 100.0
+               END AS value_interp
+        FROM c WHERE side = 1
+    """,
     "interval_overlap_join": f"""
         WITH flagged AS (
             SELECT user_id, ts, event_id,
@@ -598,6 +731,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "time_interpolate": q_time_interpolate,
     "interval_overlap_join": q_interval_overlap_join,
     "ewma_user_value": q_ewma_user_value,
     "asof_join": q_asof_join,

@@ -100,6 +100,7 @@ _PRIORITY = [
     "scd2_merge_orders",
     "interval_overlap_join",
     "psi_drift",
+    "time_interpolate",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "dsir_weights",
