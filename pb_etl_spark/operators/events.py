@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
 
@@ -147,6 +148,57 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("first_view") < F.col("first_click"))
             ).cast("long")
         ).alias("n_converted"),
+    )
+
+
+def q_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel view → click → purchase: each step must
+    happen strictly AFTER the previous step's earliest valid occurrence
+    (the standard product-analytics funnel, vs q_funnel_conversion's
+    loose two-step comparison). Greedy earliest-match semantics:
+    t1 = first view, t2 = first click after t1, t3 = first purchase
+    after t2 — greedy matching maximizes completion and is the
+    industry-default funnel definition.
+
+    Scale shape: the step cascade is THREE window expressions over the
+    SAME user partition — one shuffle, one sort, reused by all three
+    frames — then one per-user aggregate and one global count row. No
+    joins, no self-matching of the event stream. Extending to k steps
+    is k chained expressions in the same pass."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w_u = W.partitionBy("user_id")
+    s = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w_u)
+    )
+    s = s.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") > F.col("t1")),
+                F.col("us"),
+            )
+        ).over(w_u),
+    )
+    s = s.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") > F.col("t2")),
+                F.col("us"),
+            )
+        ).over(w_u),
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
     )
 
 
@@ -583,6 +635,32 @@ ORACLES: dict[str, str] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         FROM per_user
     """,
+    "strict_funnel": """
+        WITH s AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us,
+                   MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                       OVER (PARTITION BY user_id) AS t1
+            FROM events
+        ), s2 AS (
+            SELECT *,
+                   MIN(CASE WHEN event_type = 'click' AND us > t1
+                            THEN us END) OVER (PARTITION BY user_id) AS t2
+            FROM s
+        ), s3 AS (
+            SELECT *,
+                   MIN(CASE WHEN event_type = 'purchase' AND us > t2
+                            THEN us END) OVER (PARTITION BY user_id) AS t3
+            FROM s2
+        ), per_user AS (
+            SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+            FROM s3 GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               COUNT(t1) AS n_viewed,
+               COUNT(t2) AS n_clicked_after_view,
+               COUNT(t3) AS n_purchased_after_click
+        FROM per_user
+    """,
     "json_extract_agg": """
         SELECT event_type,
                COUNT(*) AS n_events,
@@ -708,6 +786,7 @@ QUERIES = {
     "session_window": q_session_window,
     "sessionize_lag": q_sessionize_lag,
     "funnel_conversion": q_funnel_conversion,
+    "strict_funnel": q_strict_funnel,
     "cohort_retention": q_cohort_retention,
     "stream_tumbling_window": q_stream_tumbling_window,
     "stream_session_window": q_stream_session_window,

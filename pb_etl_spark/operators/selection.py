@@ -48,6 +48,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
 from pb_etl_spark.operators.corpus import (
@@ -612,12 +613,125 @@ _PSI_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# chi2_independence — contingency-table independence test
+# ---------------------------------------------------------------------------
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence test between event_type and day-of-week — the
+    third member of the monitoring trio (vocab_drift: categorical
+    drift, psi_drift: numeric drift, this: association between two
+    categoricals, e.g. "did the traffic mix shift by weekday?").
+    Per contingency cell: observed count, expected count under
+    independence (row_tot·col_tot/N), and the cell's χ² term
+    (O−E)²/E; a final ('TOTAL', -1) row carries the statistic (df =
+    (r−1)(c−1) for the threshold lookup).
+
+    Exactness: every cell value derives from four integers; terms are
+    quantized to int64 nanos and the total is their INTEGER sum (the
+    same discipline as psi_drift). Scale shape: one conditional-
+    aggregate scan to a ≤ r·c frame; row/col/grand totals via windows
+    over that bounded frame; bounded union for the total row."""
+    ev = read_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type", F.dayofweek("ts").cast("long").alias("weekday")
+        )
+        .groupBy("event_type", "weekday")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    w_row = W.partitionBy("event_type")  # bounded: r·c cells total
+    w_col = W.partitionBy("weekday")
+    # grand total via a broadcast 1-row cross-join, not an unpartitioned
+    # window — keeps WindowExec warnings out of the bench tail
+    grand = cells.agg(F.sum("observed").alias("n"))
+    with_tot = cells.crossJoin(F.broadcast(grand)).select(
+        "event_type",
+        "weekday",
+        "observed",
+        F.sum("observed").over(w_row).alias("row_tot"),
+        F.sum("observed").over(w_col).alias("col_tot"),
+        "n",
+    )
+    expected = (
+        F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    )
+    per_cell = with_tot.select(
+        "event_type",
+        "weekday",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            (F.col("observed") - expected) * (F.col("observed") - expected)
+            / expected
+            * F.lit(1e9),
+            0,
+        )
+        .cast("long")
+        .alias("term_nano"),
+    )
+    total = per_cell.agg(
+        F.lit("TOTAL").alias("event_type"),
+        F.lit(-1).cast("long").alias("weekday"),
+        F.sum("observed").cast("long").alias("observed"),
+        F.lit(None).cast("double").alias("expected"),
+        F.sum("term_nano").alias("term_nano"),
+    )
+    return per_cell.unionByName(total).select(
+        "event_type",
+        "weekday",
+        "observed",
+        "expected",
+        (F.col("term_nano").cast("double") / F.lit(1e9)).alias("chi2_term"),
+    )
+
+
+_CHI2_ORACLE = """
+    WITH cells AS (
+        -- DuckDB dow is 0=Sunday; Spark dayofweek is 1=Sunday — align
+        SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday,
+               COUNT(*) AS observed
+        FROM events GROUP BY 1, 2
+    ), with_tot AS (
+        SELECT event_type, weekday, observed,
+               SUM(observed) OVER (PARTITION BY event_type) AS row_tot,
+               SUM(observed) OVER (PARTITION BY weekday) AS col_tot,
+               SUM(observed) OVER () AS n
+        FROM cells
+    ), per_cell AS (
+        SELECT event_type, weekday,
+               CAST(observed AS BIGINT) AS observed,
+               ROUND(row_tot * col_tot / CAST(n AS DOUBLE), 6) AS expected,
+               CAST(ROUND(
+                   (observed - row_tot * col_tot / CAST(n AS DOUBLE))
+                   * (observed - row_tot * col_tot / CAST(n AS DOUBLE))
+                   / (row_tot * col_tot / CAST(n AS DOUBLE))
+                   * 1000000000.0) AS BIGINT) AS term_nano
+        FROM with_tot
+    ), unioned AS (
+        SELECT event_type, weekday, observed, expected, term_nano
+        FROM per_cell
+        UNION ALL
+        SELECT 'TOTAL', CAST(-1 AS BIGINT),
+               CAST(SUM(observed) AS BIGINT),
+               CAST(NULL AS DOUBLE),
+               CAST(SUM(term_nano) AS BIGINT)
+        FROM per_cell
+    )
+    SELECT event_type, weekday, observed, expected,
+           CAST(term_nano AS DOUBLE) / 1000000000.0 AS chi2_term
+    FROM unioned
+"""
+
+
 QUERIES = {
     "ols2_per_group": q_ols2_per_group,
     "dsir_weights": q_dsir_weights,
     "vocab_drift": q_vocab_drift,
     "shard_manifest": q_shard_manifest,
     "psi_drift": q_psi_drift,
+    "chi2_independence": q_chi2_independence,
 }
 
 ORACLES: dict[str, str] = {
@@ -626,4 +740,5 @@ ORACLES: dict[str, str] = {
     "vocab_drift": _VOCAB_DRIFT_ORACLE,
     "shard_manifest": _SHARD_ORACLE,
     "psi_drift": _PSI_ORACLE,
+    "chi2_independence": _CHI2_ORACLE,
 }

@@ -101,6 +101,8 @@ _PRIORITY = [
     "interval_overlap_join",
     "psi_drift",
     "time_interpolate",
+    "strict_funnel",
+    "chi2_independence",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "dsir_weights",

@@ -40,6 +40,8 @@ BNLJ_WHITELIST = {
     "bm25_topk",  # 1-row corpus-stats (N, avgdl) crossJoin
     "psi_drift",  # 1-row (tot_a, tot_b) totals crossJoin over the
     #   ≤|buckets| counts frame
+    "chi2_independence",  # 1-row grand-total crossJoin over the ≤r·c
+    #   contingency-cell frame
     "kmv_distinct_sketch",  # union row = k-row merged sketch crossJoined
     #   with the 1-row global exact count (accuracy report column)
     "dataset_card",  # 1-row corpus summary crossJoined with the 1-row
@@ -64,6 +66,12 @@ GLOBAL_WINDOW_WHITELIST = {
     "source_mix_report",  # cumulative share over one row per source
     "monthly_growth",  # lag over the ~monthly revenue series
     "kmv_distinct_sketch",  # rank over the k-row merged sketch
+    # false positives of the co-occurrence heuristic — the windows are
+    # KEYED (or bounded); the SinglePartition exchange is the final
+    # global COUNT/SUM aggregate emitting one row:
+    "strict_funnel",  # per-user windows; 1-row funnel summary agg
+    "chi2_independence",  # row/col windows over the ≤r·c cell frame;
+    #   1-row total union leg
 }
 
 
