@@ -466,7 +466,125 @@ _KMV_JACCARD_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# cms_token_counts — deterministic count-min sketch
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # columns per row
+CMS_PROBES = ["the", "a", "of", "and", "to", "in"]  # STOPWORDS — high-count
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed for the
+    stopword set: per probe token, the CMS estimate (min over CMS_D
+    hashed counters) next to the exact count — est ≥ exact always, the
+    overestimate bounded by εN with ε = e/CMS_W.
+
+    Completes the sketch shelf: HLL/KMV answer DISTINCT counts, CMS
+    answers FREQUENCY queries from the same mergeable-rollup
+    architecture (per-partition/day sketches are cell-wise ADDITIVE —
+    merging is a groupBy sum over ≤ D·W cells, never a corpus rescan).
+    Hashes are md5-prefix derived (the engine-portable family), so the
+    whole sketch and every estimate is integer-exact cross-engine and
+    the driver value-checks what a library sketch could not.
+
+    Scale shape: one explode (pre-repartitioned — the row-multiplying
+    rule) → ×D hash fanout → ONE grouped count to the bounded D·W cell
+    table; probes broadcast onto it. The exact_count column is the
+    accuracy report; a production rollup drops it."""
+    doc = read_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    tok = (
+        doc.repartition(n_parts, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .localCheckpoint(eager=True)  # feeds sketch build AND exact counts
+    )
+    js = F.array(*[F.lit(j) for j in range(CMS_D)])
+    cell_col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+    sketch = (
+        tok.select("tok", F.explode(js).alias("j"))
+        .select("j", cell_col.alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in CMS_PROBES], "tok string"
+    ).select("tok", F.explode(js).alias("j")).select(
+        "tok", "j", cell_col.alias("col")
+    )
+    # broadcast the SKETCH (≤ D·W cells): a left outer join can only
+    # broadcast its right side
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "col"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )
+    exact = (
+        tok.filter(F.col("tok").isin(CMS_PROBES))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "tok", "left").select(
+        F.col("tok").alias("token"),
+        F.col("est_count").cast("long").alias("est_count"),
+        F.coalesce(F.col("exact_count"), F.lit(0)).cast("long").alias(
+            "exact_count"
+        ),
+    )
+
+
+_CMS_PROBE_SQL = ", ".join(f"('{t}')" for t in CMS_PROBES)
+
+_CMS_ORACLE = f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS j(j)),
+    cells AS (
+        SELECT j,
+               CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || tok),
+                                      1, 8) AS BIGINT) % {CMS_W} AS col,
+               COUNT(*) AS c
+        FROM tok CROSS JOIN js GROUP BY 1, 2
+    ),
+    probes AS (SELECT * FROM (VALUES {_CMS_PROBE_SQL}) AS p(tok)),
+    pr AS (
+        SELECT tok, j,
+               CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || tok),
+                                      1, 8) AS BIGINT) % {CMS_W} AS col
+        FROM probes CROSS JOIN js
+    ),
+    est AS (
+        SELECT pr.tok, MIN(COALESCE(cells.c, 0)) AS est_count
+        FROM pr LEFT JOIN cells ON pr.j = cells.j AND pr.col = cells.col
+        GROUP BY pr.tok
+    ),
+    ex AS (
+        SELECT tok, COUNT(*) AS exact_count FROM tok
+        WHERE tok IN ({", ".join(f"'{t}'" for t in CMS_PROBES)})
+        GROUP BY tok
+    )
+    SELECT est.tok AS token,
+           CAST(est.est_count AS BIGINT) AS est_count,
+           CAST(COALESCE(ex.exact_count, 0) AS BIGINT) AS exact_count
+    FROM est LEFT JOIN ex ON est.tok = ex.tok
+"""
+
+
 QUERIES = {
+    "cms_token_counts": q_cms_token_counts,
     "bm25_topk": q_bm25_topk,
     "dup_span_ratio": q_dup_span_ratio,
     "partial_agg_merge": q_partial_agg_merge,
@@ -475,6 +593,7 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "cms_token_counts": _CMS_ORACLE,
     "bm25_topk": _BM25_ORACLE,
     "dup_span_ratio": _DUP_SPAN_ORACLE,
     "partial_agg_merge": _PARTIAL_MERGE_ORACLE,

@@ -103,6 +103,7 @@ _PRIORITY = [
     "time_interpolate",
     "strict_funnel",
     "chi2_independence",
+    "cms_token_counts",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "dsir_weights",
