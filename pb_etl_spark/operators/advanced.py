@@ -811,7 +811,142 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# histogram_quantiles — mergeable fixed-bucket quantile estimator
+# ---------------------------------------------------------------------------
+
+HQ_BUCKETS = 100
+HQ_QS = [0.5, 0.9, 0.99]
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based quantile estimates over o_totalprice (P50/P90/P99
+    via linear interpolation inside a fixed 100-bucket histogram) next
+    to the exact interpolated quantile — est error bounded by one bucket
+    width.
+
+    This is the DETERMINISTIC mergeable-quantile architecture: the
+    histogram is one grouped count (cell-wise additive — per-partition/
+    day histograms merge by summing buckets, the same rollup contract as
+    kmv/cms sketches), and any quantile is answered from the ≤
+    HQ_BUCKETS cumulative table without re-sorting the data. The exact
+    column (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) is the
+    accuracy report; approx_percentile is the library alternative whose
+    t-digest values are engine-specific — this estimator the driver can
+    value-check.
+
+    Scale shape: one min/max/count scan (1-row broadcast), one grouped
+    count to the bounded histogram, a cumulative window over ≤ 100
+    bucket rows, and a 3-row quantile probe join."""
+    from pyspark.sql.window import Window as W
+
+    o = read_table(spark, sf_dir, "orders").select("o_totalprice")
+    mm = o.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / HQ_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("mn")) / width),
+        F.lit(HQ_BUCKETS - 1),
+    ).cast("long")
+    hist = (
+        o.crossJoin(F.broadcast(mm))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+    probes = spark.createDataFrame([(q,) for q in HQ_QS], "q double")
+    # per probe: the first bucket whose cumulative count reaches q·N,
+    # interpolated inside that bucket
+    interp = (
+        F.col("mn")
+        + width
+        * (
+            F.col("bucket")
+            + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt")
+        )
+    )
+    est = (
+        probes.crossJoin(F.broadcast(mm))
+        .join(F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.round(F.min(interp), 6).alias("est_quantile"))
+    )
+    # exact side: one percentile aggregate, exploded to (q, value) rows
+    exact = (
+        o.agg(
+            F.percentile(
+                "o_totalprice", F.array(*[F.lit(q) for q in HQ_QS])
+            ).alias("ps")
+        )
+        .select(F.posexplode("ps").alias("pos", "exact_quantile"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(q) for q in HQ_QS]), F.col("pos") + 1
+            ).alias("q"),
+            F.round("exact_quantile", 6).alias("exact_quantile"),
+        )
+    )
+    return est.join(exact, "q").select("q", "est_quantile", "exact_quantile")
+
+
+_HQ_QS_SQL = ", ".join(f"({q})" for q in HQ_QS)
+
+_HQ_ORACLE = f"""
+    WITH mm AS (
+        SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+               COUNT(*) AS n,
+               (MAX(o_totalprice) - MIN(o_totalprice)) / {HQ_BUCKETS} AS w
+        FROM orders
+    ),
+    hist AS (
+        SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / w) AS BIGINT),
+                     {HQ_BUCKETS - 1}) AS bucket,
+               COUNT(*) AS cnt
+        FROM orders CROSS JOIN mm GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket, cnt,
+               SUM(cnt) OVER (ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM hist
+    ),
+    probes AS (SELECT * FROM (VALUES {_HQ_QS_SQL}) AS p(q)),
+    est AS (
+        SELECT q,
+               ROUND(MIN(mn + w * (bucket
+                                   + (q * n - (cum - cnt))
+                                     / CAST(cnt AS DOUBLE))), 6)
+                   AS est_quantile
+        FROM probes CROSS JOIN mm
+        JOIN cum ON cum >= q * n
+        GROUP BY q
+    ),
+    exact AS (
+        -- DuckDB quantile_cont requires a CONSTANT q: one UNION leg each
+        {" UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q,"
+            f" ROUND(quantile_cont(o_totalprice, {q}), 6) AS exact_quantile"
+            f" FROM orders"
+            for q in HQ_QS
+        )}
+    )
+    SELECT est.q, est.est_quantile, exact.exact_quantile
+    FROM est JOIN exact ON est.q = exact.q
+"""
+
+
 QUERIES = {
+    "histogram_quantiles": q_histogram_quantiles,
     "table_checksum": q_table_checksum,
     "constraint_check": q_constraint_check,
     "table_profile": q_table_profile,
@@ -839,3 +974,6 @@ QUERIES = {
     "mad_outlier_stats": q_mad_outlier_stats,
     "min_max_by": q_min_max_by,
 }
+
+# defined below the ORACLES literal, so registered by assignment
+ORACLES["histogram_quantiles"] = _HQ_ORACLE

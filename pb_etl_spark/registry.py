@@ -104,6 +104,7 @@ _PRIORITY = [
     "strict_funnel",
     "chi2_independence",
     "cms_token_counts",
+    "histogram_quantiles",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "dsir_weights",

@@ -42,6 +42,8 @@ BNLJ_WHITELIST = {
     #   ≤|buckets| counts frame
     "chi2_independence",  # 1-row grand-total crossJoin over the ≤r·c
     #   contingency-cell frame
+    "histogram_quantiles",  # 1-row (min,max,n) crossJoin + 3-row probe
+    #   join onto the ≤100-bucket cumulative table
     "kmv_distinct_sketch",  # union row = k-row merged sketch crossJoined
     #   with the 1-row global exact count (accuracy report column)
     "dataset_card",  # 1-row corpus summary crossJoined with the 1-row
@@ -72,6 +74,8 @@ GLOBAL_WINDOW_WHITELIST = {
     "strict_funnel",  # per-user windows; 1-row funnel summary agg
     "chi2_independence",  # row/col windows over the ≤r·c cell frame;
     #   1-row total union leg
+    "histogram_quantiles",  # cumulative window over the ≤100-bucket
+    #   histogram — bounded by construction
 }
 
 
