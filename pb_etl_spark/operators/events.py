@@ -238,6 +238,24 @@ def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC downsample: min_by/max_by open/close picks (the
+    order-free formulation that streams — the batch twin's row_number
+    windows cannot) through the same file-source → watermark →
+    availableNow drain. Shares timeseries.q_ohlc_hourly's oracle: the
+    streaming execution path is value-checked end to end."""
+    from pb_etl_spark.streaming.windows import (
+        ohlc_hourly_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    sdf = read_event_stream(spark, sf_dir, glob="events.parquet")
+    return run_to_memory(
+        ohlc_hourly_stream(sdf), "q_stream_ohlc_hourly", output_mode="complete"
+    )
+
+
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (gap-based, per user) drained with
     availableNow — shares the batch twin's oracle; the streaming
@@ -789,6 +807,7 @@ QUERIES = {
     "strict_funnel": q_strict_funnel,
     "cohort_retention": q_cohort_retention,
     "stream_tumbling_window": q_stream_tumbling_window,
+    "stream_ohlc_hourly": q_stream_ohlc_hourly,
     "stream_session_window": q_stream_session_window,
     "stream_sliding_window": q_stream_sliding_window,
     "stream_user_totals": q_stream_user_totals,
@@ -800,3 +819,9 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "stream_enrich": q_stream_enrich,
 }
+
+# the streaming OHLC shares its batch twin's oracle (identical output
+# contract; only the execution path differs)
+from pb_etl_spark.operators import timeseries as _timeseries  # noqa: E402
+
+ORACLES["stream_ohlc_hourly"] = _timeseries.ORACLES["ohlc_hourly"]

@@ -105,6 +105,7 @@ _PRIORITY = [
     "chi2_independence",
     "cms_token_counts",
     "histogram_quantiles",
+    "stream_ohlc_hourly",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "dsir_weights",

@@ -86,6 +86,38 @@ def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     )
 
 
+def ohlc_hourly_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming OHLC candlestick downsample (twin of
+    timeseries.q_ohlc_hourly): open/close picked with min_by/max_by on
+    the (ts, event_id) struct — ORDER-FREE declarative aggregates, so
+    they stream (a row_number window would not); identical tie-break to
+    the batch twin's (ts, event_id) row_number. Volume sums on the
+    integer-cents grid, making the whole row exact cross-engine."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_events",
+        )
+    )
+
+
 def sliding_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Sliding 1h/30min counts (streaming twin of q_sliding_window)."""
     return (
