@@ -106,20 +106,22 @@ _PRIORITY = [
     "cms_token_counts",
     "histogram_quantiles",
     "stream_ohlc_hourly",
-    # -- new operators this round (selection/monitoring/sketch set-ops) --
-    "ols2_per_group",
-    "dsir_weights",
-    "vocab_drift",
-    "shard_manifest",
-    "kmv_jaccard_sources",
-    "ewma_user_value",
-    "session_variable_agg",
-    # -- never-checked Spark 4 surfaces --
+    # -- never-checked Spark 4 surfaces (most environment-sensitive:
+    #    vanilla-session/version quirks — keep inside the ~50 window) --
     "recursive_hierarchy",
     "collated_group",
     "pipe_syntax_agg",
     "sql_udf_pricing",
     "udtf_chunking",
+    "session_variable_agg",
+    # -- changed this round: dsir integer-grid rewrite --
+    "dsir_weights",
+    # -- new operators this round (selection/monitoring/sketch set-ops) --
+    "ols2_per_group",
+    "vocab_drift",
+    "shard_manifest",
+    "kmv_jaccard_sources",
+    "ewma_user_value",
     # -- never-checked dedup / graph / retrieval novelties --
     "semantic_dedup",
     "fuzzy_match_pairs",
