@@ -282,8 +282,63 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral anomaly score: the average negative
+    log-likelihood of the user's event-type sequence under the GLOBAL
+    first-order transition model (the scoring side of
+    q_event_transition_matrix) — users whose click-streams don't look
+    like the population's surface as high-NLL outliers; the classic
+    Markov sequence-anomaly detector.
+
+    Every per-user transition exists in the global matrix by
+    construction (it contributed to the counts), so no smoothing is
+    needed and the model join never drops rows. Exactness: each
+    transition's cost −ln P(dst|src) is quantized once to int64 nanos
+    (one deterministic op per MATRIX CELL, ≤ |types|²), per-user totals
+    are integer sums, and the final division is one double op. Scale
+    shape: one lead() window pass per user, one hash aggregate to the
+    bounded pair counts, a broadcast model join, one per-user aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    # bounded |types|² model: per-(src,dst) count and per-src total
+    model = (
+        trans.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_sd"))
+        .withColumn(
+            "n_s", F.sum("n_sd").over(W.partitionBy("src"))
+        )
+        .select(
+            "src",
+            "dst",
+            F.round(
+                -F.log(F.col("n_sd") / F.col("n_s")) * F.lit(1e9), 0
+            )
+            .cast("long")
+            .alias("cost_nano"),
+        )
+    )
+    return (
+        trans.join(F.broadcast(model), ["src", "dst"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            (
+                F.sum("cost_nano").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e9)
+            ).alias("avg_nll"),
+        )
+    )
+
+
 QUERIES = {
     "rolling_active_users": q_rolling_active_users,
+    "sequence_anomaly": q_sequence_anomaly,
     "event_transition_matrix": q_event_transition_matrix,
     "ohlc_hourly": q_ohlc_hourly,
     "attribution_first_touch": q_attribution_first_touch,
@@ -292,6 +347,28 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "sequence_anomaly": """
+        WITH trans AS (
+            SELECT user_id, event_type AS src,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS dst
+            FROM events
+        ), t AS (
+            SELECT user_id, src, dst FROM trans WHERE dst IS NOT NULL
+        ), model AS (
+            SELECT src, dst,
+                   CAST(ROUND(-LN(CAST(n_sd AS DOUBLE)
+                                  / SUM(n_sd) OVER (PARTITION BY src))
+                              * 1000000000.0) AS BIGINT) AS cost_nano
+            FROM (SELECT src, dst, COUNT(*) AS n_sd FROM t GROUP BY 1, 2)
+        )
+        SELECT t.user_id,
+               COUNT(*) AS n_transitions,
+               CAST(CAST(SUM(model.cost_nano) AS BIGINT) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS avg_nll
+        FROM t JOIN model ON t.src = model.src AND t.dst = model.dst
+        GROUP BY t.user_id
+    """,
     "rolling_active_users": f"""
         WITH pairs AS (
             SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events

@@ -106,6 +106,7 @@ _PRIORITY = [
     "cms_token_counts",
     "histogram_quantiles",
     "stream_ohlc_hourly",
+    "sequence_anomaly",
     # -- never-checked Spark 4 surfaces (most environment-sensitive:
     #    vanilla-session/version quirks — keep inside the ~50 window) --
     "recursive_hierarchy",
