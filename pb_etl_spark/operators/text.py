@@ -89,6 +89,29 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select("doc_id", "lang", pred.alias("predicted_lang"))
 
 
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + per-class recall for the lang-ID heuristic
+    against the labeled ``lang`` column — the evaluation harness every
+    classifier-backed curation step needs (the same query shape scores a
+    trained replacement model). Bounded output (|langs|² cells); recall
+    normalizes over the true-language partition of the aggregated
+    frame, never the corpus."""
+    from pyspark.sql.window import Window as W
+
+    pred = q_lang_id(spark, sf_dir)
+    cells = pred.groupBy(
+        F.col("lang").alias("true_lang"),
+        "predicted_lang",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_true = W.partitionBy("true_lang")  # bounded: |langs|² rows
+    return cells.select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_true), 6).alias("recall"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 of the lowercased text (stable across
     engines, unlike xxhash64/DuckDB-hash). The join key for exact dedup at
@@ -490,6 +513,28 @@ ORACLES: dict[str, str] = {
                     ELSE 'es' END AS predicted_lang
         FROM scored
     """,
+    "lang_id_confusion": """
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   LEN(list_filter(toks, t -> t IN ('the','a','of','and','fast'))) AS c_en,
+                   LEN(list_filter(toks, t -> t IN ('der','und','die','das','ein'))) AS c_de,
+                   LEN(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS c_es
+            FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+        ), pred AS (
+            SELECT lang AS true_lang,
+                   CASE WHEN c_en >= c_de AND c_en >= c_es THEN 'en'
+                        WHEN c_de >= c_es THEN 'de'
+                        ELSE 'es' END AS predicted_lang
+            FROM scored
+        ), cells AS (
+            SELECT true_lang, predicted_lang, COUNT(*) AS n
+            FROM pred GROUP BY 1, 2
+        )
+        SELECT true_lang, predicted_lang, n,
+               ROUND(CAST(n AS DOUBLE)
+                     / SUM(n) OVER (PARTITION BY true_lang), 6) AS recall
+        FROM cells
+    """,
     "doc_fingerprint": """
         SELECT doc_id, md5(LOWER(text)) AS fingerprint FROM documents
     """,
@@ -503,6 +548,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
+    "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "tfidf_top_terms": q_tfidf_top_terms,

@@ -107,6 +107,7 @@ _PRIORITY = [
     "histogram_quantiles",
     "stream_ohlc_hourly",
     "sequence_anomaly",
+    "lang_id_confusion",
     # -- never-checked Spark 4 surfaces (most environment-sensitive:
     #    vanilla-session/version quirks — keep inside the ~50 window) --
     "recursive_hierarchy",
