@@ -874,11 +874,15 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cnt")
         )
     )
+    # min_by(interp, bucket): interpolate inside the FIRST bucket whose
+    # cumulative count reaches q·N — MIN(interp) would be wrong (later
+    # buckets' negative remainders interpolate to spuriously small
+    # values; caught by the bucket-width error-bound invariant test)
     est = (
         probes.crossJoin(F.broadcast(mm))
         .join(F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("n"))
         .groupBy("q")
-        .agg(F.round(F.min(interp), 6).alias("est_quantile"))
+        .agg(F.round(F.min_by(interp, F.col("bucket")), 6).alias("est_quantile"))
     )
     # exact side: one percentile aggregate, exploded to (q, value) rows
     exact = (
@@ -922,10 +926,11 @@ _HQ_ORACLE = f"""
     ),
     probes AS (SELECT * FROM (VALUES {_HQ_QS_SQL}) AS p(q)),
     est AS (
+        -- arg_min on bucket: interpolate in the FIRST crossing bucket
         SELECT q,
-               ROUND(MIN(mn + w * (bucket
-                                   + (q * n - (cum - cnt))
-                                     / CAST(cnt AS DOUBLE))), 6)
+               ROUND(arg_min(mn + w * (bucket
+                                       + (q * n - (cum - cnt))
+                                         / CAST(cnt AS DOUBLE)), bucket), 6)
                    AS est_quantile
         FROM probes CROSS JOIN mm
         JOIN cum ON cum >= q * n

@@ -1,0 +1,127 @@
+"""Semantic invariants for the round-3 analytics/monitoring additions
+(interval overlap, PSI, χ², CMS, histogram quantiles, sequence anomaly)
+— conservation laws and order relations the oracle hash can't express."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from pb_etl_spark.catalog import read_table
+
+    return read_table(spark, SF_DIR, "events").cache()
+
+
+def test_interval_overlap_symmetric_and_positive(spark):
+    from pb_etl_spark.operators.temporal import q_interval_overlap_join
+
+    out = q_interval_overlap_join(spark, SF_DIR).toPandas()
+    assert (out["user_a"] < out["user_b"]).all()
+    assert (out["n_overlaps"] >= 1).all()
+    assert (out["overlap_secs"] > 0).all()
+    # no user pair appears twice (exactly-once bucket emission + group)
+    assert not out.duplicated(subset=["user_a", "user_b"]).any()
+
+
+def test_psi_total_row_is_sum_of_bucket_terms(spark, events):
+    from pb_etl_spark.operators.selection import q_psi_drift
+
+    out = q_psi_drift(spark, SF_DIR).toPandas()
+    total = out[out["bucket"] == -1].iloc[0]
+    buckets = out[out["bucket"] != -1]
+    assert abs(buckets["psi_term"].sum() - total["psi_term"]) < 1e-9
+    assert total["n_a"] + total["n_b"] == events.count()
+    assert total["psi_term"] >= 0  # PSI is a nonneg divergence
+
+
+def test_chi2_total_and_marginals(spark, events):
+    from pb_etl_spark.operators.selection import q_chi2_independence
+
+    out = q_chi2_independence(spark, SF_DIR).toPandas()
+    total = out[out["event_type"] == "TOTAL"].iloc[0]
+    cells = out[out["event_type"] != "TOTAL"]
+    assert total["observed"] == events.count()
+    assert abs(cells["chi2_term"].sum() - total["chi2_term"]) < 1e-9
+    assert (cells["chi2_term"] >= 0).all()
+    # expected counts conserve N
+    assert abs(cells["expected"].sum() - events.count()) < 1e-2
+
+
+def test_cms_never_underestimates(spark):
+    from pb_etl_spark.operators.retrieval import q_cms_token_counts
+
+    out = q_cms_token_counts(spark, SF_DIR).toPandas()
+    assert (out["est_count"] >= out["exact_count"]).all()
+
+
+def test_histogram_quantile_error_bounded_by_bucket_width(spark):
+    from pb_etl_spark.operators.advanced import HQ_BUCKETS, q_histogram_quantiles
+    from pb_etl_spark.catalog import read_table
+
+    mm = (
+        read_table(spark, SF_DIR, "orders")
+        .agg(F.min("o_totalprice"), F.max("o_totalprice"))
+        .first()
+    )
+    width = (mm[1] - mm[0]) / HQ_BUCKETS
+    out = q_histogram_quantiles(spark, SF_DIR).toPandas()
+    assert len(out) == 3
+    assert (
+        (out["est_quantile"] - out["exact_quantile"]).abs() <= width + 1e-6
+    ).all()
+
+
+def test_sequence_anomaly_conserves_transitions(spark, events):
+    from pb_etl_spark.operators.timeseries import q_sequence_anomaly
+
+    out = q_sequence_anomaly(spark, SF_DIR).toPandas()
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert out["n_transitions"].sum() == n_events - n_users
+    assert (out["avg_nll"] >= 0).all()
+    # a uniform 5-type model bounds avg NLL by ln(max 1/p); sanity ceiling
+    assert out["avg_nll"].max() < math.log(1000)
+
+
+def test_lang_id_confusion_recall_normalizes(spark):
+    from pb_etl_spark.operators.text import q_lang_id_confusion
+
+    out = q_lang_id_confusion(spark, SF_DIR).toPandas()
+    sums = out.groupby("true_lang")["recall"].sum()
+    assert ((sums - 1.0).abs() < 1e-5).all()
+
+
+def test_time_interpolate_matches_events_at_exact_hours(spark, events):
+    from pb_etl_spark.operators.temporal import GAP_FILL_USERS, q_time_interpolate
+
+    out = q_time_interpolate(spark, SF_DIR)
+    # grid rows count: per user, hours between trunc(min) and trunc(max)
+    spans = (
+        events.filter(F.col("user_id") < GAP_FILL_USERS)
+        .groupBy("user_id")
+        .agg(
+            (
+                (
+                    F.unix_micros(F.date_trunc("hour", F.max("ts")))
+                    - F.unix_micros(F.date_trunc("hour", F.min("ts")))
+                )
+                / 3_600_000_000
+                + 1
+            ).alias("n_hours")
+        )
+    )
+    expected = int(spans.agg(F.sum("n_hours")).first()[0])
+    assert out.count() == expected
+    pdf = out.toPandas()
+    # interior points are interpolations: all non-null except possibly the
+    # first grid point of each user (before their first event)
+    n_null = pdf["value_interp"].isna().sum()
+    n_users = spans.count()
+    assert n_null <= 2 * n_users
