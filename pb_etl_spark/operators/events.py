@@ -202,6 +202,37 @@ def q_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per (user, event_type), the longest run of
+    CONSECUTIVE same-type events in the user's stream and how many such
+    runs exist — the classic islands pattern (rn − rn_per_type is
+    constant within a run), used for streak features and bot detection
+    (abnormally long single-type runs).
+
+    Scale shape: two row_numbers over the same user-keyed sort (one
+    shuffle; the per-(user,type) window reuses the user partitioning's
+    sort), then two hash aggregates with bounded output
+    (|users|·|types|). No joins."""
+    ev = read_table(spark, sf_dir, "events")
+    w_u = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ut = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    islands = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(w_u) - F.row_number().over(w_ut)).alias(
+                "grp"
+            ),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return islands.groupBy("user_id", "event_type").agg(
+        F.max("run_len").cast("long").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-active day, distinct
     active users per (cohort, day-offset) for the first week. Two grouped
@@ -653,6 +684,23 @@ ORACLES: dict[str, str] = {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         FROM per_user
     """,
+    "event_streaks": """
+        WITH marked AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS grp
+            FROM events
+        ), islands AS (
+            SELECT user_id, event_type, grp, COUNT(*) AS run_len
+            FROM marked GROUP BY 1, 2, 3
+        )
+        SELECT user_id, event_type,
+               CAST(MAX(run_len) AS BIGINT) AS max_streak,
+               COUNT(*) AS n_streaks
+        FROM islands GROUP BY user_id, event_type
+    """,
     "strict_funnel": """
         WITH s AS (
             SELECT user_id, event_type, epoch_us(ts) AS us,
@@ -805,6 +853,7 @@ QUERIES = {
     "sessionize_lag": q_sessionize_lag,
     "funnel_conversion": q_funnel_conversion,
     "strict_funnel": q_strict_funnel,
+    "event_streaks": q_event_streaks,
     "cohort_retention": q_cohort_retention,
     "stream_tumbling_window": q_stream_tumbling_window,
     "stream_ohlc_hourly": q_stream_ohlc_hourly,

@@ -108,6 +108,7 @@ _PRIORITY = [
     "stream_ohlc_hourly",
     "sequence_anomaly",
     "lang_id_confusion",
+    "event_streaks",
     # -- never-checked Spark 4 surfaces (most environment-sensitive:
     #    vanilla-session/version quirks — keep inside the ~50 window) --
     "recursive_hierarchy",
