@@ -119,9 +119,40 @@ def weak_labels(doc: DataFrame) -> DataFrame:
     )
 
 
+def auc_rank(scored: DataFrame, label_col: str = "label", p_col: str = "p") -> float:
+    """ROC-AUC via the rank formulation (Mann-Whitney U):
+    AUC = (Σ avg-rank(positives) − n⁺(n⁺+1)/2) / (n⁺·n⁻), with average
+    ranks for score ties. Pure DataFrame ops — deliberately NOT
+    ``BinaryClassificationEvaluator``, whose RDD-based ``evaluate``
+    closure drags the session's ObservationManager along and dies with
+    NotSerializableException on Spark 4.1 once any streaming query has
+    run in the session. The global rank window is fine on a validation
+    slice; sample first at corpus scale."""
+    from pyspark.sql.window import Window as W
+
+    ranked = scored.select(
+        F.col(label_col).alias("y"),
+        (
+            F.rank().over(W.orderBy(p_col))
+            + (F.count(F.lit(1)).over(W.partitionBy(p_col)) - 1) / 2.0
+        ).alias("r"),
+    )
+    row = ranked.agg(
+        F.sum(F.when(F.col("y") == 1.0, F.col("r"))).alias("sum_r_pos"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("y") == 1.0, 0).otherwise(1)).alias("n_neg"),
+    ).first()
+    n_pos, n_neg = row["n_pos"], row["n_neg"]
+    if not n_pos or not n_neg:
+        return float("nan")
+    return float(
+        (row["sum_r_pos"] - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    )
+
+
 def train_quality_model(doc: DataFrame, seed: int = 42):
     """Fit on a seeded 80/20 split; returns (model, held-out AUC)."""
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import vector_to_array
 
     labeled = weak_labels(doc)
     feats = _numeric_features(labeled).join(
@@ -129,11 +160,18 @@ def train_quality_model(doc: DataFrame, seed: int = 42):
     )
     train, val = feats.randomSplit([0.8, 0.2], seed=seed)
     model = build_quality_pipeline(seed).fit(train)
-    scored = model.transform(val)
-    auc = BinaryClassificationEvaluator(
-        labelCol="label", rawPredictionCol="rawPrediction"
-    ).evaluate(scored)
-    return model, auc
+    # shed the trainingSummary before ANY scoring job: the summary holds
+    # a sparkSession reference, and once df.observe has run anywhere in
+    # the process (e.g. a streaming drain) the session's non-serializable
+    # ObservationManager fails every closure that drags the summary in —
+    # the documented Spark 4.1 trap from ml/pipeline.train_model
+    from pb_etl_spark.ml.pipeline import _reload_without_summary
+
+    model = _reload_without_summary(model)
+    scored = model.transform(val).select(
+        "label", vector_to_array("probability").getItem(1).alias("p")
+    )
+    return model, auc_rank(scored)
 
 
 def score_quality(model, doc: DataFrame) -> DataFrame:

@@ -50,13 +50,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      fixed this round; must show green),
 #   2. queries whose code or oracle CHANGED this round (HUGEINT casts,
 #      timestamp stringification, the scale-safe shuffle/ntile rewrite,
-#      bounded-window rewrites, the new BPE/media oracles),
-#   3. never-checked novelties most likely to be environment- or
-#      algorithm-sensitive: Spark 4 surfaces, semantic/substring dedup,
-#      graph, fuzzy matching, temporal joins,
-#   4. the 13 never-checked TPC-H shapes.
+#      bounded-window rewrites, the new BPE/media oracles, the
+#      dsir_weights integer-grid rewrite, the histogram_quantiles
+#      crossing-bucket fix),
+#   3. the operators ADDED this round (event analytics, SCD2, interval
+#      overlap, drift/χ² monitors, CMS, histogram quantiles, streaming
+#      OHLC, sequence anomaly, lang-ID confusion, streaks) — brand-new
+#      code, never checked,
+#   4. never-checked Spark 4 surfaces (most environment-sensitive).
 # Everything after _PRIORITY follows in module order. Rotate each round;
-# with ~50/round, round 4 completes full-registry driver coverage.
+# never-checked remainder for round 4: slots ~55+ (dedup/graph/retrieval
+# novelties, temporal pit/cogroup, corpus sampling family, 11 TPC-H
+# shapes, scalar battery, vectors/layout).
 _PRIORITY = [
     # -- the r02 red row, oracle type fixed --
     "funnel_conversion",

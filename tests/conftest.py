@@ -15,7 +15,15 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     from pb_etl_spark.session import get_spark
 
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    # one JVM serves the whole ~350-test suite; the 1g driver default
+    # runs out of heap late in the run (observed: Py4JJavaError in
+    # whichever ML fit happens to train last) — size it for the suite
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     yield s
     s.stop()
 
