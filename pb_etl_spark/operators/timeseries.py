@@ -336,9 +336,144 @@ def q_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users split into
+    variants by user_id parity (the deterministic stand-in for an
+    assignment table), conversion = the user ever purchased. Reports per
+    variant (users, converters, rate) and a ('__test__', …) row with the
+    pooled-variance z-score — the decision statistic of every
+    experimentation platform.
+
+    Exactness: per-variant rows derive from four integers; the z-score
+    is one deterministic chain of double ops on those integers (no
+    cross-engine sums), rounded at 6 dp off-grid. Scale shape: one
+    per-user aggregate, one |variants|-row aggregate, a bounded pivot —
+    nothing fact-sized past the first groupBy."""
+    ev = read_table(spark, sf_dir, "events")
+    # conversion = a HIGH-VALUE purchase (>= 480): every fixture user
+    # purchases eventually, so plain "ever purchased" is degenerate
+    # (pool = 1, no variance); the premium event converts ~45%
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    per_variant = (
+        per_user.withColumn(
+            "variant",
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B"),
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+    )
+    wide = per_variant.groupBy().pivot("variant", ["A", "B"]).agg(
+        F.first("n_users").alias("n"), F.first("n_converted").alias("c")
+    )
+    # pooled two-proportion z: (pA - pB) / sqrt(p(1-p)(1/nA + 1/nB)).
+    # Explicit double casts: long/long is INTEGER division under ANSI
+    p_a = F.col("A_c").cast("double") / F.col("A_n")
+    p_b = F.col("B_c").cast("double") / F.col("B_n")
+    pool = (F.col("A_c") + F.col("B_c")).cast("double") / (
+        F.col("A_n") + F.col("B_n")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool
+        * (1 - pool)
+        * (F.lit(1.0) / F.col("A_n") + F.lit(1.0) / F.col("B_n"))
+    )
+    test_row = wide.select(
+        F.lit("__test__").alias("variant"),
+        (F.col("A_n") + F.col("B_n")).cast("long").alias("n_users"),
+        (F.col("A_c") + F.col("B_c")).cast("long").alias("n_converted"),
+        # degenerate pools (all or none converted — tiny fixtures) have
+        # zero pooled variance: no test statistic, NULL on both engines
+        F.when((pool > 0) & (pool < 1), F.round(z, 6)).alias("metric"),
+    )
+    rates = per_variant.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double") / F.col("n_users"), 6
+        ).alias("metric"),
+    )
+    return rates.unionByName(test_row)
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per acquisition channel: for users
+    whose first-ever event (first touch) precedes a later purchase, the
+    mean and median seconds from first touch to FIRST purchase, grouped
+    by the first-touch event type. The latency readout every funnel
+    dashboard pairs with conversion rates.
+
+    Exactness: latencies are exact integer seconds (micros div 1e6 —
+    integer division, not float), means are integer-sum ratios, and the
+    median is Spark percentile ≡ DuckDB quantile_cont over identical
+    integer inputs. One window cascade per user (single shuffle), then a
+    bounded per-channel aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    w_u = W.partitionBy("user_id")
+    per_event = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id"),
+    ).withColumn(
+        "first_us",
+        F.min(F.struct("us", "event_id")).over(w_u)["us"],
+    )
+    firsts = (
+        per_event.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("us", "event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("channel"))
+    )
+    first_purch = (
+        per_event.filter(
+            (F.col("event_type") == "purchase") & (F.col("us") > F.col("first_us"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("p_us"),
+            F.min("first_us").alias("f_us"),
+        )
+        .select(
+            "user_id",
+            F.expr("(p_us - f_us) div 1000000").alias("latency_secs"),
+        )
+    )
+    return (
+        firsts.join(first_purch, "user_id")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_converters"),
+            (
+                F.sum("latency_secs").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_latency_secs"),
+            F.percentile("latency_secs", F.lit(0.5)).alias(
+                "median_latency_secs"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "sequence_anomaly": q_sequence_anomaly,
+    "ab_test_zscore": q_ab_test_zscore,
+    "conversion_latency": q_conversion_latency,
     "event_transition_matrix": q_event_transition_matrix,
     "ohlc_hourly": q_ohlc_hourly,
     "attribution_first_touch": q_attribution_first_touch,
@@ -347,6 +482,72 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "ab_test_zscore": """
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ), pv AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+                   COUNT(*) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM per_user GROUP BY 1
+        ), wide AS (
+            SELECT
+                MAX(CASE WHEN variant = 'A' THEN n_users END) AS a_n,
+                MAX(CASE WHEN variant = 'A' THEN n_converted END) AS a_c,
+                MAX(CASE WHEN variant = 'B' THEN n_users END) AS b_n,
+                MAX(CASE WHEN variant = 'B' THEN n_converted END) AS b_c
+            FROM pv
+        )
+        SELECT variant, n_users, n_converted,
+               ROUND(CAST(n_converted AS DOUBLE) / n_users, 6) AS metric
+        FROM pv
+        UNION ALL
+        SELECT '__test__',
+               CAST(a_n + b_n AS BIGINT),
+               CAST(a_c + b_c AS BIGINT),
+               CASE WHEN a_c + b_c > 0 AND a_c + b_c < a_n + b_n THEN
+                   ROUND((CAST(a_c AS DOUBLE) / a_n - CAST(b_c AS DOUBLE) / b_n)
+                         / SQRT((CAST(a_c + b_c AS DOUBLE) / (a_n + b_n))
+                                * (1 - CAST(a_c + b_c AS DOUBLE) / (a_n + b_n))
+                                * (1.0 / a_n + 1.0 / b_n)), 6)
+               END
+        FROM wide
+    """,
+    "conversion_latency": """
+        WITH pe AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                   MIN(ROW(epoch_us(ts), event_id)) OVER (
+                       PARTITION BY user_id) AS first_pair
+            FROM events
+        ), pe2 AS (
+            SELECT user_id, event_type, us, event_id,
+                   first_pair[1] AS first_us
+            FROM pe
+        ), firsts AS (
+            SELECT user_id, event_type AS channel FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id) AS rn
+                FROM pe2
+            ) WHERE rn = 1
+        ), fp AS (
+            SELECT user_id,
+                   (MIN(us) - MIN(first_us)) // 1000000 AS latency_secs
+            FROM pe2
+            WHERE event_type = 'purchase' AND us > first_us
+            GROUP BY user_id
+        )
+        SELECT f.channel,
+               COUNT(*) AS n_converters,
+               CAST(CAST(SUM(fp.latency_secs) AS BIGINT) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean_latency_secs,
+               quantile_cont(fp.latency_secs, 0.5) AS median_latency_secs
+        FROM firsts f JOIN fp ON f.user_id = fp.user_id
+        GROUP BY f.channel
+    """,
     "sequence_anomaly": """
         WITH trans AS (
             SELECT user_id, event_type AS src,

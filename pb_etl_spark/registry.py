@@ -94,6 +94,8 @@ _PRIORITY = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    # -- changed this round: dsir integer-grid rewrite --
+    "dsir_weights",
     # -- new operators this round: event analytics + SCD2 (timeseries.py,
     #    cdc.py) — brand-new code, highest verification value --
     "rolling_active_users",
@@ -114,6 +116,8 @@ _PRIORITY = [
     "sequence_anomaly",
     "lang_id_confusion",
     "event_streaks",
+    "ab_test_zscore",
+    "conversion_latency",
     # -- never-checked Spark 4 surfaces (most environment-sensitive:
     #    vanilla-session/version quirks — keep inside the ~50 window) --
     "recursive_hierarchy",
@@ -122,8 +126,6 @@ _PRIORITY = [
     "sql_udf_pricing",
     "udtf_chunking",
     "session_variable_agg",
-    # -- changed this round: dsir integer-grid rewrite --
-    "dsir_weights",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "vocab_drift",
