@@ -159,25 +159,10 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops keys ≡0 (mod 11) (→ inserts in B), snapshot B drops keys ≡0
     (mod 13) (→ deletes), and B bumps o_totalprice 10% for keys ≡0
     (mod 5) (→ updates). One full-outer join, delta-sized output."""
-    from pb_etl_spark.catalog import read_table
-
-    orders = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    )
-    snap_a = orders.filter(F.col("o_orderkey") % 11 != 0)
     # 10% bump in integer cents ((cents*110) div 100 — exact in any
     # engine; ROUND(x*1.1, 2) diverges between engines at double
     # half-boundaries, the money-arithmetic rule from trailing_rows_avg)
-    bumped = (
-        F.expr("(cast(round(o_totalprice * 100) as bigint) * 110) div 100")
-        / F.lit(100.0)
-    )
-    snap_b = orders.filter(F.col("o_orderkey") % 13 != 0).withColumn(
-        "o_totalprice",
-        F.when(F.col("o_orderkey") % 5 == 0, bumped).otherwise(
-            F.col("o_totalprice")
-        ),
-    )
+    snap_a, snap_b = _snapshots(spark, sf_dir)
     return snapshot_diff(
         snap_a, snap_b, "o_orderkey", ["o_totalprice", "o_orderstatus"]
     )
@@ -238,12 +223,104 @@ def q_scd2_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The simulated A/B order snapshots shared by snapshot_diff and the
+    incremental-maintenance query (same mod-11/13/5 partition)."""
+    from pb_etl_spark.catalog import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snap_a = orders.filter(F.col("o_orderkey") % 11 != 0)
+    bumped = (
+        F.expr("(cast(round(o_totalprice * 100) as bigint) * 110) div 100")
+        / F.lit(100.0)
+    )
+    snap_b = orders.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, bumped).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snap_a, snap_b
+
+
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-status
+    (count, revenue) aggregate over snapshot B is produced WITHOUT
+    scanning B — old aggregate ⊎ signed delta contributions from the
+    change feed (delete → −old, insert → +new, update → −old +new,
+    handling status changes by crediting each side to its own group).
+    The oracle recomputes the aggregate DIRECTLY from B, so a
+    hash-match proves the delta algebra, not just the arithmetic.
+
+    This is the core of incremental pipelines at 100 TB: the nightly
+    update touches |Δ| rows instead of re-aggregating the fact table;
+    any algebraic aggregate (SUM/COUNT/avg-as-sum/count, sketch unions)
+    maintains the same way. Revenue stays on the integer-cents grid
+    end-to-end, so the maintained and recomputed sums are bit-identical.
+    Plan shape: one aggregate over A, one delta-sized diff join, a
+    bounded union — B itself is never scanned."""
+    snap_a, snap_b = _snapshots(spark, sf_dir)
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    agg_a = snap_a.groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice")).alias("cents"),
+    )
+    diff = snapshot_diff(
+        snap_a, snap_b, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )
+    minus_old = diff.filter(
+        F.col("change_type").isin("delete", "update")
+    ).select(
+        F.col("old_o_orderstatus").alias("status"),
+        F.lit(-1).cast("long").alias("n"),
+        (-cents("old_o_totalprice")).alias("cents"),
+    )
+    plus_new = diff.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select(
+        F.col("new_o_orderstatus").alias("status"),
+        F.lit(1).cast("long").alias("n"),
+        cents("new_o_totalprice").alias("cents"),
+    )
+    return (
+        agg_a.unionByName(minus_old)
+        .unionByName(plus_new)
+        .groupBy("status")
+        .agg(F.sum("n").cast("long").alias("n_orders"),
+             (F.sum("cents").cast("double") / F.lit(100.0)).alias("revenue"))
+        .filter(F.col("n_orders") > 0)
+    )
+
+
 QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "scd2_merge_orders": q_scd2_merge_orders,
+    "incremental_agg_maintenance": q_incremental_agg_maintenance,
 }
 
 ORACLES: dict[str, str] = {
+    # the oracle recomputes DIRECTLY from snapshot B — matching it
+    # proves the Spark side's incremental delta algebra
+    "incremental_agg_maintenance": """
+        WITH b AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0
+                        THEN ((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 110)
+                              // 100) / 100.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 13 <> 0
+        )
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+        FROM b GROUP BY o_orderstatus
+    """,
     "scd2_merge_orders": """
         WITH base AS (
             SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders

@@ -118,6 +118,7 @@ _PRIORITY = [
     "event_streaks",
     "ab_test_zscore",
     "conversion_latency",
+    "incremental_agg_maintenance",
     # -- never-checked Spark 4 surfaces (most environment-sensitive:
     #    vanilla-session/version quirks — keep inside the ~50 window) --
     "recursive_hierarchy",
