@@ -107,6 +107,30 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: fuzzy name matching (deletion-
+    neighborhood blocked edit-distance-1 pairs, dedup.py) feeds
+    connected components, producing one canonical entity id (the
+    component-minimum custkey) per customer — the full
+    block → match → cluster pipeline of a record-linkage system in two
+    existing operators. Singletons resolve to themselves.
+
+    Oracle: the quadratic levenshtein pair join + a recursive CTE — the
+    Spark side's blocking AND its iterative clustering are both proven
+    against brute force."""
+    from pb_etl_spark.operators.dedup import q_fuzzy_match_pairs
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    pairs = q_fuzzy_match_pairs(spark, sf_dir).select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    )
+    return connected_components(cust, pairs).select(
+        F.col("id").alias("c_custkey"), F.col("cluster_id").alias("entity_id")
+    )
+
+
 PR_NODES = 200  # vec_id bound for the checkable PageRank slice
 PR_K = 5  # out-degree (kNN edges per node)
 PR_D = 0.85  # damping
@@ -174,6 +198,27 @@ def _pairs_cte() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "entity_resolution": """
+        WITH RECURSIVE fuzzy AS (
+            SELECT a.c_custkey AS ia, b.c_custkey AS ib
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND levenshtein(a.c_name, b.c_name) <= 1
+        ),
+        edges AS (
+            SELECT ia AS src, ib AS dst FROM fuzzy
+            UNION
+            SELECT ib, ia FROM fuzzy
+        ),
+        reach(id, r) AS (
+            SELECT c_custkey, c_custkey FROM customer
+            UNION
+            SELECT e.src, reach.r
+            FROM edges e JOIN reach ON reach.id = e.dst
+        )
+        SELECT id AS c_custkey, MIN(r) AS entity_id
+        FROM reach GROUP BY id
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE {_pairs_cte()},
         edges AS (
@@ -338,6 +383,7 @@ ORACLES_TRIANGLES = (
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_representatives": q_dedup_representatives,
+    "entity_resolution": q_entity_resolution,
     "pagerank_knn": q_pagerank_knn,
     "triangle_count_knn": q_triangle_count_knn,
 }

@@ -119,6 +119,7 @@ _PRIORITY = [
     "ab_test_zscore",
     "conversion_latency",
     "incremental_agg_maintenance",
+    "entity_resolution",
     # -- never-checked Spark 4 surfaces (most environment-sensitive:
     #    vanilla-session/version quirks — keep inside the ~50 window) --
     "recursive_hierarchy",
