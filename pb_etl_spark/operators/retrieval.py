@@ -545,6 +545,139 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_K = 4  # hash functions
+BLOOM_M = 4096  # bits
+
+
+def q_bloom_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom filter, end to end: the EVEN-doc_id half of
+    the corpus builds an m=4096/k=4 filter over content fingerprints;
+    every document then probes it. One summary row reports probes,
+    Bloom positives, true members (exact), false positives, and the
+    realized false-positive rate — membership completes the sketch
+    trio (KMV/HLL: distinct, CMS: frequency, Bloom: membership).
+
+    The filter is materialized as the DISTINCT set of set bit positions
+    (≤ m rows) — cell-wise OR-mergeable across partitions/days exactly
+    like the CMS counter table, and engine-portable because positions
+    come from the md5-prefix hash family. A probe is positive iff all k
+    of its positions are set: the probe join is positions ⋈ bitmap
+    (broadcast, ≤ m rows) with a count-k check — no per-row Python, no
+    library bitset. Scale shape: one grouped distinct to build, one
+    broadcast join to probe."""
+    doc = read_table(spark, sf_dir, "documents")
+    fp = doc.select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+    js = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit("#"), F.col("fp"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+    bits = (
+        fp.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(js).alias("j"), "fp")
+        .select(pos.alias("bit"))
+        .distinct()
+    )
+    probes = fp.select("doc_id", "fp", F.explode(js).alias("j")).select(
+        "doc_id", "fp", pos.alias("bit")
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k_set"))
+        .filter(F.col("k_set") == BLOOM_K)
+        .select("doc_id")
+    )
+    # exact membership: same fingerprint AND even id (duplicate texts
+    # make fingerprint membership broader than id parity)
+    member_fps = fp.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    truth = fp.join(member_fps, "fp").select("doc_id")
+    flagged = hits.withColumn("flagged", F.lit(1))
+    actual = truth.withColumn("actual", F.lit(1))
+    joined = (
+        fp.select("doc_id")
+        .join(flagged, "doc_id", "left")
+        .join(actual, "doc_id", "left")
+    )
+    fp_count = F.sum(
+        F.when(
+            F.col("flagged").isNotNull() & F.col("actual").isNull(), 1
+        ).otherwise(0)
+    )
+    neg = F.sum(F.when(F.col("actual").isNull(), 1).otherwise(0))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("flagged").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("actual").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        fp_count.cast("long").alias("n_false_positives"),
+        F.round(
+            fp_count.cast("double") / F.greatest(neg, F.lit(1)), 6
+        ).alias("false_positive_rate"),
+    )
+
+
+_BLOOM_ORACLE = f"""
+    WITH fp AS (
+        SELECT doc_id, md5(text) AS fp FROM documents
+    ),
+    js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS j(j)),
+    bits AS (
+        SELECT DISTINCT
+               CAST('0x' || substring(md5(CAST(j AS VARCHAR) || '#' || fp),
+                                      1, 8) AS BIGINT) % {BLOOM_M} AS bit
+        FROM fp CROSS JOIN js WHERE doc_id % 2 = 0
+    ),
+    probes AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(CAST(j AS VARCHAR) || '#' || fp),
+                                      1, 8) AS BIGINT) % {BLOOM_M} AS bit
+        FROM fp CROSS JOIN js
+    ),
+    hits AS (
+        SELECT doc_id FROM probes JOIN bits USING (bit)
+        GROUP BY doc_id HAVING COUNT(*) = {BLOOM_K}
+    ),
+    member_fps AS (
+        SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0
+    ),
+    truth AS (
+        SELECT f.doc_id FROM fp f JOIN member_fps m ON f.fp = m.fp
+    ),
+    j AS (
+        SELECT f.doc_id,
+               CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS flagged,
+               CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS actual
+        FROM fp f
+        LEFT JOIN hits h ON f.doc_id = h.doc_id
+        LEFT JOIN truth t ON f.doc_id = t.doc_id
+    )
+    SELECT COUNT(*) AS n_probes,
+           CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+           CAST(SUM(actual) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN flagged = 1 AND actual = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           ROUND(CAST(SUM(CASE WHEN flagged = 1 AND actual = 0
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / GREATEST(SUM(CASE WHEN actual = 0 THEN 1 ELSE 0 END), 1),
+                 6) AS false_positive_rate
+    FROM j
+"""
+
+
 _CMS_PROBE_SQL = ", ".join(f"('{t}')" for t in CMS_PROBES)
 
 _CMS_ORACLE = f"""
@@ -585,6 +718,7 @@ _CMS_ORACLE = f"""
 
 QUERIES = {
     "cms_token_counts": q_cms_token_counts,
+    "bloom_doc_filter": q_bloom_doc_filter,
     "bm25_topk": q_bm25_topk,
     "dup_span_ratio": q_dup_span_ratio,
     "partial_agg_merge": q_partial_agg_merge,
@@ -594,6 +728,7 @@ QUERIES = {
 
 ORACLES: dict[str, str] = {
     "cms_token_counts": _CMS_ORACLE,
+    "bloom_doc_filter": _BLOOM_ORACLE,
     "bm25_topk": _BM25_ORACLE,
     "dup_span_ratio": _DUP_SPAN_ORACLE,
     "partial_agg_merge": _PARTIAL_MERGE_ORACLE,

@@ -120,6 +120,7 @@ _PRIORITY = [
     "conversion_latency",
     "incremental_agg_maintenance",
     "entity_resolution",
+    "bloom_doc_filter",
     # -- never-checked Spark 4 surfaces (most environment-sensitive:
     #    vanilla-session/version quirks — keep inside the ~50 window) --
     "recursive_hierarchy",
