@@ -98,6 +98,52 @@ def test_lang_id_confusion_recall_normalizes(spark):
     assert ((sums - 1.0).abs() < 1e-5).all()
 
 
+def test_bloom_filter_has_no_false_negatives(spark):
+    from pb_etl_spark.operators.retrieval import q_bloom_doc_filter
+
+    row = q_bloom_doc_filter(spark, SF_DIR).first()
+    # THE Bloom guarantee: every true member is flagged
+    assert row["n_flagged"] >= row["n_members"]
+    assert row["n_flagged"] - row["n_members"] == row["n_false_positives"]
+    assert 0 <= row["false_positive_rate"] < 0.05  # m=4096,k=4,n≈250
+
+
+def test_entity_resolution_clusters_are_consistent(spark):
+    from pb_etl_spark.operators.clustering import q_entity_resolution
+    from pb_etl_spark.operators.dedup import q_fuzzy_match_pairs
+
+    ents = q_entity_resolution(spark, SF_DIR).toPandas().set_index("c_custkey")
+    # cluster id is the component minimum — never above the member id
+    assert (ents["entity_id"] <= ents.index).all()
+    # every matched pair landed in the same entity
+    pairs = q_fuzzy_match_pairs(spark, SF_DIR).toPandas()
+    for _, p in pairs.iterrows():
+        assert ents.loc[p["ia"], "entity_id"] == ents.loc[p["ib"], "entity_id"]
+
+
+def test_ab_test_accounting(spark, events):
+    from pb_etl_spark.operators.timeseries import q_ab_test_zscore
+
+    out = q_ab_test_zscore(spark, SF_DIR).toPandas().set_index("variant")
+    n_users = events.select("user_id").distinct().count()
+    assert out.loc["A", "n_users"] + out.loc["B", "n_users"] == n_users
+    assert out.loc["__test__", "n_users"] == n_users
+    assert (
+        out.loc["__test__", "n_converted"]
+        == out.loc["A", "n_converted"] + out.loc["B", "n_converted"]
+    )
+
+
+def test_conversion_latency_nonnegative_and_bounded(spark, events):
+    from pb_etl_spark.operators.timeseries import q_conversion_latency
+
+    out = q_conversion_latency(spark, SF_DIR).toPandas()
+    assert (out["mean_latency_secs"] >= 0).all()
+    assert (out["median_latency_secs"] >= 0).all()
+    n_users = events.select("user_id").distinct().count()
+    assert out["n_converters"].sum() <= n_users
+
+
 def test_time_interpolate_matches_events_at_exact_hours(spark, events):
     from pb_etl_spark.operators.temporal import GAP_FILL_USERS, q_time_interpolate
 
