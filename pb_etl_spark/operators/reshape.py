@@ -204,7 +204,134 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPK_OTHERS_K = 3
+
+
+def q_topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reporting rollup every dashboard needs: top-K groups by
+    revenue kept by name, the long tail collapsed into one 'OTHER' row
+    (whose n_groups records how many it absorbed). Revenue on the
+    integer-cents grid; ranking over the BOUNDED aggregated frame
+    (|priorities| rows), never the facts."""
+    o = read_table(spark, sf_dir, "orders")
+    per_group = o.groupBy(
+        F.col("o_orderpriority").alias("grp")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = W.orderBy(F.col("cents").desc(), F.col("grp"))  # bounded frame
+    ranked = per_group.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.withColumn(
+            "grp",
+            F.when(F.col("rk") <= TOPK_OTHERS_K, F.col("grp")).otherwise(
+                F.lit("OTHER")
+            ),
+        )
+        .groupBy("grp")
+        .agg(
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+    )
+
+
+ROLLCORR_HOURS = 24
+
+
+def q_rolling_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour Pearson correlation between hourly purchase and
+    click volumes — the co-movement monitor of a metrics platform.
+
+    Exactness: the windowed sums feeding the correlation (Σx, Σy, Σxy,
+    Σx², Σy², n) are sums of INTEGERS over the bounded hourly frame, so
+    they are exact in any association order — the one case where a
+    bounded-frame windowed SUM is cross-engine-safe (cf. the
+    trailing_rows_avg rule for doubles). The final formula is one
+    deterministic double chain per row; zero-variance windows yield
+    NULL. Scale shape: facts shrink to ≤ |hours| rows first; the global
+    hour-ordered window runs on that bounded frame."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    w = W.orderBy("h").rowsBetween(-(ROLLCORR_HOURS - 1), W.currentRow)
+    s = hourly.select(
+        "h",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    varx = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+    vary = s["n"] * s["syy"] - s["sy"] * s["sy"]
+    corr = (s["n"] * s["sxy"] - s["sx"] * s["sy"]).cast("double") / (
+        F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+    )
+    return s.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("h"),
+        F.col("n").cast("long").alias("n_hours"),
+        F.when((varx > 0) & (vary > 0), F.round(corr, 6)).alias("corr_24h"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "topk_with_others": f"""
+        WITH per_group AS (
+            SELECT o_orderpriority AS grp,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY cents DESC, grp) AS rk
+            FROM per_group
+        )
+        SELECT CASE WHEN rk <= {TOPK_OTHERS_K} THEN grp ELSE 'OTHER' END AS grp,
+               CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+               COUNT(*) AS n_groups
+        FROM ranked GROUP BY 1
+    """,
+    "rolling_corr_events": f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y
+            FROM events GROUP BY 1
+        ), s AS (
+            SELECT h,
+                   COUNT(*) OVER w AS n,
+                   SUM(x) OVER w AS sx,
+                   SUM(y) OVER w AS sy,
+                   SUM(x * y) OVER w AS sxy,
+                   SUM(x * x) OVER w AS sxx,
+                   SUM(y * y) OVER w AS syy
+            FROM hourly
+            WINDOW w AS (ORDER BY h
+                         ROWS BETWEEN {ROLLCORR_HOURS - 1} PRECEDING
+                              AND CURRENT ROW)
+        )
+        SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h,
+               CAST(n AS BIGINT) AS n_hours,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               END AS corr_24h
+        FROM s
+    """,
     "window_distribution": """
         SELECT o_custkey, o_orderkey,
                CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
@@ -297,6 +424,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "topk_with_others": q_topk_with_others,
+    "rolling_corr_events": q_rolling_corr_events,
     "trailing_rows_avg": q_trailing_rows_avg,
     "window_distribution": q_window_distribution,
     "higher_order_funcs": q_higher_order_funcs,

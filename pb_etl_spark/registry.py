@@ -129,6 +129,10 @@ _PRIORITY = [
     "sql_udf_pricing",
     "udtf_chunking",
     "session_variable_agg",
+    # -- late round-3 additions (after the Spark-4 block: compositions of
+    #    already-verified primitives / bounded reporting rollups) --
+    "topk_with_others",
+    "rolling_corr_events",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "vocab_drift",

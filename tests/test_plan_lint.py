@@ -76,6 +76,8 @@ GLOBAL_WINDOW_WHITELIST = {
     #   1-row total union leg
     "histogram_quantiles",  # cumulative window over the ≤100-bucket
     #   histogram — bounded by construction
+    "topk_with_others",  # rank over the |priorities|-row aggregate
+    "rolling_corr_events",  # 24h frame over the ≤|hours| hourly rollup
 }
 
 
