@@ -115,19 +115,68 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     block → match → cluster pipeline of a record-linkage system in two
     existing operators. Singletons resolve to themselves.
 
+    Matching is ATTRIBUTE-CONSTRAINED (same nation) on top of the name
+    similarity: pure edit-distance-1 transitive closure collapses the
+    sequentially-numbered fixture names into ONE giant component (the
+    classic chain-collapse failure of unconstrained closure ER); the
+    blocking attribute is what production matchers use to break those
+    chains.
+
     Oracle: the quadratic levenshtein pair join + a recursive CTE — the
     Spark side's blocking AND its iterative clustering are both proven
     against brute force."""
     from pb_etl_spark.operators.dedup import q_fuzzy_match_pairs
 
-    cust = read_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id")
+    cust = read_table(spark, sf_dir, "customer")
+    nations = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nat")
     )
-    pairs = q_fuzzy_match_pairs(spark, sf_dir).select(
-        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    pairs = (
+        q_fuzzy_match_pairs(spark, sf_dir)
+        .join(
+            F.broadcast(nations.select(F.col("id").alias("ia"), F.col("nat").alias("nat_a"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(nations.select(F.col("id").alias("ib"), F.col("nat").alias("nat_b"))),
+            "ib",
+        )
+        .filter(F.col("nat_a") == F.col("nat_b"))
+        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
     )
-    return connected_components(cust, pairs).select(
+    return connected_components(nations.select("id"), pairs).select(
         F.col("id").alias("c_custkey"), F.col("cluster_id").alias("entity_id")
+    )
+
+
+def q_entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: one golden record per resolved entity — the merge
+    step that follows entity_resolution in every MDM pipeline. Rules
+    here: canonical name from the minimum-key member (first-registered
+    wins), balance summed on the exact cents grid, nation from the
+    minimum-key member, member count kept for audit.
+
+    One join of the member map onto the dimension + one grouped pass
+    with min_by pickers — no windows, no per-entity loops. Oracle
+    replays the same rules over the recursive-CTE clusters."""
+    cust = read_table(spark, sf_dir, "customer")
+    ents = q_entity_resolution(spark, sf_dir)
+    return (
+        cust.join(ents, "c_custkey")
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min_by("c_name", "c_custkey").alias("canonical_name"),
+            F.min_by("c_nationkey", "c_custkey")
+            .cast("long")
+            .alias("nationkey"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("total_acctbal"),
+        )
     )
 
 
@@ -203,6 +252,7 @@ ORACLES: dict[str, str] = {
             SELECT a.c_custkey AS ia, b.c_custkey AS ib
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
+             AND a.c_nationkey = b.c_nationkey
              AND levenshtein(a.c_name, b.c_name) <= 1
         ),
         edges AS (
@@ -218,6 +268,39 @@ ORACLES: dict[str, str] = {
         )
         SELECT id AS c_custkey, MIN(r) AS entity_id
         FROM reach GROUP BY id
+    """,
+    "entity_golden_record": """
+        WITH RECURSIVE fuzzy AS (
+            SELECT a.c_custkey AS ia, b.c_custkey AS ib
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND a.c_nationkey = b.c_nationkey
+             AND levenshtein(a.c_name, b.c_name) <= 1
+        ),
+        edges AS (
+            SELECT ia AS src, ib AS dst FROM fuzzy
+            UNION
+            SELECT ib, ia FROM fuzzy
+        ),
+        reach(id, r) AS (
+            SELECT c_custkey, c_custkey FROM customer
+            UNION
+            SELECT e.src, reach.r
+            FROM edges e JOIN reach ON reach.id = e.dst
+        ),
+        ents AS (
+            SELECT id AS c_custkey, MIN(r) AS entity_id
+            FROM reach GROUP BY id
+        )
+        SELECT e.entity_id,
+               COUNT(*) AS n_members,
+               arg_min(c.c_name, c.c_custkey) AS canonical_name,
+               CAST(arg_min(c.c_nationkey, c.c_custkey) AS BIGINT)
+                   AS nationkey,
+               CAST(CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                         AS BIGINT) AS DOUBLE) / 100.0 AS total_acctbal
+        FROM customer c JOIN ents e ON c.c_custkey = e.c_custkey
+        GROUP BY e.entity_id
     """,
     "dedup_clusters": f"""
         WITH RECURSIVE {_pairs_cte()},
@@ -384,6 +467,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_representatives": q_dedup_representatives,
     "entity_resolution": q_entity_resolution,
+    "entity_golden_record": q_entity_golden_record,
     "pagerank_knn": q_pagerank_knn,
     "triangle_count_knn": q_triangle_count_knn,
 }

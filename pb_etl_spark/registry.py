@@ -133,6 +133,7 @@ _PRIORITY = [
     #    already-verified primitives / bounded reporting rollups) --
     "topk_with_others",
     "rolling_corr_events",
+    "entity_golden_record",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "vocab_drift",

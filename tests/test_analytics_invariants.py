@@ -109,16 +109,30 @@ def test_bloom_filter_has_no_false_negatives(spark):
 
 
 def test_entity_resolution_clusters_are_consistent(spark):
+    from pb_etl_spark.catalog import read_table
     from pb_etl_spark.operators.clustering import q_entity_resolution
     from pb_etl_spark.operators.dedup import q_fuzzy_match_pairs
 
     ents = q_entity_resolution(spark, SF_DIR).toPandas().set_index("c_custkey")
     # cluster id is the component minimum — never above the member id
     assert (ents["entity_id"] <= ents.index).all()
-    # every matched pair landed in the same entity
+    # every SAME-NATION matched pair landed in the same entity (matching
+    # is attribute-constrained; cross-nation name collisions must NOT merge)
+    nat = (
+        read_table(spark, SF_DIR, "customer")
+        .select("c_custkey", "c_nationkey")
+        .toPandas()
+        .set_index("c_custkey")["c_nationkey"]
+    )
     pairs = q_fuzzy_match_pairs(spark, SF_DIR).toPandas()
+    merged = same = 0
     for _, p in pairs.iterrows():
-        assert ents.loc[p["ia"], "entity_id"] == ents.loc[p["ib"], "entity_id"]
+        if nat.loc[p["ia"]] == nat.loc[p["ib"]]:
+            same += 1
+            assert ents.loc[p["ia"], "entity_id"] == ents.loc[p["ib"], "entity_id"]
+        elif ents.loc[p["ia"], "entity_id"] == ents.loc[p["ib"], "entity_id"]:
+            merged += 1  # only via a legitimate same-nation path
+    assert same > 0  # the constraint didn't silence the matcher entirely
 
 
 def test_ab_test_accounting(spark, events):
