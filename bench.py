@@ -86,6 +86,11 @@ HEADLINE = [
     "rolling_active_users",
     "scd2_merge_orders",
     "interval_overlap_join",
+    # late round-3: the iterative record-linkage pipeline (heaviest new
+    # entry — tracked before the driver ever times it) and the
+    # delta-maintenance path
+    "entity_resolution",
+    "incremental_agg_maintenance",
 ]
 
 
