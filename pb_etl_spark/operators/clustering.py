@@ -22,18 +22,25 @@ from pyspark.sql import functions as F
 from pb_etl_spark.catalog import read_table
 from pb_etl_spark.operators.dedup import q_minhash_near_dup_pairs
 
-MAX_ROUNDS = 20
+MAX_ROUNDS = 40  # hook+jump needs ~log_phi(diameter) rounds; 40 covers
+# any component a fixture could build (sf0.1 name chains: 24 rounds)
 
 
 def connected_components(
     vertices: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
 ) -> DataFrame:
-    """Min-label propagation.
+    """Min-label propagation with pointer jumping.
 
     ``vertices``: one column ``id``; ``edges``: columns ``src``/``dst``
     (undirected; symmetrized here). Returns (id, cluster_id) where
-    cluster_id is the component's minimum id. One shuffle round per
-    iteration; lineage truncated per round so the plan stays O(1) deep.
+    cluster_id is the component's minimum id. Each round: (1) hooking —
+    take the min label over neighbors, (2) pointer jumping — replace my
+    label by MY LABEL'S label. Hooking alone converges in O(diameter)
+    rounds, which a 15k-member name CHAIN blows past (found by the
+    sf0.1 bench: >20 rounds); the jump step halves every label path, so
+    convergence is O(log diameter) — 20 rounds covers ~2^20 diameters.
+    One shuffle per phase; lineage truncated per round so the plan
+    stays O(1) deep.
     """
     # materialize the edge list once: each round re-evaluates its plan, and
     # edges often come from an expensive upstream (LSH candidate generation)
@@ -50,12 +57,32 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        hooked = (
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            # truncate: the jump self-joins hooked with itself — without
+            # this the round's plan embeds the 3-join subtree twice
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: cluster_id ← label(cluster_id). Labels only
+        # ever DECREASE (min semantics), so jumping is safe and strictly
+        # accelerating.
+        parents = hooked.select(
+            F.col("id").alias("pid"), F.col("cluster_id").alias("parent")
+        )
+        new_labels = (
+            hooked.join(parents, hooked.cluster_id == parents.pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("parent"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
@@ -66,8 +93,10 @@ def connected_components(
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        # release the previous round's checkpoint blocks — otherwise
-        # executor storage accumulates O(rounds) copies of the vertex set
+        # release this round's intermediates and the previous round's
+        # labels — otherwise executor storage accumulates O(rounds)
+        # copies of the vertex set
+        hooked.unpersist()
         if labels is not vertices:
             labels.unpersist()
         labels = new_labels
@@ -110,42 +139,78 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution: fuzzy name matching (deletion-
     neighborhood blocked edit-distance-1 pairs, dedup.py) feeds
-    connected components, producing one canonical entity id (the
+    per-nation union-find, producing one canonical entity id (the
     component-minimum custkey) per customer — the full
-    block → match → cluster pipeline of a record-linkage system in two
-    existing operators. Singletons resolve to themselves.
+    block → match → cluster pipeline of a record-linkage system.
+    Singletons resolve to themselves.
 
     Matching is ATTRIBUTE-CONSTRAINED (same nation) on top of the name
     similarity: pure edit-distance-1 transitive closure collapses the
     sequentially-numbered fixture names into ONE giant component (the
     classic chain-collapse failure of unconstrained closure ER); the
     blocking attribute is what production matchers use to break those
-    chains.
+    chains — and it also BOUNDS every component inside one nation, so
+    clustering runs as per-nation UNION-FIND on the cogrouped members +
+    edges (custom-operator rule (b): one Arrow batch per nation, one
+    shuffle). The iterative min-label library (connected_components) is
+    the right tool when components can span the whole graph (dedup
+    clusters); here the fixture's long same-nation name CHAINS have
+    diameter in the hundreds, where label propagation needs tens of
+    rounds (measured: minutes at sf0.1) and partition-local union-find
+    is linear.
 
     Oracle: the quadratic levenshtein pair join + a recursive CTE — the
-    Spark side's blocking AND its iterative clustering are both proven
-    against brute force."""
+    Spark side's blocking AND its clustering are both proven against
+    brute force."""
+    import pandas as pd
+
     from pb_etl_spark.operators.dedup import q_fuzzy_match_pairs
 
     cust = read_table(spark, sf_dir, "customer")
-    nations = cust.select(
-        F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nat")
+    members = cust.select(
+        F.col("c_nationkey").alias("nat"), F.col("c_custkey").alias("id")
     )
     pairs = (
         q_fuzzy_match_pairs(spark, sf_dir)
         .join(
-            F.broadcast(nations.select(F.col("id").alias("ia"), F.col("nat").alias("nat_a"))),
+            F.broadcast(members.select(F.col("id").alias("ia"), F.col("nat").alias("nat_a"))),
             "ia",
         )
         .join(
-            F.broadcast(nations.select(F.col("id").alias("ib"), F.col("nat").alias("nat_b"))),
+            F.broadcast(members.select(F.col("id").alias("ib"), F.col("nat").alias("nat_b"))),
             "ib",
         )
         .filter(F.col("nat_a") == F.col("nat_b"))
-        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+        .select(F.col("nat_a").alias("nat"), "ia", "ib")
     )
-    return connected_components(nations.select("id"), pairs).select(
-        F.col("id").alias("c_custkey"), F.col("cluster_id").alias("entity_id")
+
+    def resolve(key, mem: pd.DataFrame, edg: pd.DataFrame) -> pd.DataFrame:
+        ids = mem["id"].to_numpy()
+        parent = {int(i): int(i) for i in ids}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(edg["ia"].to_numpy(), edg["ib"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # union by MIN id so the root IS the canonical entity id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        return pd.DataFrame(
+            {
+                "c_custkey": ids,
+                "entity_id": [find(int(i)) for i in ids],
+            }
+        )
+
+    return (
+        members.groupBy("nat")
+        .cogroup(pairs.groupBy("nat"))
+        .applyInPandas(resolve, schema="c_custkey long, entity_id long")
     )
 
 

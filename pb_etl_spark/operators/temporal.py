@@ -504,18 +504,34 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(F.unix_micros("ts")) + F.lit(SESSION_GAP_US)).alias("e_us"),
         )
     )
-    exploded = sessions.withColumn(
+    pairs = interval_overlap_pairs(sessions, OVERLAP_BUCKET_US)
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        (F.sum("ov_us").cast("double") / F.lit(1e6)).alias("overlap_secs"),
+    )
+
+
+def interval_overlap_pairs(intervals: DataFrame, bucket_us: int) -> DataFrame:
+    """Cross-key overlapping interval pairs via uniform time bucketing.
+
+    ``intervals``: columns (user_id, s_us, e_us) with s_us ≤ e_us in
+    integer microseconds. Returns (user_a < user_b, ov_us) with one row
+    per overlapping interval pair — each pair emitted EXACTLY once, in
+    the bucket containing the overlap start (max of the two starts,
+    covered by both intervals by definition). Property-tested against
+    the brute-force quadratic join in tests/test_properties.py."""
+    exploded = intervals.withColumn(
         "bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col("s_us") / OVERLAP_BUCKET_US),
-                F.floor(F.col("e_us") / OVERLAP_BUCKET_US),
+                F.floor(F.col("s_us") / bucket_us),
+                F.floor(F.col("e_us") / bucket_us),
             )
         ),
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    pairs = a.join(
+    return a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.user_id") < F.col("b.user_id"))
@@ -524,8 +540,7 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # emit exactly once: only in the bucket holding the overlap start
         & (
             F.floor(
-                F.greatest(F.col("a.s_us"), F.col("b.s_us"))
-                / OVERLAP_BUCKET_US
+                F.greatest(F.col("a.s_us"), F.col("b.s_us")) / bucket_us
             )
             == F.col("a.bucket")
         ),
@@ -536,10 +551,6 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("a.e_us"), F.col("b.e_us"))
             - F.greatest(F.col("a.s_us"), F.col("b.s_us"))
         ).alias("ov_us"),
-    )
-    return pairs.groupBy("user_a", "user_b").agg(
-        F.count(F.lit(1)).alias("n_overlaps"),
-        (F.sum("ov_us").cast("double") / F.lit(1e6)).alias("overlap_secs"),
     )
 
 

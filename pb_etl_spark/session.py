@@ -37,6 +37,10 @@ def get_spark(
         builder = builder.master(master)
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     conf = {
+        # local mode = ONE JVM doing driver AND executor work: the 1g
+        # driver default OOMs on iterative workloads (checkpoint blocks +
+        # plan metadata across rounds). Applies only at JVM start.
+        "spark.driver.memory": "8g",
         "spark.sql.shuffle.partitions": str(n_shuffle),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

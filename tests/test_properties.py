@@ -152,3 +152,41 @@ def test_max_normalize_bounds_and_unit_max(spark, vals):
     got = [r["x"] for r in out.collect()]
     assert all(g <= 1.0 + 1e-12 for g in got)
     assert max(got) == pytest.approx(1.0)
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # user_id
+            st.integers(min_value=0, max_value=500),  # start
+            st.integers(min_value=0, max_value=200),  # length
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    bucket=st.sampled_from([7, 50, 128, 1000]),
+)
+@settings(**SETTINGS)
+def test_interval_overlap_bucket_join_matches_brute_force(
+    spark, intervals, bucket
+):
+    """The uniform-bucketing overlap join must emit every cross-key
+    overlapping pair EXACTLY once (the overlap-start-bucket rule),
+    whatever the bucket width — verified against the quadratic model."""
+    from pb_etl_spark.operators.temporal import interval_overlap_pairs
+
+    rows = [(u, s, s + ln) for (u, s, ln) in intervals]
+    df = spark.createDataFrame(rows, "user_id long, s_us long, e_us long")
+    got = sorted(
+        (r["user_a"], r["user_b"], r["ov_us"])
+        for r in interval_overlap_pairs(df, bucket).collect()
+    )
+    brute = []
+    for i, x in enumerate(rows):
+        for y in rows[i + 1 :]:
+            if x[0] != y[0] and x[1] <= y[2] and y[1] <= x[2]:
+                lo, hi = (x, y) if x[0] < y[0] else (y, x)
+                brute.append(
+                    (lo[0], hi[0], min(lo[2], hi[2]) - max(lo[1], hi[1]))
+                )
+    assert got == sorted(brute)
