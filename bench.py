@@ -13,6 +13,12 @@ min is the least-noise estimator of the engine's actual cost (ambient
 load on a shared host only ever adds time, never subtracts), which keeps
 round-over-round comparisons about plan changes rather than scheduler
 luck.
+
+Cross-ROUND caveat: the host reboots between rounds and its effective
+CPU budget drifts within a day (round 3: the same commit measured 0.17 s
+vs 0.35 s on filter_pushdown hours apart with zero code change). Treat
+sub-0.5 s per-query deltas across rounds as ambient unless a same-boot
+A/B (tools/bench_compare.py, min-of-3, back-to-back) reproduces them.
 """
 
 from __future__ import annotations
