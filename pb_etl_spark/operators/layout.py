@@ -162,12 +162,70 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: per-type stats over the HOT days —
+    days whose purchase count exceeds the daily average — where the hot-
+    day set is only known at RUNTIME (an aggregate subquery, not a
+    literal). Joining it (broadcast) against the date-partitioned events
+    copy lets Spark inject a DynamicPruningExpression into the fact
+    scan: only qualifying day-directories are listed and read, the
+    runtime sibling of q_partition_pruned_scan's static pruning
+    (plan-asserted in tests/test_plans.py). At 100 TB this is how a
+    dim-filtered nightly query reads 10 partitions instead of 3 650."""
+    path = partitioned_events_path(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("purchases")
+    )
+    # threshold = average daily purchase count (exact integer ratio),
+    # collected as TWO INTEGERS (a 1-row driver collect, the
+    # bounded-constant pattern): DPP's planner inserts the pruning
+    # subquery only for a dim with a plain selective Filter — a
+    # crossJoined runtime threshold defeats its benefit heuristic
+    t, d = daily.agg(
+        F.sum("purchases"), F.count(F.lit(1))
+    ).first()
+    hot = daily.filter(
+        F.col("purchases") * F.lit(int(d)) > F.lit(int(t))
+    ).select("event_date")
+    return (
+        fact.join(F.broadcast(hot), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "partition_pruned_scan": q_partition_pruned_scan,
+    "dynamic_partition_pruning": q_dynamic_partition_pruning,
     "zorder_key": q_zorder_key,
 }
 
 ORACLES: dict[str, str] = {
+    "dynamic_partition_pruning": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS purchases
+            FROM events GROUP BY 1
+        ), tot AS (
+            SELECT SUM(purchases) AS t, COUNT(*) AS nd FROM daily
+        ), hot AS (
+            SELECT d FROM daily CROSS JOIN tot WHERE purchases * nd > t
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) IN (SELECT d FROM hot)
+        GROUP BY event_type
+    """,
     "partition_pruned_scan": """
         SELECT event_type,
                COUNT(*) AS n_events,

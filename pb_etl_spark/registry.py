@@ -134,6 +134,7 @@ _PRIORITY = [
     "topk_with_others",
     "rolling_corr_events",
     "entity_golden_record",
+    "dynamic_partition_pruning",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "vocab_drift",

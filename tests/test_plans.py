@@ -204,3 +204,15 @@ def test_aqe_splits_skewed_join_partitions(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark):
+    """The hot-day dim filter must inject a DynamicPruningExpression
+    into the date-partitioned fact scan — only qualifying day
+    directories are listed and read at runtime (the runtime sibling of
+    the static partition filter asserted for partition_pruned_scan)."""
+    from pb_etl_spark.operators.layout import q_dynamic_partition_pruning
+
+    df = q_dynamic_partition_pruning(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
