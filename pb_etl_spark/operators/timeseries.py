@@ -469,11 +469,57 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEASONAL_TOPK = 10
+
+
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition lite: the hour-of-day revenue profile
+    (mean cents per hour-of-day across the month) and the TOP-K hours
+    whose actual revenue deviates most from their seasonal expectation —
+    the "unusual for 3 AM" detector that absolute thresholds can't
+    express.
+
+    Exactness: hourly actuals and the seasonal numerator/denominator are
+    integer cents/counts; the expectation and residual are one double
+    chain per row; ranking ties break on the hour string. Scale shape:
+    facts shrink to ≤ |hours| rows, the 24-row profile broadcasts back,
+    and the top-k is TakeOrderedAndProject — no global sort."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(_cents(F.col("value"))).alias("cents")
+    )
+    profile = (
+        hourly.withColumn("hod", F.hour("h").cast("long"))
+        .groupBy("hod")
+        .agg(
+            F.sum("cents").alias("tot_cents"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )
+    expected = F.col("tot_cents").cast("double") / F.col("n_hours")
+    return (
+        hourly.withColumn("hod", F.hour("h").cast("long"))
+        .join(F.broadcast(profile), "hod")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("h"),
+            "hod",
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            F.round(expected / 100.0, 6).alias("expected_revenue"),
+            F.round(
+                (F.col("cents").cast("double") - expected) / 100.0, 6
+            ).alias("residual"),
+        )
+        .orderBy(F.abs(F.col("residual")).desc(), F.col("h"))
+        .limit(SEASONAL_TOPK)
+    )
+
+
 QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "sequence_anomaly": q_sequence_anomaly,
     "ab_test_zscore": q_ab_test_zscore,
     "conversion_latency": q_conversion_latency,
+    "seasonal_anomalies": q_seasonal_anomalies,
     "event_transition_matrix": q_event_transition_matrix,
     "ohlc_hourly": q_ohlc_hourly,
     "attribution_first_touch": q_attribution_first_touch,
@@ -482,6 +528,31 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "seasonal_anomalies": f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1
+        ), profile AS (
+            SELECT CAST(hour(h) AS BIGINT) AS hod,
+                   SUM(cents) AS tot_cents,
+                   COUNT(*) AS n_hours
+            FROM hourly GROUP BY 1
+        )
+        SELECT strftime(h.h, '%Y-%m-%d %H:%M:%S') AS h,
+               p.hod,
+               CAST(CAST(h.cents AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+               ROUND(CAST(CAST(p.tot_cents AS BIGINT) AS DOUBLE)
+                     / p.n_hours / 100.0, 6) AS expected_revenue,
+               ROUND((CAST(h.cents AS BIGINT)
+                      - CAST(CAST(p.tot_cents AS BIGINT) AS DOUBLE)
+                        / p.n_hours) / 100.0, 6) AS residual
+        FROM hourly h JOIN profile p ON CAST(hour(h.h) AS BIGINT) = p.hod
+        ORDER BY ABS(CAST(h.cents AS BIGINT)
+                     - CAST(CAST(p.tot_cents AS BIGINT) AS DOUBLE)
+                       / p.n_hours) DESC, h.h
+        LIMIT {SEASONAL_TOPK}
+    """,
     "ab_test_zscore": """
         WITH per_user AS (
             SELECT user_id,

@@ -135,6 +135,7 @@ _PRIORITY = [
     "rolling_corr_events",
     "entity_golden_record",
     "dynamic_partition_pruning",
+    "seasonal_anomalies",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "vocab_drift",
