@@ -950,8 +950,78 @@ _HQ_ORACLE = f"""
 """
 
 
+def q_join_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer hygiene report: for each core equi-join of
+    the star schema, the TEXTBOOK cardinality estimate
+    |A|·|B| / max(ndv_A(k), ndv_B(k)) next to the actual join size —
+    the estimation-quality readout that tells you where a CBO's
+    containment assumption breaks (FK joins ≈ exact, skewed or filtered
+    joins drift). Every input is an exact integer (counts + exact NDVs);
+    the estimate is one division per row.
+
+    Scale shape: one aggregate pass per table side (count +
+    count_distinct on the key), one count per join — at 100 TB the NDVs
+    come from the stored KMV/HLL sketches instead, same formula."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+
+    def side_stats(df, key):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct(key).alias("ndv")
+        ).first()
+        return int(r["n"]), int(r["ndv"])
+
+    joins = [
+        ("lineitem*orders@orderkey", li, "l_orderkey", o, "o_orderkey"),
+        ("orders*customer@custkey", o, "o_custkey", c, "c_custkey"),
+    ]
+    rows = []
+    for name, a, ka, b, kb in joins:
+        na, ndva = side_stats(a, ka)
+        nb, ndvb = side_stats(b, kb)
+        actual = a.join(b, a[ka] == b[kb]).count()
+        est = na * nb / max(ndva, ndvb)
+        rows.append(
+            (name, na, nb, max(ndva, ndvb), round(est, 6), actual)
+        )
+    return spark.createDataFrame(
+        rows,
+        "join_name string, n_left long, n_right long, max_ndv long, "
+        "est_rows double, actual_rows long",
+    )
+
+
+_JOIN_CARD_ORACLE = """
+    WITH li AS (SELECT COUNT(*) n, COUNT(DISTINCT l_orderkey) ndv FROM lineitem),
+    o_ok AS (SELECT COUNT(*) n, COUNT(DISTINCT o_orderkey) ndv FROM orders),
+    o_ck AS (SELECT COUNT(*) n, COUNT(DISTINCT o_custkey) ndv FROM orders),
+    c AS (SELECT COUNT(*) n, COUNT(DISTINCT c_custkey) ndv FROM customer),
+    j1 AS (SELECT COUNT(*) a FROM lineitem JOIN orders
+           ON l_orderkey = o_orderkey),
+    j2 AS (SELECT COUNT(*) a FROM orders JOIN customer
+           ON o_custkey = c_custkey)
+    SELECT 'lineitem*orders@orderkey' AS join_name,
+           CAST(li.n AS BIGINT) AS n_left, CAST(o_ok.n AS BIGINT) AS n_right,
+           CAST(GREATEST(li.ndv, o_ok.ndv) AS BIGINT) AS max_ndv,
+           ROUND(CAST(li.n AS DOUBLE) * o_ok.n
+                 / GREATEST(li.ndv, o_ok.ndv), 6) AS est_rows,
+           CAST(j1.a AS BIGINT) AS actual_rows
+    FROM li, o_ok, j1
+    UNION ALL
+    SELECT 'orders*customer@custkey',
+           CAST(o_ck.n AS BIGINT), CAST(c.n AS BIGINT),
+           CAST(GREATEST(o_ck.ndv, c.ndv) AS BIGINT),
+           ROUND(CAST(o_ck.n AS DOUBLE) * c.n
+                 / GREATEST(o_ck.ndv, c.ndv), 6),
+           CAST(j2.a AS BIGINT)
+    FROM o_ck, c, j2
+"""
+
+
 QUERIES = {
     "histogram_quantiles": q_histogram_quantiles,
+    "join_cardinality_report": q_join_cardinality_report,
     "table_checksum": q_table_checksum,
     "constraint_check": q_constraint_check,
     "table_profile": q_table_profile,
@@ -982,3 +1052,4 @@ QUERIES = {
 
 # defined below the ORACLES literal, so registered by assignment
 ORACLES["histogram_quantiles"] = _HQ_ORACLE
+ORACLES["join_cardinality_report"] = _JOIN_CARD_ORACLE

@@ -136,6 +136,7 @@ _PRIORITY = [
     "entity_golden_record",
     "dynamic_partition_pruning",
     "seasonal_anomalies",
+    "join_cardinality_report",
     # -- new operators this round (selection/monitoring/sketch set-ops) --
     "ols2_per_group",
     "vocab_drift",
