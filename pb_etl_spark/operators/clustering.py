@@ -37,10 +37,13 @@ def connected_components(
     take the min label over neighbors, (2) pointer jumping — replace my
     label by MY LABEL'S label. Hooking alone converges in O(diameter)
     rounds, which a 15k-member name CHAIN blows past (found by the
-    sf0.1 bench: >20 rounds); the jump step halves every label path, so
-    convergence is O(log diameter) — 20 rounds covers ~2^20 diameters.
-    One shuffle per phase; lineage truncated per round so the plan
-    stays O(1) deep.
+    sf0.1 bench: >20 rounds); the jump step shortens every label path
+    each round, giving roughly logarithmic convergence in practice —
+    but min-label hooking+jumping does not halve paths as aggressively
+    as true pointer-doubling CC (measured: ~24 rounds on sf0.1 name
+    chains, hence MAX_ROUNDS=40 headroom rather than a tight log2
+    bound). One shuffle per phase; lineage truncated per round so the
+    plan stays O(1) deep.
     """
     # materialize the edge list once: each round re-evaluates its plan, and
     # edges often come from an expensive upstream (LSH candidate generation)
@@ -136,10 +139,20 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Members-per-blocking-key bound for the partition-local union-find
+# path. One Arrow batch holds a whole key's members + edges in a single
+# executor, so the bound is an executor-memory guard: 2M members ≈ tens
+# of MB per batch. Keys above it fall back to the distributed
+# pointer-jumping connected_components on just their edge subset.
+ER_UF_MAX_MEMBERS = 2_000_000
+
+
+def q_entity_resolution(
+    spark: SparkSession, sf_dir: str, uf_max_members: int = ER_UF_MAX_MEMBERS
+) -> DataFrame:
     """End-to-end entity resolution: fuzzy name matching (deletion-
     neighborhood blocked edit-distance-1 pairs, dedup.py) feeds
-    per-nation union-find, producing one canonical entity id (the
+    per-nation clustering, producing one canonical entity id (the
     component-minimum custkey) per customer — the full
     block → match → cluster pipeline of a record-linkage system.
     Singletons resolve to themselves.
@@ -149,15 +162,23 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequentially-numbered fixture names into ONE giant component (the
     classic chain-collapse failure of unconstrained closure ER); the
     blocking attribute is what production matchers use to break those
-    chains — and it also BOUNDS every component inside one nation, so
-    clustering runs as per-nation UNION-FIND on the cogrouped members +
-    edges (custom-operator rule (b): one Arrow batch per nation, one
-    shuffle). The iterative min-label library (connected_components) is
-    the right tool when components can span the whole graph (dedup
-    clusters); here the fixture's long same-nation name CHAINS have
-    diameter in the hundreds, where label propagation needs tens of
-    rounds (measured: minutes at sf0.1) and partition-local union-find
-    is linear.
+    chains — and it also BOUNDS every component inside one nation.
+
+    Clustering is a SIZE-THRESHOLDED HYBRID. Nations whose member count
+    is ≤ ``uf_max_members`` run partition-local UNION-FIND on the
+    cogrouped members + edges (custom-operator rule (b): one Arrow
+    batch per nation, one shuffle — linear, and the right call for the
+    fixture's long same-nation name chains, whose diameter in the
+    hundreds makes label propagation need tens of rounds). Nations
+    ABOVE the bound would put an entire nation's members in one
+    executor's memory and cap the stage at |big nations| tasks, so they
+    fall back to the distributed pointer-jumping
+    ``connected_components`` restricted to their edge subset (edges
+    never cross nations, so the union of the two paths is exact). The
+    split is decided from a bounded per-nation count (≤ |nations| rows
+    collected). Both paths label a component by its minimum custkey, so
+    the result is path-independent — the same rows and hashes come out
+    whatever the threshold.
 
     Oracle: the quadratic levenshtein pair join + a recursive CTE — the
     Spark side's blocking AND its clustering are both proven against
@@ -184,6 +205,11 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("nat_a").alias("nat"), "ia", "ib")
     )
 
+    # bounded driver-side split decision: one row per nation (≤ 25 here;
+    # |distinct blocking keys| in general — a dimension, not a fact)
+    counts = members.groupBy("nat").agg(F.count(F.lit(1)).alias("n")).collect()
+    big_nats = sorted(r["nat"] for r in counts if r["n"] > uf_max_members)
+
     def resolve(key, mem: pd.DataFrame, edg: pd.DataFrame) -> pd.DataFrame:
         ids = mem["id"].to_numpy()
         parent = {int(i): int(i) for i in ids}
@@ -207,11 +233,29 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
-        members.groupBy("nat")
-        .cogroup(pairs.groupBy("nat"))
+    small = members if not big_nats else members.filter(~F.col("nat").isin(big_nats))
+    small_pairs = pairs if not big_nats else pairs.filter(~F.col("nat").isin(big_nats))
+    uf_part = (
+        small.groupBy("nat")
+        .cogroup(small_pairs.groupBy("nat"))
         .applyInPandas(resolve, schema="c_custkey long, entity_id long")
     )
+    if not big_nats:
+        # default path: threshold never trips on fixture-scale data, so
+        # the plan (and its hash) is identical to the pure-UF version
+        return uf_part
+
+    # distributed fallback: pointer-jumping CC over ONLY the big
+    # nations' vertex/edge subsets. Components are nation-bounded, so
+    # running all big nations in one CC call is exact and keeps the
+    # iteration count at max over nations, not sum.
+    cc_part = connected_components(
+        members.filter(F.col("nat").isin(big_nats)).select("id"),
+        pairs.filter(F.col("nat").isin(big_nats)).select(
+            F.col("ia").alias("src"), F.col("ib").alias("dst")
+        ),
+    ).select(F.col("id").alias("c_custkey"), F.col("cluster_id").alias("entity_id"))
+    return uf_part.unionAll(cc_part)
 
 
 def q_entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:

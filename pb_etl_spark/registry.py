@@ -43,133 +43,32 @@ from pb_etl_spark.operators import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Order matters: the driver's correctness harness verifies the FIRST ~50
-# registry entries (registry insertion order) each round. Rounds 1-2
-# verified 91 unique queries (86 green latest-status). The round-3 window
-# front-loads, by name:
-#   1. funnel_conversion — the ONLY red r02 row (oracle HUGEINT cast
-#      fixed this round; must show green),
-#   2. queries whose code or oracle CHANGED this round (HUGEINT casts,
-#      timestamp stringification, the scale-safe shuffle/ntile rewrite,
-#      bounded-window rewrites, the new BPE/media oracles, the
-#      dsir_weights integer-grid rewrite, the histogram_quantiles
-#      crossing-bucket fix),
-#   3. the operators ADDED this round (event analytics, SCD2, interval
-#      overlap, drift/χ² monitors, CMS, histogram quantiles, streaming
-#      OHLC, sequence anomaly, lang-ID confusion, streaks) — brand-new
-#      code, never checked,
-#   4. never-checked Spark 4 surfaces (most environment-sensitive).
-# Everything after _PRIORITY follows in module order. Rotate each round;
-# never-checked remainder for round 4: slots ~55+ (dedup/graph/retrieval
-# novelties, temporal pit/cogroup, corpus sampling family, 11 TPC-H
-# shapes, scalar battery, vectors/layout).
+# registry entries (registry insertion order) each round. Rounds 1-3
+# verified 139 unique queries, all green latest-status. The round-4
+# window (slots 0-49) is 100% never-driver-checked names, per the r03
+# verdict directive:
+#   1. slots 0-5: the six Spark-4 surfaces (SQL UDF, UDTF+LATERAL,
+#      recursive CTE, collation, pipe syntax, session variables) — the
+#      registry's most environment-sensitive entries, twice missed,
+#   2. slots 6-16: the 11 remaining TPC-H shapes (decorrelated-subquery
+#      battery, composite_ext.py),
+#   3. dedup/graph novelties, temporal, retrieval, corpus-sampling,
+#   4. the rest of the never-checked reporting/monitoring rollups,
+#      including the two whose code changes this round
+#      (seasonal_anomalies ordering fix; entity_golden_record rides the
+#      reworked entity-resolution clustering).
+# Slot 50 is entity_resolution itself (already r03-green, but its
+# clustering gains the size-thresholded union-find/CC hybrid this round
+# — kept adjacent to the window in case the driver checks >50).
 _PRIORITY = [
-    # -- the r02 red row, oracle type fixed --
-    "funnel_conversion",
-    # -- changed this round: oracle HUGEINT → BIGINT casts --
-    "variant_extract_agg",
-    "stream_doc_source_counts",
-    "table_checksum",
-    "table_profile",
-    "constraint_check",
-    "mad_outlier_stats",
-    "winsorized_stats",
-    "vector_quantize",
-    "substring_dup_spans",
-    "tpch_q12_priority_lines",
-    "dataset_card",
-    "top_p_quality_sample",
-    # -- changed this round: timestamp stringification --
-    "gap_fill_resample",
-    "multi_resolution_rollup",
-    # -- changed this round: scale-safe global positions / bounded windows --
-    "deterministic_shuffle",
-    "curriculum_buckets",
-    "source_mix_report",
-    "mixture_resample",
-    "monthly_growth",
-    # -- new oracles this round --
-    "bpe_train_merges",
-    "bpe_encode_counts",
-    "media_feature_summary",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    # -- changed this round: dsir integer-grid rewrite --
-    "dsir_weights",
-    # -- new operators this round: event analytics + SCD2 (timeseries.py,
-    #    cdc.py) — brand-new code, highest verification value --
-    "rolling_active_users",
-    "event_transition_matrix",
-    "ohlc_hourly",
-    "attribution_first_touch",
-    "twap_user_value",
-    "cusum_changepoint",
-    "scd2_merge_orders",
-    "interval_overlap_join",
-    "psi_drift",
-    "time_interpolate",
-    "strict_funnel",
-    "chi2_independence",
-    "cms_token_counts",
-    "histogram_quantiles",
-    "stream_ohlc_hourly",
-    "sequence_anomaly",
-    "lang_id_confusion",
-    "event_streaks",
-    "ab_test_zscore",
-    "conversion_latency",
-    "incremental_agg_maintenance",
-    "entity_resolution",
-    "bloom_doc_filter",
-    # -- never-checked Spark 4 surfaces (most environment-sensitive:
-    #    vanilla-session/version quirks — keep inside the ~50 window) --
+    # -- Spark-4 surfaces: slots 0-5 (r03 verdict directive #1) --
     "recursive_hierarchy",
     "collated_group",
     "pipe_syntax_agg",
     "sql_udf_pricing",
     "udtf_chunking",
     "session_variable_agg",
-    # -- late round-3 additions (after the Spark-4 block: compositions of
-    #    already-verified primitives / bounded reporting rollups) --
-    "topk_with_others",
-    "rolling_corr_events",
-    "entity_golden_record",
-    "dynamic_partition_pruning",
-    "seasonal_anomalies",
-    "join_cardinality_report",
-    # -- new operators this round (selection/monitoring/sketch set-ops) --
-    "ols2_per_group",
-    "vocab_drift",
-    "shard_manifest",
-    "kmv_jaccard_sources",
-    "ewma_user_value",
-    # -- never-checked dedup / graph / retrieval novelties --
-    "semantic_dedup",
-    "fuzzy_match_pairs",
-    "pagerank_knn",
-    "triangle_count_knn",
-    "bm25_topk",
-    "contamination_check",
-    "rolling_fingerprint",
-    "doc_chunking",
-    "incremental_dedup",
-    "dup_span_ratio",
-    "kmv_distinct_sketch",
-    # -- never-checked temporal --
-    "pit_join",
-    "cogroup_time_since",
-    # -- never-checked corpus / sampling / packing --
-    "seq_packing",
-    "pii_redaction",
-    "quality_filter_chain",
-    "weighted_hash_sample",
-    "kfold_assign",
-    "topk_hash_sample",
-    "negative_sampling",
-    "temperature_mixture",
-    "span_dedup_rewrite",
-    "stream_doc_dedup",
-    # -- remaining never-checked TPC-H shapes (rest rotate to round 4) --
+    # -- the 11 remaining TPC-H shapes --
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
     "tpch_q11_important_parts",
@@ -181,18 +80,106 @@ _PRIORITY = [
     "tpch_q19_disjunctive",
     "tpch_q20_part_shippers",
     "tpch_q22_idle_balances",
-    # slot 60+: the scalar battery and vector/layout remainder follow in
-    # module order for round 4's window
-    "snapshot_diff",
-    "zorder_key",
+    # -- dedup / graph novelties (fuzzy_match_pairs's blocking gains
+    #    single-deletion keys this round — changed code in-window) --
+    "semantic_dedup",
+    "fuzzy_match_pairs",
+    "pagerank_knn",
+    "triangle_count_knn",
+    "dup_span_ratio",
+    "span_dedup_rewrite",
+    "incremental_dedup",
+    # -- temporal --
+    "pit_join",
+    "cogroup_time_since",
+    # -- retrieval --
+    "bm25_topk",
+    "contamination_check",
+    "doc_chunking",
+    "rolling_fingerprint",
+    # -- corpus sampling / packing family --
+    "seq_packing",
+    "pii_redaction",
+    "quality_filter_chain",
+    "weighted_hash_sample",
+    "kfold_assign",
+    "topk_hash_sample",
+    "negative_sampling",
+    "temperature_mixture",
+    "stream_doc_dedup",
+    # -- changed this round / downstream of changed code --
+    "seasonal_anomalies",
+    "entity_golden_record",
+    # -- never-checked reporting / monitoring / sketch rollups --
+    "topk_with_others",
+    "rolling_corr_events",
+    "dynamic_partition_pruning",
+    "join_cardinality_report",
+    "ols2_per_group",
+    "vocab_drift",
+    "shard_manifest",
+    "kmv_jaccard_sources",
+    "ewma_user_value",
+    # ---- slot 50: window boundary ----
+    # entity_resolution: r03-green, but clustering.py gains the
+    # size-thresholded hybrid this round — adjacent in case window > 50.
+    "entity_resolution",
+    "kmv_distinct_sketch",
+    # ---- round-5 window, pre-staged (r03 verdict directive #5): the
+    # ~44 remaining never-checked names, in the exact order r05 should
+    # verify them. Scalar battery first (largest count), then agg
+    # shapes, subquery battery, vectors/layout, text/stats remainder,
+    # then the final stragglers. Rotate r05 by simply deleting the
+    # names that CORRECTNESS_r04 covers above. ----
+    # scalar battery
+    "string_funcs",
+    "date_funcs",
+    "math_funcs",
+    "regex_funcs",
+    "hash_funcs",
+    "bitwise_funcs",
+    "null_handling",
+    "try_funcs",
+    "array_funcs",
+    "struct_funcs",
+    "case_bucketing",
+    # agg shapes
+    "cube_agg",
+    "grouping_sets",
+    "pivot_agg",
+    "bool_aggs",
+    "stats_aggs",
+    "percentiles",
+    "min_max_by",
+    # subquery battery
+    "scalar_subquery",
+    "exists_correlated",
+    "not_exists_correlated",
+    "in_subquery",
+    "null_safe_join",
+    # vectors / layout remainder
     "matryoshka_knn",
     "centroid_assign",
     "pq_codes",
     "dim_stats",
     "feature_hashing",
-    "bigram_loglik",
+    "zorder_key",
+    "snapshot_diff",
     "partial_agg_merge",
+    # text / stats remainder
+    "bigram_loglik",
+    "repetition_ratio",
+    "vocab_topk",
+    "bpe_token_count",
+    "zscore_normalize",
+    "value_outliers",
+    "price_histogram",
+    "per_source_regression",
+    # final stragglers
     "media_frame_sample",
+    "window_distribution",
+    "event_path_topk",
+    "hll_mergeable_counts",
 ]
 
 _MODULES = [

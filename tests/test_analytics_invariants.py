@@ -135,6 +135,48 @@ def test_entity_resolution_clusters_are_consistent(spark):
     assert same > 0  # the constraint didn't silence the matcher entirely
 
 
+def test_entity_resolution_cc_fallback_matches_union_find(spark):
+    """The size-thresholded hybrid (clustering.py): forcing EVERY nation
+    over the union-find bound (uf_max_members=0) must route all of them
+    through the distributed pointer-jumping connected_components path
+    and produce byte-identical entities to the default all-union-find
+    path — the two clustering algorithms are interchangeable."""
+    from pb_etl_spark.operators.clustering import q_entity_resolution
+
+    base = (
+        q_entity_resolution(spark, SF_DIR)
+        .toPandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    forced = (
+        q_entity_resolution(spark, SF_DIR, uf_max_members=0)
+        .toPandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    assert base.equals(forced)
+    # and a MIXED split (some nations UF, some CC): thresholding at the
+    # median nation size exercises the union of both paths in one plan
+    from pb_etl_spark.catalog import read_table
+
+    nat_sizes = (
+        read_table(spark, SF_DIR, "customer")
+        .groupBy("c_nationkey")
+        .count()
+        .toPandas()["count"]
+    )
+    mid = int(nat_sizes.median())
+    assert nat_sizes.min() <= mid < nat_sizes.max()  # both paths populated
+    mixed = (
+        q_entity_resolution(spark, SF_DIR, uf_max_members=mid)
+        .toPandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    assert base.equals(mixed)
+
+
 def test_ab_test_accounting(spark, events):
     from pb_etl_spark.operators.timeseries import q_ab_test_zscore
 
