@@ -97,7 +97,29 @@ HEADLINE = [
     # delta-maintenance path
     "entity_resolution",
     "incremental_agg_maintenance",
+    # round-4 additions (r03 verdict directive #7): golden-record rides
+    # the heaviest pipeline (re-runs entity_resolution + survivorship),
+    # and DPP's benefit heuristic gets a timed row
+    "entity_golden_record",
+    "dynamic_partition_pruning",
 ]
+
+
+def calibrate(spark, sf_dir: str, n: int = 5) -> float:
+    """Machine-speed anchor (r03 verdict directive #4): min-of-``n`` of a
+    FIXED, trivially-planned workload — a full lineitem scan + one
+    column sum (no shuffle, one stage, fully codegen'd). Its only
+    variable across rounds is the host itself (reboots, ambient CPU
+    drift — round 3 measured the same commit 2× apart hours apart), so
+    ``tools/bench_compare.py`` divides cross-round ratios by the
+    calibration ratio to separate drift from plan regressions."""
+    path = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        spark.read.parquet(path).selectExpr("sum(l_quantity)").collect()
+        best = min(best, time.time() - t0)
+    return round(best, 4)
 
 
 def main() -> None:
@@ -111,6 +133,9 @@ def main() -> None:
     # second run the others don't.
     spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
     queries["semi_join"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    calib = calibrate(spark, sf_dir)
+    print(f"# calib_scan_s: {calib:.4f}s", file=sys.stderr)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
@@ -137,6 +162,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calib_scan_s": calib,
             }
         )
     )

@@ -350,7 +350,7 @@ def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user aggregate, one |variants|-row aggregate, a bounded pivot —
     nothing fact-sized past the first groupBy."""
     ev = read_table(spark, sf_dir, "events")
-    # conversion = a HIGH-VALUE purchase (>= 480): every fixture user
+    # conversion = a HIGH-VALUE purchase (>= 150): every fixture user
     # purchases eventually, so plain "ever purchased" is degenerate
     # (pool = 1, no variance); the premium event converts ~45%
     per_user = ev.groupBy("user_id").agg(
@@ -497,6 +497,10 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     expected = F.col("tot_cents").cast("double") / F.col("n_hours")
+    # rank on the RAW residual (the oracle's ORDER BY expression), round
+    # only in the final projection — ordering by the 6-dp rounded column
+    # could tie rows the oracle distinguishes at the LIMIT boundary
+    raw_residual = (F.col("cents").cast("double") - expected) / 100.0
     return (
         hourly.withColumn("hod", F.hour("h").cast("long"))
         .join(F.broadcast(profile), "hod")
@@ -505,12 +509,12 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hod",
             (F.col("cents").cast("double") / 100.0).alias("revenue"),
             F.round(expected / 100.0, 6).alias("expected_revenue"),
-            F.round(
-                (F.col("cents").cast("double") - expected) / 100.0, 6
-            ).alias("residual"),
+            F.round(raw_residual, 6).alias("residual"),
+            raw_residual.alias("_raw_residual"),
         )
-        .orderBy(F.abs(F.col("residual")).desc(), F.col("h"))
+        .orderBy(F.abs(F.col("_raw_residual")).desc(), F.col("h"))
         .limit(SEASONAL_TOPK)
+        .drop("_raw_residual")
     )
 
 

@@ -9,6 +9,13 @@ Prints per-query deltas, flags entries slower than ``ratio`` (default
 listed informationally (no baseline to regress against); removed ones
 are flagged loudly — a silently dropped benchmark usually means a
 silently dropped capability.
+
+When BOTH files carry the ``calib_scan_s`` machine-speed anchor
+(bench.py emits it since round 4), current-side timings are DIVIDED by
+the calibration ratio (cur_calib / base_calib) before comparison — the
+anchor is a fixed one-stage scan whose only cross-round variable is the
+host itself, so this separates ambient drift (reboots, CPU contention;
+measured up to 2× between rounds) from actual plan regressions.
 """
 
 from __future__ import annotations
@@ -36,6 +43,16 @@ def main() -> int:
     base, cur = load(sys.argv[1]), load(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     bq, cq = base["queries"], cur["queries"]
+    drift = 1.0
+    if base.get("calib_scan_s") and cur.get("calib_scan_s"):
+        drift = cur["calib_scan_s"] / base["calib_scan_s"]
+        print(
+            f"machine-speed anchor: {base['calib_scan_s']:.4f}s -> "
+            f"{cur['calib_scan_s']:.4f}s (drift {drift:.2f}x; "
+            f"current timings normalized by it)"
+        )
+    else:
+        print("no calib_scan_s anchor in both files; raw comparison")
     regressions = []
     for name, t0 in sorted(bq.items()):
         t1 = cq.get(name)
@@ -43,11 +60,12 @@ def main() -> int:
             print(f"!! {name}: REMOVED from bench (was {t0:.3f}s)")
             regressions.append(name)
             continue
+        t1n = t1 / drift
         flag = ""
-        if t1 > ratio * t0:
-            flag = f"  <-- REGRESSION (>{ratio}x)"
+        if t1n > ratio * t0:
+            flag = f"  <-- REGRESSION (>{ratio}x, drift-normalized)"
             regressions.append(name)
-        print(f"   {name}: {t0:.3f}s -> {t1:.3f}s{flag}")
+        print(f"   {name}: {t0:.3f}s -> {t1:.3f}s (norm {t1n:.3f}s){flag}")
     for name in sorted(set(cq) - set(bq)):
         print(f" + {name}: {cq[name]:.3f}s (new)")
     print(
