@@ -1,0 +1,83 @@
+"""Same-boot scaling smoke: time the heaviest queries at sf0.1 and at a
+K×-scaled fixture, report per-query scaling exponents.
+
+    python tools/make_scaled_fixture.py 4          # once
+    python tools/scale_smoke.py [BIG_DIR] [K]
+
+Defaults: BIG_DIR=<repo>/.scale/sf0.4, K inferred from dir name.
+
+exponent = log(t_big / t_base) / log(K) — a linear plan lands near 1.0
+(plus fixed-overhead dilution pushing it BELOW 1 on sub-second
+queries); anything much above 1 is super-linear and needs a look.
+Both fixtures are timed in ONE session back-to-back (min-of-2), so
+host drift cancels — the same reasoning as bench.py's calibration row.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pb_etl_spark.registry import all_queries
+from pb_etl_spark.session import get_spark
+
+# the heaviest headline families (r03 bench tail) + the iterative /
+# collision-neighborhood plans where super-linear degradation would hide
+SMOKE = [
+    "bpe_encode_counts",
+    "semantic_dedup",
+    "substring_dup_spans",
+    "embedding_near_dup_lsh",
+    "minhash_near_dup_pairs",
+    "fuzzy_match_pairs",
+    "entity_resolution",
+    "entity_golden_record",
+    "pagerank_knn",
+    "tpch_q1_pricing",
+    "rolling_active_users",
+    "kmv_distinct_sketch",
+]
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    big = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, ".scale", "sf0.4")
+    base = "/root/testdata/sf0.1"
+    k = float(sys.argv[2]) if len(sys.argv) > 2 else float(
+        big.rstrip("/").rsplit("sf", 1)[1]
+    ) / 0.1
+    spark = get_spark("scale-smoke", master="local[32]", shuffle_partitions=32)
+    queries = all_queries()
+    spark.read.parquet(f"{base}/region.parquet").count()  # JVM warmup
+
+    def best_of(fn, d, n=2):
+        t = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            t = min(t, time.time() - t0)
+        return t
+
+    rows = {}
+    for name in SMOKE:
+        fn = queries[name]
+        t_base = best_of(fn, base)
+        t_big = best_of(fn, big)
+        exp = math.log(t_big / t_base) / math.log(k)
+        rows[name] = {
+            "sf0.1_s": round(t_base, 3),
+            f"sf{0.1 * k:g}_s": round(t_big, 3),
+            "exponent": round(exp, 2),
+        }
+        print(f"# {name}: {t_base:.3f}s -> {t_big:.3f}s  exp={exp:.2f}",
+              file=sys.stderr)
+    print(json.dumps({"k": k, "queries": rows}))
+
+
+if __name__ == "__main__":
+    main()
