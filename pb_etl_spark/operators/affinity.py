@@ -1,0 +1,382 @@
+"""Customer/product affinity analytics: market-basket association rules,
+item-item similarity, RFM segmentation, and smoothed target encoding.
+
+Reference parity note: the reference pipeline (``/root/reference/pb_etl/
+tasks.py``) has no affinity surface; these extend the analytics catalog
+the way a warehouse team actually uses a TPC-H-shaped schema — orders as
+baskets, parts as items, customers as the scored population.
+
+Scale design, per operator:
+
+- ``association_rules``: the basket relation is first shrunk to DISTINCT
+  (order, brand) pairs (one hash aggregate — the big shrink), so the
+  within-order self-join explodes each order by at most |brands| and the
+  pair counting shuffle carries O(orders × brands²_per_order) rows, never
+  a parts² cross product. Item counts and the basket total are bounded
+  (≤ |brands| rows / 1 row) broadcast sides; support/confidence/lift are
+  projections over integer counts.
+- ``item_item_cosine``: the classic co-occurrence recommender — the
+  (customer, item) interaction matrix is one grouped sum, the item-item
+  dot products come from a self-join on customer (per-customer item
+  vectors are bounded by |item types|), and norms are a ≤ |items|-row
+  broadcast. All sums are integer (quantity grid); only the final cosine
+  divides as double.
+- ``rfm_segments``: per-customer Recency/Frequency/Monetary from one
+  grouped pass over orders, then three exact quintile assignments via
+  ``global_positions`` (the distributed row-number primitive —
+  range-partition + per-partition row_number + driver prefix-sum; NO
+  single-partition global window). Every emitted column is an integer —
+  cross-engine hash parity needs no float reasoning at all.
+- ``target_encoding``: the leakage-safe categorical encoder (smoothed
+  category mean toward the global prior). Aggregates are integer cents;
+  the encoding is one double chain per category over a ≤ |categories|
+  output. Applying it to rows is a broadcast join by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pb_etl_spark.catalog import read_table
+
+# association-rule knobs: brand-level items, 1% minimum support
+# (integer cross-multiplied in both engines — no double threshold compare)
+AR_MIN_SUPPORT_PCT = 1
+
+# target-encoding smoothing weight (pseudo-observations of the prior)
+TE_PRIOR_WEIGHT = 20.0
+
+RFM_BUCKETS = 5
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over orders-as-baskets and
+    p_brand-as-items: directed rules a→b with support, confidence and
+    lift, filtered to support ≥ 1%.
+
+    All three measures derive from four integers (pair count, both item
+    counts, basket total), so each output value is a single double
+    division chain rounded at 6 dp — grid-exact across engines. See
+    module docstring for the shuffle shape."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # distinct (basket, item) FIRST: every downstream cost is driven by
+    # this relation's size, not the raw lineitem count
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("bid"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_baskets = baskets.select(F.count_distinct("bid").alias("n"))
+    item_cnt = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_cnt = (
+        a.join(b, (F.col("a.bid") == F.col("b.bid")) & (F.col("a.item") != F.col("b.item")))
+        .groupBy(
+            F.col("a.item").alias("antecedent"), F.col("b.item").alias("consequent")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+    )
+    return (
+        pair_cnt.join(
+            F.broadcast(item_cnt.withColumnRenamed("item_n", "ant_n")),
+            pair_cnt.antecedent == item_cnt.item,
+        )
+        .drop("item")
+        .join(
+            F.broadcast(item_cnt.withColumnRenamed("item_n", "con_n")),
+            pair_cnt.consequent == item_cnt.item,
+        )
+        .drop("item")
+        .crossJoin(F.broadcast(n_baskets))
+        # integer cross-multiply: pair_n / n >= pct/100, no double compare
+        .filter(F.col("pair_n") * 100 >= F.col("n") * AR_MIN_SUPPORT_PCT)
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_n",
+            F.round(F.col("pair_n").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("pair_n").cast("double") / F.col("ant_n"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("pair_n").cast("double")
+                * F.col("n")
+                / (F.col("ant_n").cast("double") * F.col("con_n")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence similarity (the memory-based recommender
+    core): cosine between p_type columns of the (customer × item-type)
+    quantity matrix.
+
+    Dot products and squared norms are INTEGER sums (l_quantity is an
+    integral grid); only the final cosine divides as double (round 6).
+    The self-join key is the customer, whose per-customer item vector is
+    bounded by |types| = 6 — linear shuffle, bounded explode."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    v = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("p_type").alias("item"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    norms = v.groupBy("item").agg(F.sum(F.col("w") * F.col("w")).alias("nrm2"))
+    a, b = v.alias("a"), v.alias("b")
+    dots = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    return (
+        dots.join(
+            F.broadcast(norms.withColumnRenamed("nrm2", "nrm2_a")),
+            dots.item_a == norms.item,
+        )
+        .drop("item")
+        .join(
+            F.broadcast(norms.withColumnRenamed("nrm2", "nrm2_b")),
+            dots.item_b == norms.item,
+        )
+        .drop("item")
+        .select(
+            "item_a",
+            "item_b",
+            "dot",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("nrm2_a").cast("double") * F.col("nrm2_b")),
+                6,
+            ).alias("cos"),
+        )
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order,
+    relative to the dataset's max order date), Frequency (order count)
+    and Monetary (lifetime spend in cents), each scored into exact
+    quintiles 1..5 (5 = best), segment = r·100 + f·10 + m.
+
+    Quintiles are EXACT (rank-based: score = 1 + (pos-1)·5 div n over
+    the total order (metric, custkey)) and computed with
+    ``global_positions`` — three range-partitioned distributed
+    row-numbers, no single-partition window. Every output column is an
+    integer: no float appears anywhere in the query."""
+    from pb_etl_spark.operators.corpus import global_positions
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    mx = orders.select(F.max("o_orderdate").alias("mxd"))
+    rfm = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.min(F.datediff(F.col("mxd"), F.col("o_orderdate")))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+
+    def quintile(df: DataFrame, metric: str, asc: bool, out: str) -> DataFrame:
+        order = [
+            F.col(metric).asc() if asc else F.col(metric).desc(),
+            F.col("c").asc(),
+        ]
+        pos_df, n = global_positions(spark, df.select("c", metric), order)
+        # integer `div`, not `/`: double division + cast would floor the
+        # ROUNDED quotient, which can disagree with exact integer
+        # division once n exceeds double precision
+        return pos_df.select(
+            "c",
+            F.expr(f"1L + ((pos - 1) * {RFM_BUCKETS}) div {n}").alias(out),
+        )
+
+    # recency: fewer days = better = score 5 → order DESC so the most
+    # recent customers take the largest positions (highest quintile)
+    r = quintile(rfm, "recency_days", asc=False, out="r_score")
+    f_ = quintile(rfm, "frequency", asc=True, out="f_score")
+    m = quintile(rfm, "monetary_cents", asc=True, out="m_score")
+    return (
+        rfm.join(r, "c")
+        .join(f_, "c")
+        .join(m, "c")
+        .select(
+            F.col("c").alias("c_custkey"),
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            "r_score",
+            "f_score",
+            "m_score",
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias(
+                "segment"
+            ),
+        )
+    )
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of c_mktsegment against customer lifetime
+    spend: enc(cat) = (sum_cat + W·global_mean) / (n_cat + W) with
+    W = TE_PRIOR_WEIGHT pseudo-observations of the prior — the standard
+    high-cardinality categorical encoder (here on a bounded category so
+    the whole decision table is oracle-checkable).
+
+    Customers with no orders contribute target 0 (left join + coalesce),
+    exactly as an encoder over the full scoring population must. Sums
+    are integer cents; each output is one double chain (round 6). The
+    encoder table is ≤ |categories| rows — applying it to 100 TB of rows
+    is a broadcast join by construction."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    per_cust = cust.join(spend, cust.c_custkey == spend.o_custkey, "left").select(
+        "c_mktsegment", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+    )
+    g = per_cust.agg(
+        F.sum("cents").alias("gcents"), F.count(F.lit(1)).alias("gn")
+    )
+    cat = per_cust.groupBy("c_mktsegment").agg(
+        F.sum("cents").alias("ccents"), F.count(F.lit(1)).alias("cn")
+    )
+    gmean = F.col("gcents").cast("double") / 100.0 / F.col("gn")
+    return (
+        cat.crossJoin(F.broadcast(g))
+        .select(
+            "c_mktsegment",
+            F.col("cn").alias("n_customers"),
+            F.round(F.col("ccents").cast("double") / 100.0 / F.col("cn"), 6).alias(
+                "raw_mean"
+            ),
+            F.round(
+                (F.col("ccents").cast("double") / 100.0 + TE_PRIOR_WEIGHT * gmean)
+                / (F.col("cn") + TE_PRIOR_WEIGHT),
+                6,
+            ).alias("encoded"),
+        )
+    )
+
+
+QUERIES = {
+    "association_rules": q_association_rules,
+    "item_item_cosine": q_item_item_cosine,
+    "rfm_segments": q_rfm_segments,
+    "target_encoding": q_target_encoding,
+}
+
+ORACLES: dict[str, str] = {
+    "association_rules": f"""
+        WITH baskets AS (
+            SELECT DISTINCT l.l_orderkey AS bid, p.p_brand AS item
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), tot AS (
+            SELECT COUNT(DISTINCT bid) AS n FROM baskets
+        ), items AS (
+            SELECT item, COUNT(*) AS item_n FROM baskets GROUP BY item
+        ), pairs AS (
+            SELECT a.item AS antecedent, b.item AS consequent,
+                   COUNT(*) AS pair_n
+            FROM baskets a JOIN baskets b
+              ON a.bid = b.bid AND a.item != b.item
+            GROUP BY 1, 2
+        )
+        SELECT p.antecedent, p.consequent, p.pair_n,
+               ROUND(CAST(p.pair_n AS DOUBLE) / t.n, 6) AS support,
+               ROUND(CAST(p.pair_n AS DOUBLE) / ia.item_n, 6) AS confidence,
+               ROUND(CAST(p.pair_n AS DOUBLE) * t.n
+                     / (CAST(ia.item_n AS DOUBLE) * ic.item_n), 6) AS lift
+        FROM pairs p
+        JOIN items ia ON p.antecedent = ia.item
+        JOIN items ic ON p.consequent = ic.item
+        CROSS JOIN tot t
+        WHERE p.pair_n * 100 >= t.n * {AR_MIN_SUPPORT_PCT}
+    """,
+    "item_item_cosine": """
+        WITH v AS (
+            SELECT o.o_custkey AS cust, p.p_type AS item,
+                   SUM(CAST(l.l_quantity AS BIGINT)) AS w
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ), norms AS (
+            SELECT item, SUM(w * w) AS nrm2 FROM v GROUP BY item
+        ), dots AS (
+            SELECT a.item AS item_a, b.item AS item_b, SUM(a.w * b.w) AS dot
+            FROM v a JOIN v b ON a.cust = b.cust AND a.item < b.item
+            GROUP BY 1, 2
+        )
+        SELECT d.item_a, d.item_b, d.dot,
+               ROUND(CAST(d.dot AS DOUBLE)
+                     / sqrt(CAST(na.nrm2 AS DOUBLE) * nb.nrm2), 6) AS cos
+        FROM dots d
+        JOIN norms na ON d.item_a = na.item
+        JOIN norms nb ON d.item_b = nb.item
+    """,
+    "rfm_segments": f"""
+        WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+        rfm AS (
+            SELECT o_custkey AS c,
+                   CAST(MIN(date_diff('day', o_orderdate, mx.mxd)) AS BIGINT)
+                       AS recency_days,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS monetary_cents
+            FROM orders CROSS JOIN mx GROUP BY 1, mx.mxd
+        ), n AS (SELECT COUNT(*) AS n FROM rfm),
+        scored AS (
+            SELECT c, recency_days, frequency, monetary_cents,
+                   1 + ((ROW_NUMBER() OVER (ORDER BY recency_days DESC, c ASC)
+                         - 1) * {RFM_BUCKETS}) // n.n AS r_score,
+                   1 + ((ROW_NUMBER() OVER (ORDER BY frequency ASC, c ASC)
+                         - 1) * {RFM_BUCKETS}) // n.n AS f_score,
+                   1 + ((ROW_NUMBER() OVER (ORDER BY monetary_cents ASC, c ASC)
+                         - 1) * {RFM_BUCKETS}) // n.n AS m_score
+            FROM rfm CROSS JOIN n
+        )
+        SELECT c AS c_custkey, recency_days, frequency, monetary_cents,
+               r_score, f_score, m_score,
+               r_score * 100 + f_score * 10 + m_score AS segment
+        FROM scored
+    """,
+    "target_encoding": f"""
+        WITH per_cust AS (
+            SELECT c.c_mktsegment,
+                   COALESCE(s.cents, 0) AS cents
+            FROM customer c
+            LEFT JOIN (
+                SELECT o_custkey,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders GROUP BY o_custkey
+            ) s ON c.c_custkey = s.o_custkey
+        ), g AS (
+            SELECT SUM(cents) AS gcents, COUNT(*) AS gn FROM per_cust
+        )
+        SELECT p.c_mktsegment,
+               COUNT(*) AS n_customers,
+               ROUND(CAST(SUM(p.cents) AS DOUBLE) / 100.0 / COUNT(*), 6)
+                   AS raw_mean,
+               ROUND((CAST(SUM(p.cents) AS DOUBLE) / 100.0
+                      + {TE_PRIOR_WEIGHT} * (CAST(g.gcents AS DOUBLE) / 100.0 / g.gn))
+                     / (COUNT(*) + {TE_PRIOR_WEIGHT}), 6) AS encoded
+        FROM per_cust p CROSS JOIN g
+        GROUP BY p.c_mktsegment, g.gcents, g.gn
+    """,
+}

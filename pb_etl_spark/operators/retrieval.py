@@ -35,8 +35,11 @@ Scale design, per operator:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
 
@@ -716,7 +719,177 @@ _CMS_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# DDSketch-style relative-error quantile sketch
+
+DD_ALPHA = 0.01  # relative-error guarantee of the γ-geometric buckets
+DD_QS = (0.5, 0.9, 0.99)
+DD_MAX_CENTS = 20_000_000  # bound-table ceiling (fixture max ~10.5M cents)
+DD_MIN_CENTS = 64  # min indexable value: (0, 64] collapses to bucket 0
+DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
+DD_LNG = math.log(DD_GAMMA)
+
+
+def _dd_bounds() -> list[int]:
+    """Integer bucket upper bounds: ceil(64·γ^i) in cents,
+    γ = (1+α)/(1-α). Starting the geometric ladder at 64 makes every
+    increment > 64·(γ-1) ≈ 1.29 > 1, so the bounds are strictly
+    increasing with NO duplicate collapse; values ≤ 64 cents share
+    bucket 0 (DDSketch's min-indexable-value collapse). Computed ONCE
+    in Python and embedded as the same literal table in the Spark plan
+    and the DuckDB oracle, so the final bucket decision is pure INTEGER
+    comparison in both engines."""
+    bounds, x = [], float(DD_MIN_CENTS)
+    while x <= DD_MAX_CENTS:
+        bounds.append(math.ceil(x))
+        x *= DD_GAMMA
+    return bounds
+
+
+def _dd_ests(bounds: list[int]) -> list[int]:
+    """Integer midpoint estimate per bucket: index 0 covers
+    (0, bounds[0]], index j covers (bounds[j-1], bounds[j]], and the
+    final overflow index len(bounds) clamps to the last bound."""
+    ests = [(DD_MIN_CENTS + 1) // 2]
+    for lo, hi in zip(bounds, bounds[1:]):
+        ests.append((lo + hi + 1) // 2)
+    ests.append(bounds[-1])
+    return ests
+
+
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style quantiles of l_extendedprice (P50/P90/P99) from a
+    γ-geometric bucket histogram — the RELATIVE-error member of the
+    mergeable-sketch shelf (the fixed-width histogram's error is
+    absolute; DDSketch guarantees |est−true| ≤ α·true at every scale of
+    the value, which is what latency/price distributions need).
+
+    The sketch itself is one grouped count over precomputed integer
+    bucket bounds (see ``_dd_bounds``) — cell-wise ADDITIVE, so
+    per-partition/day sketches merge by summing bucket counts (the same
+    rollup contract as kmv/cms/bloom; merge-equality is pinned in
+    ``tests/test_approx.py``). Quantile extraction walks the
+    ≤ |buckets| cumulative table: first bucket whose cumulative count
+    reaches ceil(q·n).
+
+    Scale shape: the per-row bucket decision is O(1) — DDSketch's own
+    ceil(ln(x/64)/ln γ) candidate index, then an EXACT ±1 correction by
+    integer comparison against the literal bound table (the ceil and a
+    libm-ulp can each shift the candidate by one; the correction makes
+    the final bucket identical across engines regardless of their ln
+    implementations). The histogram is bounded (~630 rows), the
+    cumulative window is sketch-sized, and the probe join is 3 rows."""
+    bounds = _dd_bounds()
+    ests = _dd_ests(bounds)
+    bounds_arr = F.array(*[F.lit(b) for b in bounds])
+    ests_arr = F.array(*[F.lit(e) for e in ests])
+    last = len(bounds) - 1
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    # candidate index (0-based): ceil of the γ-log of cents/64; /64.0 is
+    # a power-of-two scale (exact in binary), so ln sees the identical
+    # double in both engines and can differ by at most an ulp
+    j0 = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(last).cast("long"),
+            F.ceil(F.round(F.log(F.col("cents") / 64.0) / DD_LNG, 9)),
+        ),
+    )
+    b_at_j0 = F.element_at(bounds_arr, (j0 + 1).cast("int"))
+    # greatest(j0,1): element_at is 1-based and errors on index 0; the
+    # j0 >= 1 guard below makes the j0 = 0 value irrelevant
+    b_below = F.element_at(bounds_arr, F.greatest(j0, F.lit(1).cast("long")).cast("int"))
+    bucket = (
+        F.when((j0 >= 1) & (F.col("cents") <= b_below), j0 - 1)
+        .when(F.col("cents") > b_at_j0, j0 + 1)
+        .otherwise(j0)
+    )
+    hist = li.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("cnt"))
+    n_df = li.agg(F.count(F.lit(1)).alias("n"))
+
+    w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select("bucket", F.sum("cnt").over(w_cum).alias("cum"))
+    probes = spark.createDataFrame([(q,) for q in DD_QS], "q double")
+    return (
+        probes.crossJoin(F.broadcast(n_df))
+        .join(
+            F.broadcast(cum),
+            F.col("cum") >= F.ceil(F.col("q") * F.col("n")).cast("long"),
+        )
+        .groupBy("q", "n")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "q",
+            "bucket",
+            F.round(
+                F.element_at(ests_arr, (F.col("bucket") + 1).cast("int"))
+                .cast("double")
+                / 100.0,
+                2,
+            ).alias("est_price"),
+            F.col("n").alias("n_rows"),
+        )
+    )
+
+
+def _dd_oracle() -> str:
+    bounds = _dd_bounds()
+    ests = _dd_ests(bounds)
+    qs_sql = ", ".join(f"({q})" for q in DD_QS)
+    arr = f"[{', '.join(map(str, bounds))}]"
+    return f"""
+        WITH src AS (
+            SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+        ),
+        cand AS (
+            SELECT cents,
+                   GREATEST(CAST(0 AS BIGINT),
+                            LEAST(CAST({len(bounds) - 1} AS BIGINT),
+                                  CAST(CEIL(ROUND(LN(cents / 64.0)
+                                                  / {DD_LNG!r}, 9)) AS BIGINT)))
+                       AS j0
+            FROM src
+        ),
+        hist AS (
+            SELECT CASE
+                     WHEN j0 >= 1
+                          AND cents <= ({arr})[CAST(GREATEST(j0, 1) AS INT)]
+                       THEN j0 - 1
+                     WHEN cents > ({arr})[CAST(j0 + 1 AS INT)] THEN j0 + 1
+                     ELSE j0
+                   END AS bucket,
+                   COUNT(*) AS cnt
+            FROM cand GROUP BY 1
+        ),
+        n AS (SELECT COUNT(*) AS n FROM src),
+        cum AS (
+            SELECT bucket,
+                   SUM(cnt) OVER (ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+            FROM hist
+        ),
+        probes AS (SELECT * FROM (VALUES {qs_sql}) AS p(q)),
+        hit AS (
+            SELECT q, n.n, MIN(bucket) AS bucket
+            FROM probes CROSS JOIN n
+            JOIN cum ON cum >= CAST(CEIL(q * n.n) AS BIGINT)
+            GROUP BY q, n.n
+        )
+        SELECT q, bucket,
+               ROUND(CAST(([{", ".join(map(str, ests))}])[CAST(bucket + 1 AS INT)]
+                          AS DOUBLE) / 100.0, 2) AS est_price,
+               n AS n_rows
+        FROM hit
+    """
+
+
 QUERIES = {
+    "ddsketch_quantiles": q_ddsketch_quantiles,
     "cms_token_counts": q_cms_token_counts,
     "bloom_doc_filter": q_bloom_doc_filter,
     "bm25_topk": q_bm25_topk,
@@ -727,6 +900,7 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "ddsketch_quantiles": _dd_oracle(),
     "cms_token_counts": _CMS_ORACLE,
     "bloom_doc_filter": _BLOOM_ORACLE,
     "bm25_topk": _BM25_ORACLE,

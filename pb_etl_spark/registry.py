@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pb_etl_spark.sources import pyds
 from pb_etl_spark.operators import (
     advanced,
+    affinity,
     bucketing,
     cdc,
     clustering,
@@ -125,12 +126,19 @@ _PRIORITY = [
     # size-thresholded hybrid this round — adjacent in case window > 50.
     "entity_resolution",
     "kmv_distinct_sketch",
-    # ---- round-5 window, pre-staged (r03 verdict directive #5): the
-    # ~44 remaining never-checked names, in the exact order r05 should
-    # verify them. Scalar battery first (largest count), then agg
-    # shapes, subquery battery, vectors/layout, text/stats remainder,
-    # then the final stragglers. Rotate r05 by simply deleting the
-    # names that CORRECTNESS_r04 covers above. ----
+    # ---- round-5 window, pre-staged (r03 verdict directive #5):
+    # brand-new round-4 operators first (highest verification value),
+    # then the ~44 remaining never-checked names in the exact order r05
+    # should verify them: scalar battery (largest count), agg shapes,
+    # subquery battery, vectors/layout, text/stats remainder, final
+    # stragglers. Rotate r05 by simply deleting the names that
+    # CORRECTNESS_r04 covers above. ----
+    # new in round 4: affinity analytics + DDSketch
+    "association_rules",
+    "item_item_cosine",
+    "rfm_segments",
+    "target_encoding",
+    "ddsketch_quantiles",
     # scalar battery
     "string_funcs",
     "date_funcs",
@@ -183,6 +191,7 @@ _PRIORITY = [
 ]
 
 _MODULES = [
+    affinity,
     bucketing,
     layout,
     cdc,

@@ -227,3 +227,60 @@ def test_time_interpolate_matches_events_at_exact_hours(spark, events):
     n_null = pdf["value_interp"].isna().sum()
     n_users = spans.count()
     assert n_null <= 2 * n_users
+
+
+def test_association_rules_accounting(spark):
+    """Directed-rule invariants: pair counts and lift are symmetric in
+    (antecedent, consequent), confidence = support/antecedent-share, and
+    every emitted rule clears the minimum-support bar."""
+    from pb_etl_spark.operators.affinity import AR_MIN_SUPPORT_PCT, q_association_rules
+
+    df = q_association_rules(spark, SF_DIR).toPandas()
+    assert len(df) > 0
+    by_pair = {(r.antecedent, r.consequent): r for r in df.itertuples()}
+    for (a, b), r in by_pair.items():
+        rev = by_pair.get((b, a))
+        assert rev is not None, (a, b)
+        assert r.pair_n == rev.pair_n
+        assert abs(r.lift - rev.lift) < 1e-9
+        assert r.support * 100 >= AR_MIN_SUPPORT_PCT - 1e-9
+        assert 0.0 < r.confidence <= 1.0
+
+
+def test_item_item_cosine_bounds(spark):
+    """Cosine over non-negative quantity vectors lies in (0, 1], and all
+    C(|types|, 2) unordered pairs are present (every type co-occurs)."""
+    from pb_etl_spark.operators.affinity import q_item_item_cosine
+
+    df = q_item_item_cosine(spark, SF_DIR).toPandas()
+    n_types = len(set(df.item_a) | set(df.item_b))
+    assert len(df) == n_types * (n_types - 1) // 2
+    assert ((df.cos > 0) & (df.cos <= 1.0)).all()
+
+
+def test_rfm_quintiles_are_balanced(spark):
+    """Each score column splits customers into 5 near-equal buckets
+    (rank-based exact quintiles: sizes differ by at most 1), and the
+    segment digits reconstruct the three scores."""
+    from pb_etl_spark.operators.affinity import q_rfm_segments
+
+    df = q_rfm_segments(spark, SF_DIR).toPandas()
+    assert df.c_custkey.is_unique
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = df[col].value_counts()
+        assert set(sizes.index) == {1, 2, 3, 4, 5}
+        assert sizes.max() - sizes.min() <= 1, (col, dict(sizes))
+    assert (df.segment == df.r_score * 100 + df.f_score * 10 + df.m_score).all()
+
+
+def test_target_encoding_shrinks_toward_prior(spark):
+    """Smoothing: each category's encoding lies strictly between its raw
+    mean and the global prior (or equals both when they coincide), and
+    the category means aggregate back to the global mean."""
+    from pb_etl_spark.operators.affinity import q_target_encoding
+
+    df = q_target_encoding(spark, SF_DIR).toPandas()
+    gmean = (df.raw_mean * df.n_customers).sum() / df.n_customers.sum()
+    for r in df.itertuples():
+        lo, hi = sorted((r.raw_mean, gmean))
+        assert lo - 1e-6 <= r.encoded <= hi + 1e-6, r

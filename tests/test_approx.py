@@ -70,3 +70,73 @@ def test_hll_sketches_merge_consistently(spark):
     for nk, n in exact.items():
         assert rows[nk] == n, (nk, rows[nk], n)
     assert rows[-1] == cust.select("c_custkey").distinct().count()
+
+
+def test_ddsketch_merge_and_relative_error(spark):
+    """DDSketch invariants: (1) bucket counts are cell-wise additive —
+    the sketch built from two disjoint halves and SUMMED must answer
+    every quantile identically to the whole-set sketch; (2) each
+    estimate is within the α relative-error guarantee of the exact
+    quantile (valid because all fixture prices exceed the 64-cent
+    min-indexable collapse)."""
+    from pb_etl_spark.operators.retrieval import (
+        DD_ALPHA,
+        DD_QS,
+        q_ddsketch_quantiles,
+    )
+
+    whole = {r["q"]: r for r in q_ddsketch_quantiles(spark, SF_DIR).collect()}
+    assert set(whole) == set(DD_QS)
+
+    # merge path: per-half histograms summed, then the same extraction
+    li = read_table(spark, SF_DIR, "lineitem")
+    halves = [
+        li.filter(F.col("l_orderkey") % 2 == i).select("l_extendedprice")
+        for i in (0, 1)
+    ]
+    import pandas as pd
+
+    from pb_etl_spark.operators.retrieval import _dd_bounds
+
+    bounds = _dd_bounds()
+
+    def hist_of(df):
+        import bisect
+
+        cents = [
+            int(round(v * 100))
+            for v in df.toPandas()["l_extendedprice"].tolist()
+        ]
+        h: dict[int, int] = {}
+        for c in cents:
+            b = bisect.bisect_left(bounds, c)
+            h[b] = h.get(b, 0) + 1
+        return h
+
+    h0, h1 = hist_of(halves[0]), hist_of(halves[1])
+    merged: dict[int, int] = {}
+    for h in (h0, h1):
+        for b, c in h.items():
+            merged[b] = merged.get(b, 0) + c
+    n = sum(merged.values())
+    import math
+
+    from pb_etl_spark.operators.retrieval import _dd_ests
+
+    ests = _dd_ests(bounds)
+    for q in DD_QS:
+        target = math.ceil(q * n)
+        cum = 0
+        for b in sorted(merged):
+            cum += merged[b]
+            if cum >= target:
+                est = round(ests[b] / 100.0, 2)
+                assert est == whole[q]["est_price"], (q, est, whole[q])
+                break
+
+    # relative-error guarantee vs the exact quantile
+    for q in DD_QS:
+        exact = li.agg(
+            F.percentile("l_extendedprice", F.lit(float(q)))
+        ).collect()[0][0]
+        assert abs(whole[q]["est_price"] - exact) <= 2 * DD_ALPHA * exact + 0.01

@@ -59,6 +59,14 @@ BNLJ_WHITELIST = {
     "kmv_jaccard_sources",  # |sources|² pair build (inequality join on
     #   the dimension-sized source list); all pairwise work runs on
     #   |sources|·k sketch rows, never the corpus
+    "association_rules",  # 1-row basket-total crossJoin onto the
+    #   ≤|brands|² rule table
+    "target_encoding",  # 1-row global-prior crossJoin onto the
+    #   ≤|categories| encoder table
+    "ddsketch_quantiles",  # 1-row n crossJoin + 3-probe inequality join
+    #   onto the ≤|γ-buckets| cumulative sketch table
+    "rfm_segments",  # 1-row max-orderdate crossJoin + the |partitions|-
+    #   row offset maps of three global_positions calls
 }
 
 
@@ -78,6 +86,11 @@ GLOBAL_WINDOW_WHITELIST = {
     #   histogram — bounded by construction
     "topk_with_others",  # rank over the |priorities|-row aggregate
     "rolling_corr_events",  # 24h frame over the ≤|hours| hourly rollup
+    "ddsketch_quantiles",  # cumulative window over the ≤|γ-buckets|
+    #   (~630-row) sketch histogram — bounded by construction
+    "rfm_segments",  # false positive: all three windows are KEYED on
+    #   pid (global_positions); the SinglePartition exchanges are the
+    #   1-row max-date / offset-count aggregates
 }
 
 
