@@ -572,6 +572,148 @@ ORACLES_TRIANGLES = (
 )
 
 
+KC_TAU = 0.25  # similarity-threshold edge bar for the k-core graph
+KC_K = 3  # degree threshold: the 3-core
+KC_ROUNDS = 12  # fixed peel rounds, unrolled in the oracle — measured
+#   fixpoint is ≤ 9 rounds at sf0.1/0.25/3 (see test_k_core_converges);
+#   extra rounds past the fixpoint are identity steps, so both engines
+#   emit the true k-core, and the test pins that the budget still holds
+
+
+def q_k_core_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (the 3-core) of the cosine-threshold
+    similarity graph over the first 200 vectors — the density filter
+    community detection and spam/bot-cluster mining start from:
+    iteratively peel nodes with degree < k until the remainder is
+    mutually k-connected.
+
+    Unlike the fixed-kNN graph (uniform out-degree 5 — its k-core is
+    all-or-nothing), the THRESHOLD graph (cos ≥ 0.25) has heterogeneous
+    degrees, so the peel genuinely iterates (4-9 rounds on the
+    fixtures). The peel runs ``KC_ROUNDS`` fixed rounds — each one
+    degree-count + filter over the bounded node/edge frames — so the
+    DuckDB oracle replays the identical unrolled rounds; rounds past
+    the fixpoint are no-ops. Output: every node with its final
+    in-3-core flag and its degree within the core (0 outside).
+
+    Scale: the slice is bounded (like pagerank_knn); on a full-corpus
+    graph each round is one fact-sized semi-join + grouped count, and
+    the right algorithm becomes distributed bucket peeling (delete all
+    sub-k nodes per round — exactly this loop) with the edge list
+    pre-partitioned by node id so every round reuses the partitioning."""
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < PR_NODES)
+    v = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    from pb_etl_spark.operators.similarity import _dot, _norm
+
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    )
+    # bounded 200×200 pair build; eager checkpoint both truncates the
+    # lineage for the 12-round loop and keeps the BNLJ out of the
+    # registered plan (the pagerank_knn/triangle pattern)
+    und = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("lo"), F.col("b.id").alias("hi"), cos.alias("c"))
+        .filter(F.col("c") >= KC_TAU)
+        .select("lo", "hi")
+        .localCheckpoint(eager=True)
+    )
+    nodes = emb.select(F.col("vec_id").alias("node")).localCheckpoint(eager=True)
+
+    active = nodes
+    for _ in range(KC_ROUNDS):
+        live = (
+            und.join(active.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(active.withColumnRenamed("node", "hi"), "hi", "left_semi")
+        )
+        deg = (
+            live.select(F.explode(F.array("lo", "hi")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        active = (
+            deg.filter(F.col("deg") >= KC_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    # final in-core degree, recomputed on the fixpoint set
+    core_edges = (
+        und.join(active.withColumnRenamed("node", "lo"), "lo", "left_semi")
+        .join(active.withColumnRenamed("node", "hi"), "hi", "left_semi")
+    )
+    core_deg = (
+        core_edges.select(F.explode(F.array("lo", "hi")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return (
+        nodes.join(active.withColumn("in_core", F.lit(True)), "node", "left")
+        .join(core_deg, "node", "left")
+        .select(
+            "node",
+            F.coalesce("in_core", F.lit(False)).alias("in_core"),
+            F.coalesce("core_degree", F.lit(0)).alias("core_degree"),
+        )
+    )
+
+
+def _k_core_oracle_sql() -> str:
+    rounds = []
+    prev = "act0"
+    for r in range(1, KC_ROUNDS + 1):
+        # MATERIALIZED: DuckDB inlines plain CTEs, and each round
+        # references its predecessor four times — without materialization
+        # the expansion is 4^rounds and the planner exhausts file handles
+        rounds.append(f"""
+        deg{r} AS MATERIALIZED (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT lo AS node FROM und
+                WHERE lo IN (SELECT node FROM {prev})
+                  AND hi IN (SELECT node FROM {prev})
+                UNION ALL
+                SELECT hi FROM und
+                WHERE lo IN (SELECT node FROM {prev})
+                  AND hi IN (SELECT node FROM {prev})
+            ) GROUP BY node
+        ),
+        act{r} AS MATERIALIZED (SELECT node FROM deg{r} WHERE deg >= {KC_K})""")
+        prev = f"act{r}"
+    return (
+        "WITH "
+        + f"""emb AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {PR_NODES}
+        ),
+        und AS MATERIALIZED (
+            SELECT a.vec_id AS lo, b.vec_id AS hi
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= {KC_TAU}
+        ),
+        act0 AS MATERIALIZED (SELECT vec_id AS node FROM emb),{",".join(rounds)},
+        core_deg AS (
+            SELECT node, COUNT(*) AS core_degree FROM (
+                SELECT lo AS node FROM und
+                WHERE lo IN (SELECT node FROM {prev})
+                  AND hi IN (SELECT node FROM {prev})
+                UNION ALL
+                SELECT hi FROM und
+                WHERE lo IN (SELECT node FROM {prev})
+                  AND hi IN (SELECT node FROM {prev})
+            ) GROUP BY node
+        )
+        SELECT n.node,
+               n.node IN (SELECT node FROM {prev}) AS in_core,
+               COALESCE(cd.core_degree, 0) AS core_degree
+        FROM act0 n LEFT JOIN core_deg cd ON cd.node = n.node
+    """
+    )
+
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_representatives": q_dedup_representatives,
@@ -579,6 +721,8 @@ QUERIES = {
     "entity_golden_record": q_entity_golden_record,
     "pagerank_knn": q_pagerank_knn,
     "triangle_count_knn": q_triangle_count_knn,
+    "k_core_knn": q_k_core_knn,
 }
 ORACLES["pagerank_knn"] = ORACLES_PAGERANK
 ORACLES["triangle_count_knn"] = ORACLES_TRIANGLES
+ORACLES["k_core_knn"] = _k_core_oracle_sql()

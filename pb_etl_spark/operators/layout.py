@@ -201,13 +201,60 @@ def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orc_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """orders re-written as ORC (idempotent per sf_dir, _SUCCESS-gated
+    like the partitioned-events copy) — Spark's built-in columnar
+    sibling to parquet, exercised so the engine's source matrix (CSV /
+    JSONL / Parquet / ORC) matches what a lakehouse actually contains."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _WAREHOUSE / f"orders_orc_{tag}"
+    if not os.path.exists(path / "_SUCCESS"):
+        read_table(spark, sf_dir, "orders").write.mode("overwrite").orc(str(path))
+    return str(path)
+
+
+def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status revenue rollup read from the ORC copy of orders —
+    the ORC connector end-to-end (write → scan → pushdown → aggregate).
+    The DuckDB oracle runs the identical aggregate on the parquet
+    original, so a hash match proves the ORC round-trip byte-preserves
+    the data (cents grid) while the format changes underneath.
+
+    Scale shape: ORC scans support the same predicate pushdown + column
+    pruning as parquet (the o_totalprice > 0 filter and 3-column
+    ReadSchema reach the scan; asserted in tests/test_layout_ops.py)."""
+    path = orc_orders_path(spark, sf_dir)
+    o = spark.read.orc(path)
+    return (
+        o.filter(F.col("o_totalprice") > 0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
 QUERIES = {
     "partition_pruned_scan": q_partition_pruned_scan,
     "dynamic_partition_pruning": q_dynamic_partition_pruning,
     "zorder_key": q_zorder_key,
+    "orc_roundtrip_agg": q_orc_roundtrip_agg,
 }
 
 ORACLES: dict[str, str] = {
+    "orc_roundtrip_agg": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+               COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders
+        WHERE o_totalprice > 0
+        GROUP BY o_orderstatus
+    """,
     "dynamic_partition_pruning": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS d,

@@ -606,10 +606,243 @@ def _ivf_oracle_sql(
     """
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    query vector, the top-5 most similar corpus vectors with a DIFFERENT
+    label — the highest-similarity wrong answers that make the best
+    training negatives (random negatives are trivially easy; these sit
+    on the decision boundary).
+
+    Same shape as ``q_knn_cosine`` (broadcast query set, one corpus
+    scan, per-query heap) plus the label-mismatch predicate applied
+    BEFORE the window, so positives never occupy heap slots. At scale
+    the exact scan swaps for the ANN tiers exactly as kNN does."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("q_vec"),
+        _norm(F.col("v")).alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("v").alias("n_vec"),
+        _norm(F.col("v")).alias("n_nrm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "n_id",
+            F.col("n_label").alias("neg_label"),
+            (_dot(F.col("q_vec"), F.col("n_vec"))
+             / (F.col("q_nrm") * F.col("n_nrm"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            "n_id",
+            "neg_label",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
+MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes similarity to picks
+MMR_CAND = 10  # coarse top-k candidate pool per query
+MMR_K = 5  # final diversified picks
+
+
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: per query, take the top-10
+    candidates by cosine, then greedily pick 5 maximizing
+    λ·rel − (1−λ)·max-sim-to-already-picked — the standard diversified
+    retrieval head (a plain top-k returns 5 near-duplicates of the same
+    neighborhood; MMR spends the tail slots on coverage).
+
+    The greedy loop is unrolled as ``MMR_K − 1`` bounded DataFrame
+    steps over the candidate frame (≤ queries × 10 rows, checkpointed
+    once, so each step is a tiny join — never a corpus rescan), and the
+    argmax is a deterministic window (score desc, n_id asc). Every
+    double chain (rel, pairwise sims, the score) is identical in the
+    DuckDB oracle, which replays the same greedy steps as unrolled CTEs
+    — the selection ORDER itself is value-checked, not just the set."""
+    raw = read_table(spark, sf_dir, "embeddings")
+    emb = raw.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # candidate pool with vectors retained for the pairwise-sim join;
+    # checkpointed: ~(MMR_K+1) consuming subtrees would otherwise rerun
+    # the corpus scan per greedy step
+    # rel rides cosine_topk's 6-dp-rounded cos, and the pairwise sims
+    # are SNAPPED to a 1e-9 grid (the pagerank per-step quantization):
+    # the engines' cosine chains can differ by an ulp, and the greedy
+    # score 0.7·rel − 0.3·msim would push that ulp across a
+    # ROUND(...,6) boundary; snapped inputs make the score chain
+    # bit-identical. Candidate SELECTION happens inside cosine_topk on
+    # the unrounded cos (knn_cosine's established selection semantics).
+    cand = (
+        cosine_topk(raw, raw.filter(F.col("vec_id") < N_QUERY_VECS), k=MMR_CAND)
+        .join(emb.select(F.col("vec_id").alias("n_id"), "v"), "n_id")
+        .select("q_id", "n_id", F.col("cos").alias("rel"), "v")
+        .localCheckpoint(eager=True)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    sims = (
+        a.join(
+            b,
+            (F.col("a.q_id") == F.col("b.q_id"))
+            & (F.col("a.n_id") != F.col("b.n_id")),
+        )
+        .select(
+            F.col("a.q_id").alias("q_id"),
+            F.col("a.n_id").alias("i"),
+            F.col("b.n_id").alias("j"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+                9,
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    flat = cand.select("q_id", "n_id", "rel")
+    w1 = W.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("n_id").asc())
+    sel = (
+        flat.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") == 1)
+        .select("q_id", "n_id", "rel", F.col("rel").alias("score"),
+                F.lit(1).cast("long").alias("pick"))
+    )
+    for t in range(2, MMR_K + 1):
+        remaining = flat.join(sel.select("q_id", "n_id"), ["q_id", "n_id"], "left_anti")
+        scored = (
+            remaining.join(
+                sims, (sims.q_id == remaining.q_id) & (sims.i == remaining.n_id)
+            )
+            .join(
+                sel.select(F.col("q_id").alias("sq"), F.col("n_id").alias("sj")),
+                (F.col("sq") == remaining.q_id) & (F.col("sj") == sims.j),
+            )
+            .groupBy(remaining.q_id, remaining.n_id, remaining.rel)
+            .agg(F.max("s").alias("msim"))
+            .select(
+                remaining.q_id,
+                remaining.n_id,
+                "rel",
+                (F.lit(MMR_LAMBDA) * F.col("rel")
+                 - F.lit(1 - MMR_LAMBDA) * F.col("msim")).alias("score"),
+            )
+        )
+        wt = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id").asc())
+        pick = (
+            scored.withColumn("r", F.row_number().over(wt))
+            .filter(F.col("r") == 1)
+            .select("q_id", "n_id", "rel", "score", F.lit(t).cast("long").alias("pick"))
+        )
+        sel = sel.unionAll(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "q_id", "pick", "n_id", F.round("rel", 6).alias("rel"),
+        F.round("score", 6).alias("score")
+    )
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy MMR as CTE stages — pairwise sims and the score
+    chain use the same double arithmetic as the Spark side."""
+    steps = []
+    prev = "sel1"
+    for t in range(2, MMR_K + 1):
+        steps.append(f"""
+        scored{t} AS (
+            SELECT c.q_id, c.n_id, c.rel,
+                   {MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} * MAX(s.s) AS score
+            FROM cand c
+            JOIN sims s ON s.q_id = c.q_id AND s.i = c.n_id
+            JOIN {prev} p ON p.q_id = s.q_id AND p.n_id = s.j
+            WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                              WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+            GROUP BY c.q_id, c.n_id, c.rel
+        ),
+        pick{t} AS (
+            SELECT q_id, n_id, rel, score, CAST({t} AS BIGINT) AS pick
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, n_id ASC) AS r
+                  FROM scored{t})
+            WHERE r = 1
+        ),
+        sel{t} AS (SELECT q_id, n_id, rel, score, pick FROM sel{t - 1}
+                   UNION ALL SELECT q_id, n_id, rel, score, pick FROM pick{t})""")
+        prev = f"sel{t}"
+    return f"""
+        WITH pool AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])) AS rel
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ),
+        cand AS (
+            -- selection on the UNROUNDED rel (knn_cosine semantics);
+            -- the projected rel is 6-dp-rounded exactly like
+            -- cosine_topk's cos output on the Spark side
+            SELECT q_id, n_id, ROUND(rel, 6) AS rel
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY rel DESC, n_id ASC) AS r
+                  FROM pool)
+            WHERE r <= {MMR_CAND}
+        ),
+        sims AS (
+            SELECT a.q_id, a.n_id AS i, b.n_id AS j,
+                   ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                                CAST(eb.embedding AS DOUBLE[])),
+                         9) AS s
+            FROM cand a
+            JOIN cand b ON a.q_id = b.q_id AND a.n_id != b.n_id
+            JOIN embeddings ea ON ea.vec_id = a.n_id
+            JOIN embeddings eb ON eb.vec_id = b.n_id
+        ),
+        sel1 AS (
+            SELECT q_id, n_id, rel, rel AS score, CAST(1 AS BIGINT) AS pick
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY rel DESC, n_id ASC) AS r
+                  FROM cand)
+            WHERE r = 1
+        ),{",".join(steps)}
+        SELECT q_id, pick, n_id, ROUND(rel, 6) AS rel, ROUND(score, 6) AS score
+        FROM sel{MMR_K}
+    """
+
+
 # registered here (not in the dict literal) because the SQL builders need
 # _deterministic_gaussians / the module constants, defined above
 ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
 ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
+ORACLES["mmr_diverse_topk"] = _mmr_oracle_sql()
+ORACLES["hard_negative_mining"] = f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS neg_label,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) AS cos
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id != c.vec_id AND q.label != c.label
+        WHERE q.vec_id < {N_QUERY_VECS}
+    ), ranked AS (
+        SELECT q_id, n_id, neg_label, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id ASC) AS rank
+        FROM pairs
+    )
+    SELECT q_id, n_id, neg_label, rank, ROUND(cos, 6) AS cos
+    FROM ranked WHERE rank <= {TOP_K}
+"""
 
 QUERIES = {
     "knn_cosine": q_knn_cosine,
@@ -617,4 +850,6 @@ QUERIES = {
     "embedding_norms": q_embedding_norms,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "hard_negative_mining": q_hard_negative_mining,
+    "mmr_diverse_topk": q_mmr_diverse_topk,
 }

@@ -133,12 +133,17 @@ _PRIORITY = [
     # subquery battery, vectors/layout, text/stats remainder, final
     # stragglers. Rotate r05 by simply deleting the names that
     # CORRECTNESS_r04 covers above. ----
-    # new in round 4: affinity analytics + DDSketch
+    # new in round 4: affinity analytics, DDSketch, retrieval heads,
+    # k-core, ORC connector
     "association_rules",
     "item_item_cosine",
     "rfm_segments",
     "target_encoding",
     "ddsketch_quantiles",
+    "hard_negative_mining",
+    "mmr_diverse_topk",
+    "k_core_knn",
+    "orc_roundtrip_agg",
     # scalar battery
     "string_funcs",
     "date_funcs",

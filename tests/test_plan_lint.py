@@ -28,6 +28,8 @@ BNLJ_WHITELIST = {
     "embedding_near_dup",  # brute-force cross-CHECK tier (dedup.py): the
     #   registered scale path is embedding_near_dup_lsh
     "knn_cosine",  # exact baseline: 5-row query set broadcast vs corpus
+    "hard_negative_mining",  # same 5-row broadcast query set; the
+    #   label-mismatch predicate rides the same one-corpus-scan shape
     "matryoshka_knn",  # same 5-row broadcast query set; coarse stage is
     #   the one corpus scan, re-rank touches only top-MAT_CAND candidates
     "tpch_q22_idle_balances",  # 1-row scalar-subquery crossJoin

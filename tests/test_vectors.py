@@ -172,3 +172,74 @@ def test_ivf_partitioned_layout_prunes_probe_scans(spark, tmp_path):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
     expected = assign.filter(F.col("centroid_id").isin(1, 3)).count()
     assert probe.count() == expected > 0
+
+
+def test_hard_negatives_never_share_the_query_label(spark):
+    """Every mined negative must carry a label different from its query's,
+    be ranked 1..TOP_K densely, and be at least as similar as any
+    worse-ranked negative for the same query."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.similarity import TOP_K, q_hard_negative_mining
+
+    labels = {
+        r.vec_id: r.label
+        for r in read_table(spark, SF_DIR, "embeddings").select("vec_id", "label").collect()
+    }
+    rows = q_hard_negative_mining(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert labels[r.n_id] == r.neg_label != labels[r.q_id]
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, TOP_K + 1))
+        assert all(a.cos >= b.cos for a, b in zip(rs, rs[1:]))
+
+
+def test_mmr_first_pick_is_top_relevance_and_picks_diversify(spark):
+    """MMR invariants: per query exactly MMR_K distinct picks drawn from
+    the candidate pool; pick 1 equals the plain top-1 by relevance; and
+    the MMR re-rank is a no-op only if it already was diverse — on this
+    fixture at least one query must reorder vs plain top-k (the reason
+    the operator exists)."""
+    from pb_etl_spark.operators.similarity import (
+        MMR_K,
+        q_knn_cosine,
+        q_mmr_diverse_topk,
+    )
+
+    mmr = q_mmr_diverse_topk(spark, SF_DIR).collect()
+    knn = q_knn_cosine(spark, SF_DIR).collect()
+    top1 = {r.q_id: r.n_id for r in knn if r.rank == 1}
+    topk = {}
+    for r in knn:
+        topk.setdefault(r.q_id, set()).add(r.n_id)
+    by_q: dict[int, list] = {}
+    for r in mmr:
+        by_q.setdefault(r.q_id, []).append(r)
+    reordered = 0
+    for q, rs in by_q.items():
+        assert len(rs) == MMR_K
+        assert len({r.n_id for r in rs}) == MMR_K
+        first = min(rs, key=lambda r: r.pick)
+        assert first.n_id == top1[q]
+        if {r.n_id for r in rs} != topk[q]:
+            reordered += 1
+    assert reordered >= 1
+
+
+def test_k_core_is_a_fixpoint_within_round_budget(spark):
+    """The emitted 3-core must be a FIXPOINT: every in-core node's
+    core_degree >= KC_K (one more peel round changes nothing), every
+    out-of-core node has in_core False, and the core is non-trivial on
+    the fixture (neither empty nor the whole graph)."""
+    from pb_etl_spark.operators.clustering import KC_K, q_k_core_knn
+
+    rows = q_k_core_knn(spark, SF_DIR).collect()
+    core = {r.node for r in rows if r.in_core}
+    assert 0 < len(core) < len(rows)
+    for r in rows:
+        if r.in_core:
+            assert r.core_degree >= KC_K, r
+        else:
+            assert not r.in_core
