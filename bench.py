@@ -102,6 +102,15 @@ HEADLINE = [
     # and DPP's benefit heuristic gets a timed row
     "entity_golden_record",
     "dynamic_partition_pruning",
+    # round-4 new operators, tracked before the driver ever times them:
+    # basket self-join, interaction-matrix self-join, 3x global_positions,
+    # sketch insert path, unrolled greedy re-rank, iterative peel
+    "association_rules",
+    "item_item_cosine",
+    "rfm_segments",
+    "ddsketch_quantiles",
+    "mmr_diverse_topk",
+    "k_core_knn",
 ]
 
 

@@ -39,3 +39,23 @@ def test_zvalue_orders_locally(spark):
     )
     zs = [r["z"] for r in rows]
     assert zs == sorted(zs)
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark):
+    """The ORC connector must behave like parquet at scale: the selective
+    predicate reaches the scan as a PushedFilter and ReadSchema lists
+    only the referenced columns — not all six of orders'."""
+    from pb_etl_spark.operators.layout import orc_orders_path
+
+    path = orc_orders_path(spark, SF_DIR)
+    df = (
+        spark.read.orc(path)
+        .filter(F.col("o_totalprice") > 50000)
+        .select("o_orderstatus", "o_totalprice")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "o_totalprice" in pushed
+    schema = plan.split("ReadSchema")[1][:200]
+    assert "o_orderstatus" in schema and "o_custkey" not in schema
