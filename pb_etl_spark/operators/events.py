@@ -20,6 +20,9 @@ from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
 
+FUNNEL_GAP_HOURS = 24  # per-step max gap for the time-bounded funnel
+WALLET_SIGNUP_BONUS_CENTS = 10_000  # signup credit for the wallet scan
+
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType(), True)])
@@ -591,6 +594,79 @@ def q_variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "time_bounded_funnel": f"""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click'
+              AND e.ts > s1.t1
+              AND e.ts <= s1.t1 + INTERVAL {FUNNEL_GAP_HOURS} HOUR
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.ts > s2.t2
+              AND e.ts <= s2.t2 + INTERVAL {FUNNEL_GAP_HOURS} HOUR
+            GROUP BY e.user_id
+        ), counts AS (
+            SELECT COUNT(*) AS c1,
+                   COUNT(s2.t2) AS c2,
+                   COUNT(s3.t3) AS c3
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+        )
+        SELECT '1_view' AS step, c1 AS users,
+               1.0 AS conv_from_prev,
+               ROUND(CAST(c1 AS DOUBLE) / c1, 6) AS conv_overall
+        FROM counts
+        UNION ALL
+        SELECT '2_click', c2, ROUND(CAST(c2 AS DOUBLE) / c1, 6),
+               ROUND(CAST(c2 AS DOUBLE) / c1, 6) FROM counts
+        UNION ALL
+        SELECT '3_purchase', c3, ROUND(CAST(c3 AS DOUBLE) / c2, 6),
+               ROUND(CAST(c3 AS DOUBLE) / c1, 6) FROM counts
+    """,
+    "capped_running_balance": f"""
+        WITH RECURSIVE ev AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   CASE
+                     WHEN event_type = 'signup'
+                       THEN CAST({WALLET_SIGNUP_BONUS_CENTS} AS BIGINT)
+                     WHEN event_type IN ('view', 'click')
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                     WHEN event_type = 'purchase'
+                       THEN -CAST(ROUND(value * 100) AS BIGINT)
+                     ELSE CAST(0 AS BIGINT)
+                   END AS delta
+            FROM events
+        ), nmax AS (
+            SELECT user_id, MAX(rn) AS n FROM ev GROUP BY user_id
+        ), rec AS (
+            SELECT user_id, rn,
+                   GREATEST(CAST(0 AS BIGINT), delta) AS bal,
+                   CAST(CASE WHEN delta < 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS hits
+            FROM ev WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.rn,
+                   GREATEST(CAST(0 AS BIGINT), r.bal + e.delta),
+                   r.hits + CASE WHEN r.bal + e.delta < 0 THEN 1 ELSE 0 END
+            FROM rec r JOIN ev e
+              ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        )
+        SELECT r.user_id,
+               r.bal AS final_balance_cents,
+               r.hits AS n_floor_hits,
+               n.n AS n_events
+        FROM rec r JOIN nmax n ON r.user_id = n.user_id AND r.rn = n.n
+    """,
     "event_path_topk": """
         WITH ranked AS (
             SELECT user_id, event_type,
@@ -843,7 +919,138 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def q_time_bounded_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel view → click → purchase where each
+    step must land within FUNNEL_GAP_HOURS of the previous step's
+    earliest match — the product-analytics funnel with conversion
+    windows (q_strict_funnel without a bound counts a click 3 weeks
+    later as converted; real funnels don't).
+
+    Greedy earliest-match per step: t1 = first view; t2 = first click in
+    (t1, t1+gap]; t3 = first purchase in (t2, t2+gap]. Each step is one
+    filtered fact join on user_id + a grouped min — no windows, no
+    per-user state. Output: one row per step with reach and conversion
+    rates (integer-count-derived doubles, round 6)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    gap = F.expr(f"INTERVAL {FUNNEL_GAP_HOURS} HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("c1"),
+            F.count("t2").alias("c2"),
+            F.count("t3").alias("c3"),
+        )
+    )
+    steps = F.array(
+        F.struct(
+            F.lit("1_view").alias("step"),
+            F.col("c1").alias("users"),
+            F.lit(1.0).alias("conv_from_prev"),
+        ),
+        F.struct(
+            F.lit("2_click").alias("step"),
+            F.col("c2").alias("users"),
+            F.round(F.col("c2") / F.col("c1"), 6).alias("conv_from_prev"),
+        ),
+        F.struct(
+            F.lit("3_purchase").alias("step"),
+            F.col("c3").alias("users"),
+            F.round(F.col("c3") / F.col("c2"), 6).alias("conv_from_prev"),
+        ),
+    )
+    return (
+        counts.select(F.explode(steps).alias("s"), "c1")
+        .select(
+            F.col("s.step").alias("step"),
+            F.col("s.users").alias("users"),
+            F.col("s.conv_from_prev").alias("conv_from_prev"),
+            F.round(F.col("s.users") / F.col("c1"), 6).alias("conv_overall"),
+        )
+    )
+
+
+def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped per-user wallet scan: balance_t = max(0, balance_
+    {t-1} + delta_t) with signup = +100.00 credit, view/click = earn
+    value, purchase = spend value (all integer cents — exact). A capped
+    prefix scan is NOT associative (the clamp destroys the monoid), so
+    no window/aggregate expresses it: this is the custom-operator rule
+    (b) case — one Arrow batch per user via ``applyInPandas``, one
+    shuffle on user_id, linear. Per-key memory = one user's events
+    (whale keys would segment the scan by checkpointing era balances —
+    documented, not needed at fixture scale).
+
+    The DuckDB oracle replays the scan as a RECURSIVE CTE over per-user
+    row numbers — value-proving an operator Spark's declarative surface
+    cannot express. Output per user: final balance, floor-hit count
+    (times the clamp fired), event count."""
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit(WALLET_SIGNUP_BONUS_CENTS))
+        .when(
+            F.col("event_type").isin("view", "click"),
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            -F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("delta"),
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, hits = 0, 0
+        for d in pdf["delta"].to_numpy():
+            raw = bal + int(d)
+            if raw < 0:
+                hits += 1
+                bal = 0
+            else:
+                bal = raw
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "final_balance_cents": [bal],
+                "n_floor_hits": [hits],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        scan,
+        schema="user_id long, final_balance_cents long, n_floor_hits long, n_events long",
+    )
+
+
 QUERIES = {
+    "time_bounded_funnel": q_time_bounded_funnel,
+    "capped_running_balance": q_capped_running_balance,
     "json_extract_agg": q_json_extract_agg,
     "variant_extract_agg": q_variant_extract_agg,
     "event_path_topk": q_event_path_topk,

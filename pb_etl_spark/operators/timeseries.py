@@ -518,7 +518,137 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UCB_ARMS = 4  # variants assigned by user_id % UCB_ARMS
+KM_CONV_VALUE = 150  # the high-value-purchase event (same bar as ab_test)
+
+
+def q_ucb_bandit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-armed-bandit arm scores over a 4-variant assignment
+    (user_id % 4): per arm, trials, conversions (the ab_test high-value
+    purchase), empirical rate, the UCB1 exploration bonus
+    rate + sqrt(2·ln(N)/n), and the Beta(1,1)-posterior mean
+    (s+1)/(n+2) — the nightly batch that feeds an online bandit's
+    priors.
+
+    Every score is one double chain over five integers (per-arm n, s and
+    the global N), so the |arms|-row output is grid-exact. Shape: one
+    per-user aggregate (the only fact-sized shuffle), one |arms|-row
+    aggregate, a 1-row total crossJoin."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= KM_CONV_VALUE),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arms = (
+        per_user.withColumn(
+            "arm", F.concat(F.lit("arm"), (F.col("user_id") % UCB_ARMS))
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_trials"),
+            F.sum("converted").alias("n_conversions"),
+        )
+    )
+    total = arms.agg(F.sum("n_trials").alias("n_total"))
+    rate = F.col("n_conversions").cast("double") / F.col("n_trials")
+    return arms.crossJoin(F.broadcast(total)).select(
+        "arm",
+        "n_trials",
+        "n_conversions",
+        F.round(rate, 6).alias("mean_rate"),
+        F.round(
+            rate
+            + F.sqrt(
+                F.lit(2.0) * F.log(F.col("n_total").cast("double"))
+                / F.col("n_trials")
+            ),
+            6,
+        ).alias("ucb1"),
+        F.round(
+            (F.col("n_conversions") + 1.0) / (F.col("n_trials") + 2.0), 6
+        ).alias("posterior_mean"),
+    )
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-high-value-purchase
+    (days since the user's first event), right-censoring users who never
+    convert at the last day of the observation window — the
+    survival-analysis estimator product teams use for time-to-convert
+    and churn, with censoring handled correctly (naive averages over
+    converters only are biased).
+
+    Per user: one grouped pass → (duration t, observed flag). Per
+    distinct day t: d (events) and c (censorings); at_risk = N − rows
+    seen before t (cumulative window over ≤ |days| rows — bounded by
+    the 30-day fixture window); S(t) = Π(1 − d/n) via
+    exp(cumsum(ln·)) — the cumulative (UNBOUNDED PRECEDING) frame both
+    engines fold sequentially. Emitted only at event days (the standard
+    KM step points)."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= KM_CONV_VALUE),
+                F.to_date("ts"),
+            )
+        ).alias("conv_day"),
+    )
+    end = ev.agg(F.max(F.to_date("ts")).alias("end_day"))
+    durations = per_user.crossJoin(F.broadcast(end)).select(
+        F.when(
+            F.col("conv_day").isNotNull(),
+            F.datediff("conv_day", "first_day"),
+        )
+        .otherwise(F.datediff("end_day", "first_day"))
+        .cast("long")
+        .alias("t"),
+        F.col("conv_day").isNotNull().cast("long").alias("observed"),
+    )
+    n_total = durations.agg(F.count(F.lit(1)).alias("n"))
+    per_t = durations.groupBy("t").agg(
+        F.sum("observed").alias("d"),
+        F.sum(F.lit(1) - F.col("observed")).alias("c"),
+    )
+    w_prior = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    at_risk = F.col("n") - F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)
+    )
+    curve = (
+        per_t.crossJoin(F.broadcast(n_total))
+        .withColumn("at_risk", at_risk)
+        .withColumn(
+            "ln_factor",
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("at_risk")
+            ),
+        )
+        .withColumn("surv", F.exp(F.sum("ln_factor").over(w_cum)))
+    )
+    return (
+        curve.filter(F.col("d") > 0)
+        .select(
+            "t",
+            "at_risk",
+            "d",
+            F.col("c").alias("censored"),
+            F.round("surv", 6).alias("survival"),
+        )
+    )
+
+
 QUERIES = {
+    "ucb_bandit_scores": q_ucb_bandit_scores,
+    "kaplan_meier": q_kaplan_meier,
     "rolling_active_users": q_rolling_active_users,
     "sequence_anomaly": q_sequence_anomaly,
     "ab_test_zscore": q_ab_test_zscore,
@@ -532,6 +662,69 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "ucb_bandit_scores": f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase'
+                             AND value >= {KM_CONV_VALUE}
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ), arms AS (
+            SELECT 'arm' || CAST(user_id % {UCB_ARMS} AS VARCHAR) AS arm,
+                   COUNT(*) AS n_trials,
+                   CAST(SUM(converted) AS BIGINT) AS n_conversions
+            FROM per_user GROUP BY 1
+        ), tot AS (SELECT SUM(n_trials) AS n_total FROM arms)
+        SELECT arm, n_trials, n_conversions,
+               ROUND(CAST(n_conversions AS DOUBLE) / n_trials, 6)
+                   AS mean_rate,
+               ROUND(CAST(n_conversions AS DOUBLE) / n_trials
+                     + SQRT(2.0 * LN(CAST(n_total AS DOUBLE)) / n_trials),
+                     6) AS ucb1,
+               ROUND((n_conversions + 1.0) / (n_trials + 2.0), 6)
+                   AS posterior_mean
+        FROM arms CROSS JOIN tot
+    """,
+    "kaplan_meier": f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CAST(ts AS DATE)) AS first_day,
+                   MIN(CASE WHEN event_type = 'purchase'
+                             AND value >= {KM_CONV_VALUE}
+                            THEN CAST(ts AS DATE) END) AS conv_day
+            FROM events GROUP BY user_id
+        ), e AS (SELECT MAX(CAST(ts AS DATE)) AS end_day FROM events),
+        durations AS (
+            SELECT CAST(CASE WHEN conv_day IS NOT NULL
+                             THEN date_diff('day', first_day, conv_day)
+                             ELSE date_diff('day', first_day, e.end_day)
+                        END AS BIGINT) AS t,
+                   CAST(CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS observed
+            FROM per_user CROSS JOIN e
+        ), nt AS (SELECT COUNT(*) AS n FROM durations),
+        per_t AS (
+            SELECT t, SUM(observed) AS d, SUM(1 - observed) AS c
+            FROM durations GROUP BY t
+        ), cum AS (
+            SELECT t, d, c,
+                   nt.n - COALESCE(SUM(d + c) OVER (
+                              ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS at_risk
+            FROM per_t CROSS JOIN nt
+        ), curve AS (
+            SELECT t, d, c, at_risk,
+                   EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / at_risk)) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)) AS surv
+            FROM cum
+        )
+        SELECT t, CAST(at_risk AS BIGINT) AS at_risk,
+               CAST(d AS BIGINT) AS d,
+               CAST(c AS BIGINT) AS censored,
+               ROUND(surv, 6) AS survival
+        FROM curve WHERE d > 0
+    """,
     "seasonal_anomalies": f"""
         WITH hourly AS (
             SELECT date_trunc('hour', ts) AS h,

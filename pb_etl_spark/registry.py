@@ -144,6 +144,10 @@ _PRIORITY = [
     "mmr_diverse_topk",
     "k_core_knn",
     "orc_roundtrip_agg",
+    "time_bounded_funnel",
+    "capped_running_balance",
+    "ucb_bandit_scores",
+    "kaplan_meier",
     # scalar battery
     "string_funcs",
     "date_funcs",

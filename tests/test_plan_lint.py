@@ -69,6 +69,10 @@ BNLJ_WHITELIST = {
     #   onto the ≤|γ-buckets| cumulative sketch table
     "rfm_segments",  # 1-row max-orderdate crossJoin + the |partitions|-
     #   row offset maps of three global_positions calls
+    "ucb_bandit_scores",  # 1-row trial-total crossJoin onto the
+    #   |arms|-row score table
+    "kaplan_meier",  # 1-row (N, end-day) crossJoins onto the ≤|days|
+    #   duration table
 }
 
 
@@ -93,6 +97,8 @@ GLOBAL_WINDOW_WHITELIST = {
     "rfm_segments",  # false positive: all three windows are KEYED on
     #   pid (global_positions); the SinglePartition exchanges are the
     #   1-row max-date / offset-count aggregates
+    "kaplan_meier",  # cumulative risk/survival windows over the
+    #   ≤|days| (30-row) duration table — bounded by construction
 }
 
 
