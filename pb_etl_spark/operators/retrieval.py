@@ -807,8 +807,13 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cents") > b_at_j0, j0 + 1)
         .otherwise(j0)
     )
-    hist = li.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("cnt"))
-    n_df = li.agg(F.count(F.lit(1)).alias("n"))
+    hist = li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # n derives from the sketch itself (sum of cells), so both consumers
+    # share the one aggregation shape; the ~630-row sketch is cheap
+    # enough that caching it costs more than recomputing (measured)
+    n_df = hist.agg(F.sum("cnt").alias("n"))
 
     w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = hist.select("bucket", F.sum("cnt").over(w_cum).alias("cum"))
