@@ -1,0 +1,132 @@
+"""Data-governance operators: k-anonymity auditing and differentially
+private release counts.
+
+Reference parity note: the reference pipeline (``/root/reference/pb_etl/
+tasks.py``) has no governance surface; these extend the catalog with the
+privacy checks a 100 TB data platform runs before sharing derived
+tables (the `pii_redaction` lineage in ``operators/corpus.py``).
+
+Scale design:
+
+- ``k_anonymity_report``: one grouped count over the quasi-identifier
+  tuple (the only fact-sized shuffle), then a 1-row rollup of the
+  bounded group table. The group table is |QI-value-combinations|-sized
+  — a dimension product, not a fact.
+- ``dp_noisy_counts``: per-category counts + Laplace(1/ε) noise whose
+  uniform draw is a SEEDED md5 hash of the category (the kmv/minhash
+  cross-engine determinism trick: both engines derive the identical
+  52-bit uniform, so the DuckDB oracle value-checks a *differentially
+  private* release — the noise is real Laplace inverse-CDF, just with
+  a deterministic seed per category, which is exactly how a production
+  DP release with an auditable seed log works).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pb_etl_spark.catalog import read_table
+
+K_ANON = 5  # minimum acceptable quasi-identifier group size
+DP_EPSILON = 1.0  # Laplace scale b = 1/ε
+DP_SEED = "dp-r04"  # seed tag mixed into the per-category hash
+_U_SCALE = float(1 << 52)  # 13 hex chars = 52 bits — exact in a double
+
+
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of customer against the quasi-identifier
+    (nation, market segment): the achieved k (minimum group size),
+    violating-group count under K_ANON, and the suppression rate —
+    the fraction of rows that would have to be withheld to publish the
+    table k-anonymously. One integer-only summary row."""
+    cust = read_table(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("size").alias("k_achieved"),
+        F.lit(K_ANON).cast("long").alias("k_required"),
+        F.sum((F.col("size") < K_ANON).cast("long")).alias("n_violating_groups"),
+        F.sum(F.when(F.col("size") < K_ANON, F.col("size")).otherwise(0)).alias(
+            "n_suppressed_rows"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("size") < K_ANON, F.col("size")).otherwise(0)
+            ).cast("double")
+            / F.sum("size"),
+            6,
+        ).alias("suppression_rate"),
+    )
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private per-event-type counts: true count +
+    Laplace(1/ε) noise via the inverse CDF
+    noise = −(1/ε)·sign(u−½)·ln(1 − 2|u−½|), with the uniform u drawn
+    from a seeded md5 hash of the category (auditable-seed DP release).
+    The true counts are NOT emitted — the noisy value and ε are the
+    release. Counts are a single grouped aggregate; the noise is a
+    per-row projection over the |categories| output."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(DP_SEED + ":"), F.col("event_type"))), 1, 13),
+        16,
+        10,
+    ).cast("double") / F.lit(_U_SCALE)
+    centered = u - 0.5
+    noise = (
+        F.lit(-1.0 / DP_EPSILON)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(centered))
+    )
+    return counts.select(
+        "event_type",
+        F.lit(DP_EPSILON).alias("epsilon"),
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+    )
+
+
+QUERIES = {
+    "k_anonymity_report": q_k_anonymity_report,
+    "dp_noisy_counts": q_dp_noisy_counts,
+}
+
+ORACLES: dict[str, str] = {
+    "k_anonymity_report": f"""
+        WITH groups AS (
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS size
+            FROM customer GROUP BY 1, 2
+        )
+        SELECT COUNT(*) AS n_groups,
+               MIN(size) AS k_achieved,
+               CAST({K_ANON} AS BIGINT) AS k_required,
+               SUM(CASE WHEN size < {K_ANON} THEN 1 ELSE 0 END)
+                   AS n_violating_groups,
+               SUM(CASE WHEN size < {K_ANON} THEN size ELSE 0 END)
+                   AS n_suppressed_rows,
+               ROUND(CAST(SUM(CASE WHEN size < {K_ANON} THEN size ELSE 0 END)
+                          AS DOUBLE) / SUM(size), 6) AS suppression_rate
+        FROM groups
+    """,
+    "dp_noisy_counts": f"""
+        WITH counts AS (
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+        ), drawn AS (
+            SELECT event_type, n,
+                   CAST(CAST('0x' || substring(
+                            md5('{DP_SEED}:' || event_type), 1, 13)
+                        AS BIGINT) AS DOUBLE) / {_U_SCALE!r} - 0.5 AS centered
+            FROM counts
+        )
+        SELECT event_type,
+               {DP_EPSILON} AS epsilon,
+               ROUND(n + (-1.0 / {DP_EPSILON})
+                         * SIGN(centered)
+                         * LN(1.0 - 2.0 * ABS(centered)), 6) AS noisy_count
+        FROM drawn
+    """,
+}

@@ -287,7 +287,66 @@ def q_rolling_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document-length
+    distributions onto the POOLED distribution: a doc at within-source
+    rank r (of n_s) maps to the pooled value at position
+    ceil(r·N/n_s) — after which every source has the same length
+    distribution (the batch-effect correction of bioinformatics,
+    applied here to make per-source corpus stats comparable).
+
+    Everything is INTEGER: within-source ranks are keyed windows
+    (partitioned by source), pooled positions come from the
+    distributed ``global_positions`` primitive (no single-partition
+    window), and the mapping join is an equi-join on the computed
+    position — linear, grid-exact, no floats anywhere."""
+    from pyspark.sql.window import Window as W
+
+    from pb_etl_spark.operators.corpus import global_positions
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).cast("long").alias("ns"),
+    )
+    pooled, n_total = global_positions(spark, d, ["n_chars", "doc_id"])
+    pooled = pooled.select(
+        F.col("pos"), F.col("n_chars").alias("norm_chars")
+    )
+    target = F.expr(f"(r * {n_total}L + ns - 1) div ns")
+    return (
+        ranked.withColumn("pos", target)
+        .join(pooled, "pos")
+        .select("doc_id", "source", "n_chars", "norm_chars")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "quantile_normalize": """
+        WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        ranked AS (
+            SELECT doc_id, source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS r,
+                   COUNT(*) OVER (PARTITION BY source) AS ns
+            FROM d
+        ),
+        pooled AS (
+            SELECT n_chars AS norm_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS pos
+            FROM d
+        ),
+        nt AS (SELECT COUNT(*) AS n FROM d)
+        SELECT rk.doc_id, rk.source, rk.n_chars, p.norm_chars
+        FROM ranked rk CROSS JOIN nt
+        JOIN pooled p ON p.pos = (rk.r * nt.n + rk.ns - 1) // rk.ns
+    """,
     "topk_with_others": f"""
         WITH per_group AS (
             SELECT o_orderpriority AS grp,
@@ -424,6 +483,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "quantile_normalize": q_quantile_normalize,
     "topk_with_others": q_topk_with_others,
     "rolling_corr_events": q_rolling_corr_events,
     "trailing_rows_avg": q_trailing_rows_avg,

@@ -357,7 +357,85 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_TOP = 200  # vocabulary head used for the log-log fit
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: OLS fit of ln(freq) against ln(rank) over
+    the top-200 corpus terms — natural text tracks slope ≈ −1, and a
+    corpus whose slope drifts (template spam flattens it, dedup
+    over-pruning steepens it) fails the health check. The standard
+    corpus-distribution monitor next to `vocab_drift`.
+
+    Shape: one token explode + grouped count (the only fact-sized
+    work), TakeOrderedAndProject to the 200-term head, rank + the five
+    OLS sums over that bounded frame, closed-form slope/intercept/r²
+    in one projection. Per-element ln values snap to a 1e-9 grid
+    before summation (the bigram_loglik discipline) so the bounded
+    double sums agree across engines."""
+    from pyspark.sql.window import Window as W
+
+    tok = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(ZIPF_TOP)
+    )
+    w = W.orderBy(F.col("cnt").desc(), F.col("term"))
+    xy = tok.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 9).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((F.col("sy") - (cov / varx) * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "zipf_slope": f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ), cnts AS (
+            SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+            ORDER BY cnt DESC, term LIMIT {ZIPF_TOP}
+        ), xy AS (
+            SELECT ROUND(LN(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term)
+                               AS DOUBLE)), 9) AS x,
+                   ROUND(LN(CAST(cnt AS DOUBLE)), 9) AS y
+            FROM cnts
+        ), s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                   SUM(x * y) AS sxy
+            FROM xy
+        )
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n, 6) AS intercept,
+               ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        FROM s
+    """,
     "udtf_chunking": f"""
         WITH d AS (
             SELECT doc_id, string_split(text, ' ') AS toks,
@@ -545,6 +623,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "zipf_slope": q_zipf_slope,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,

@@ -24,6 +24,7 @@ from pb_etl_spark.operators import (
     corpus,
     dedup,
     events,
+    governance,
     layout,
     multimodal,
     relational,
@@ -148,6 +149,10 @@ _PRIORITY = [
     "capped_running_balance",
     "ucb_bandit_scores",
     "kaplan_meier",
+    "k_anonymity_report",
+    "dp_noisy_counts",
+    "zipf_slope",
+    "quantile_normalize",
     # scalar battery
     "string_funcs",
     "date_funcs",
@@ -201,6 +206,7 @@ _PRIORITY = [
 
 _MODULES = [
     affinity,
+    governance,
     bucketing,
     layout,
     cdc,

@@ -70,3 +70,70 @@ def test_orders_customer_fk_holds_on_fixture(spark):
         "c_custkey",
     )
     assert orphans.count() == 0
+
+
+def test_k_anonymity_report_matches_brute_force(spark):
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.governance import K_ANON, q_k_anonymity_report
+
+    row = q_k_anonymity_report(spark, SF_DIR).collect()[0]
+    cust = read_table(spark, SF_DIR, "customer").toPandas()
+    sizes = cust.groupby(["c_nationkey", "c_mktsegment"]).size()
+    assert row.n_groups == len(sizes)
+    assert row.k_achieved == int(sizes.min())
+    assert row.n_violating_groups == int((sizes < K_ANON).sum())
+    assert row.n_suppressed_rows == int(sizes[sizes < K_ANON].sum())
+
+
+def test_dp_noise_is_bounded_and_nonzero(spark):
+    """The seeded Laplace draw must perturb every count (u = 0.5 exactly
+    has measure ~2^-52) and stay within the inverse-CDF's reachable
+    range for 52-bit uniforms: |noise| <= ln(2^52)/eps ~ 36."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.governance import DP_EPSILON, q_dp_noisy_counts
+    from pyspark.sql import functions as F
+
+    true = {
+        r.event_type: r.n
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = q_dp_noisy_counts(spark, SF_DIR).collect()
+    assert {r.event_type for r in rows} == set(true)
+    for r in rows:
+        noise = r.noisy_count - true[r.event_type]
+        assert noise != 0.0
+        assert abs(noise) <= 37.0 / DP_EPSILON
+
+
+def test_zipf_slope_is_negative_with_good_fit(spark):
+    from pb_etl_spark.operators.text import q_zipf_slope
+
+    row = q_zipf_slope(spark, SF_DIR).collect()[0]
+    assert row.n_terms > 20
+    assert row.slope < 0
+    assert 0.0 < row.r2 <= 1.0
+
+
+def test_quantile_normalize_equalizes_source_distributions(spark):
+    """After normalization, equal-sized sources must have IDENTICAL
+    sorted value vectors (they all map onto the same pooled grid), and
+    the mapping must preserve within-source order."""
+    from pb_etl_spark.operators.reshape import q_quantile_normalize
+
+    df = q_quantile_normalize(spark, SF_DIR).toPandas()
+    by_src = {
+        s: g.sort_values(["n_chars", "doc_id"]) for s, g in df.groupby("source")
+    }
+    sizes = {s: len(g) for s, g in by_src.items()}
+    vecs = {s: list(g.norm_chars) for s, g in by_src.items()}
+    for s, g in by_src.items():
+        assert list(g.norm_chars) == sorted(g.norm_chars)  # order-preserving
+    same_size = {}
+    for s, n in sizes.items():
+        same_size.setdefault(n, []).append(s)
+    for n, srcs in same_size.items():
+        for a, b in zip(srcs, srcs[1:]):
+            assert vecs[a] == vecs[b], (a, b)
