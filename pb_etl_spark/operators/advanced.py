@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 
 from pb_etl_spark.catalog import read_table, register_views
 
+SCRIPT_T0 = 100.0  # SQL-scripting demo: starting threshold
+SCRIPT_MAX_K = 30  # oracle unroll bound for the doubling loop
+
 
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two keys: all 4 grouping combinations in one pass
@@ -621,6 +624,32 @@ ORACLES: dict[str, str] = {
         FROM dev d JOIN mad m USING (o_orderpriority)
         GROUP BY d.o_orderpriority
     """,
+    "sql_table_udf_agg": """
+        SELECT o_custkey,
+               COUNT(*) AS n_big_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS big_cents
+        FROM orders
+        WHERE o_totalprice > 200000.0
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 2
+    """,
+    "sql_scripting_threshold": f"""
+        WITH ks AS (
+            SELECT UNNEST(RANGE(0, {SCRIPT_MAX_K + 1})) AS k
+        ), cand AS (
+            SELECT k, {SCRIPT_T0!r} * POWER(2.0, k) AS th FROM ks
+        ), counted AS (
+            SELECT c.k, c.th,
+                   (SELECT COUNT(*) FROM orders WHERE o_totalprice > c.th)
+                       AS n,
+                   (SELECT COUNT(*) // 10 FROM orders) AS target
+            FROM cand c
+        )
+        SELECT th AS threshold, n AS n_above, target AS target_max
+        FROM counted
+        WHERE n <= target
+        ORDER BY k LIMIT 1
+    """,
     "sql_udf_pricing": """
         SELECT l_returnflag,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
@@ -1019,6 +1048,68 @@ _JOIN_CARD_ORACLE = """
 """
 
 
+
+
+def q_sql_table_udf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE functions (Spark 4 CREATE FUNCTION … RETURNS TABLE):
+    a named, parameterized relation whose body is SQL — Catalyst
+    inlines the body into the calling plan exactly like a
+    parameterized view, so the abstraction costs nothing at 100 TB
+    (same reasoning as q_sql_udf_pricing for scalars). The function
+    filters orders above a price floor; the caller aggregates per
+    customer segment-of-one (custkey) and keeps repeat buyers. The
+    oracle inlines the body by hand."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("__tf_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __big_orders(minprice DOUBLE) "
+        "RETURNS TABLE (o_custkey BIGINT, cents BIGINT) "
+        "RETURN SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        "FROM __tf_orders WHERE o_totalprice > minprice"
+    )
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               COUNT(*) AS n_big_orders,
+               SUM(cents) AS big_cents
+        FROM __big_orders(200000.0)
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 2
+        """
+    )
+
+
+def q_sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END with DECLARE/SET/WHILE): an
+    adaptive-threshold search written as a procedural script — double
+    the price threshold until at most 10% of orders exceed it. The
+    script's control flow runs on the DRIVER; each iteration's body is
+    an ordinary Catalyst-planned aggregate, so the pattern scales as
+    k × (one scan-aggregate), exactly like the hand-written loop in
+    pagerank/k-core but expressed in pure SQL.
+
+    The DuckDB oracle unrolls the doubling schedule (thresholds
+    100·2^k), computes each candidate's count, and picks the first
+    that meets the target — value-proving the script's fixpoint."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("__sc_orders")
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE t DOUBLE DEFAULT {SCRIPT_T0!r};
+          DECLARE n BIGINT DEFAULT 0;
+          DECLARE target BIGINT DEFAULT 0;
+          SET target = (SELECT COUNT(*) div 10 FROM __sc_orders);
+          SET n = (SELECT COUNT(*) FROM __sc_orders WHERE o_totalprice > t);
+          WHILE n > target DO
+            SET t = t * 2;
+            SET n = (SELECT COUNT(*) FROM __sc_orders
+                     WHERE o_totalprice > t);
+          END WHILE;
+          SELECT t AS threshold, n AS n_above, target AS target_max;
+        END
+        """
+    )
+
+
 QUERIES = {
     "histogram_quantiles": q_histogram_quantiles,
     "join_cardinality_report": q_join_cardinality_report,
@@ -1045,6 +1136,8 @@ QUERIES = {
     "collated_group": q_collated_group,
     "pipe_syntax_agg": q_pipe_syntax_agg,
     "sql_udf_pricing": q_sql_udf_pricing,
+    "sql_table_udf_agg": q_sql_table_udf_agg,
+    "sql_scripting_threshold": q_sql_scripting_threshold,
     "session_variable_agg": q_session_variable_agg,
     "mad_outlier_stats": q_mad_outlier_stats,
     "min_max_by": q_min_max_by,

@@ -153,6 +153,8 @@ _PRIORITY = [
     "dp_noisy_counts",
     "zipf_slope",
     "quantile_normalize",
+    "sql_table_udf_agg",
+    "sql_scripting_threshold",
     # scalar battery
     "string_funcs",
     "date_funcs",
