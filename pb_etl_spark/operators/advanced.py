@@ -17,6 +17,8 @@ from pb_etl_spark.catalog import read_table, register_views
 
 SCRIPT_T0 = 100.0  # SQL-scripting demo: starting threshold
 SCRIPT_MAX_K = 30  # oracle unroll bound for the doubling loop
+PARAM_MIN_PRICE = 150_000.0  # parameterized-SQL demo binding
+PARAM_STATUS = "F"
 
 
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,6 +626,14 @@ ORACLES: dict[str, str] = {
         FROM dev d JOIN mad m USING (o_orderpriority)
         GROUP BY d.o_orderpriority
     """,
+    "parameterized_sql_agg": f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        WHERE o_totalprice > {PARAM_MIN_PRICE!r} AND o_orderstatus = '{PARAM_STATUS}'
+        GROUP BY o_orderpriority
+    """,
     "sql_table_udf_agg": """
         SELECT o_custkey,
                COUNT(*) AS n_big_orders,
@@ -1110,6 +1120,29 @@ def q_sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_parameterized_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named parameter markers): the query
+    text carries ``:min_price`` / ``:status`` placeholders and the
+    values arrive via ``spark.sql(..., args=...)`` — the
+    injection-safe pattern for templated production SQL (parameters
+    are bound as literals by the parser, never string-spliced). The
+    oracle inlines the same literals."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("__pq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM __pq_orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": PARAM_MIN_PRICE, "status": PARAM_STATUS},
+    )
+
+
 QUERIES = {
     "histogram_quantiles": q_histogram_quantiles,
     "join_cardinality_report": q_join_cardinality_report,
@@ -1137,6 +1170,7 @@ QUERIES = {
     "pipe_syntax_agg": q_pipe_syntax_agg,
     "sql_udf_pricing": q_sql_udf_pricing,
     "sql_table_udf_agg": q_sql_table_udf_agg,
+    "parameterized_sql_agg": q_parameterized_sql_agg,
     "sql_scripting_threshold": q_sql_scripting_threshold,
     "session_variable_agg": q_session_variable_agg,
     "mad_outlier_stats": q_mad_outlier_stats,

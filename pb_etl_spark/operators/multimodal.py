@@ -266,7 +266,69 @@ def q_media_feature_summary(spark, sf_dir: str) -> DataFrame:
     )
 
 
+BIN_DOCS = 50  # docs materialized as standalone binary files
+
+
+def binary_docs_path(spark, sf_dir: str) -> str:
+    """The first BIN_DOCS documents materialized as one ``.bin`` file
+    each (utf-8 text bytes, doc id in the filename) — the on-disk shape
+    multimodal corpora actually arrive in (a directory of media blobs)
+    before anyone parquet-packs them. Idempotent per sf_dir via a
+    completion marker; the bounded 50-row driver collect is the same
+    KB-sized materialization pattern as the layout fixtures."""
+    import hashlib
+    import os
+    from pathlib import Path
+
+    from pb_etl_spark.catalog import read_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = Path(__file__).resolve().parents[2] / "spark-warehouse" / "layout"
+    path = root / f"bin_docs_{tag}"
+    marker = path / "_SUCCESS"
+    if not marker.exists():
+        os.makedirs(path, exist_ok=True)
+        rows = (
+            read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < BIN_DOCS)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(path / f"doc_{r['doc_id']:06d}.bin", "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        marker.touch()
+    return str(path)
+
+
+def q_binaryfile_ingest(spark, sf_dir: str) -> DataFrame:
+    """Binary-blob ingestion via Spark's ``binaryFile`` source — the
+    entry point of every multimodal pipeline (a directory of media
+    files becomes (path, length, content) rows; downstream decode is
+    the mapInPandas path above). Emits per-doc byte length and content
+    md5, with the doc id parsed from the filename. The oracle derives
+    the identical rows from the documents table (ascii text: bytes =
+    n_chars; md5(content) = md5(text)), so a hash match proves the
+    file materialization, the binaryFile scan, and the content bytes
+    all round-trip exactly."""
+    path = binary_docs_path(spark, sf_dir)
+    files = spark.read.format("binaryFile").load(path + "/*.bin")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "binaryfile_ingest": f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents WHERE doc_id < {BIN_DOCS}
+    """,
     "media_decode": """
         SELECT doc_id AS media_id,
                CAST(doc_id % 64 + 16 AS BIGINT) AS width,
@@ -329,6 +391,7 @@ ORACLES["media_frame_sample"] = """
 """
 
 QUERIES = {
+    "binaryfile_ingest": q_binaryfile_ingest,
     "media_decode": q_media_decode,
     "media_feature_summary": q_media_feature_summary,
     "media_frame_sample": q_media_frame_sample,

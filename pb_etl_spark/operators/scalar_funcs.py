@@ -215,7 +215,34 @@ def q_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_listagg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``listagg`` (SQL:2023 ordered string aggregation): per
+    order priority, the DISTINCT order statuses concatenated in order —
+    deterministic because WITHIN GROUP fixes the concat order (an
+    unordered collect_list would not be hash-checkable). DuckDB's
+    string_agg(DISTINCT … ORDER BY) is the exact counterpart."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("__la_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               COUNT(*) AS n_orders
+        FROM __la_orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 ORACLES: dict[str, str] = {
+    "listagg_per_group": """
+        SELECT o_orderpriority,
+               string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+                   AS statuses,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
     "bitwise_funcs": """
         SELECT l_orderkey, l_linenumber,
                l_orderkey & 255 AS and_255,
@@ -338,6 +365,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "listagg_per_group": q_listagg_per_group,
     "bitwise_funcs": q_bitwise_funcs,
     "regex_funcs": q_regex_funcs,
     "hash_funcs": q_hash_funcs,

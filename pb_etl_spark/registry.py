@@ -155,6 +155,9 @@ _PRIORITY = [
     "quantile_normalize",
     "sql_table_udf_agg",
     "sql_scripting_threshold",
+    "parameterized_sql_agg",
+    "listagg_per_group",
+    "binaryfile_ingest",
     # scalar battery
     "string_funcs",
     "date_funcs",
