@@ -39,6 +39,92 @@ def _cents(col) -> F.Column:
 ROLLING_DAYS = 7
 
 
+HOLT_ALPHA = 0.5  # level smoothing (binary-exact fraction)
+HOLT_BETA = 0.25  # trend smoothing (binary-exact fraction)
+HOLT_H = 7  # forecast horizon (days)
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over daily revenue —
+    the workhorse short-horizon forecaster (level + trend recursions),
+    with a 7-day out-of-sample forecast appended. The recursion is NOT
+    associative (each state depends on the previous), so it runs as an
+    Arrow ``applyInPandas`` scan over the BOUNDED daily series (≤ |days|
+    rows — the facts were already aggregated away; a single task over
+    30 rows, not a fact-sized stage). The DuckDB oracle replays the
+    identical recursion as a RECURSIVE CTE: both engines execute the
+    same double ops in the same order, so the smoothed states are
+    bit-identical (α, β are binary-exact fractions).
+
+    Output rows: one per observed day (actual, level, trend, the
+    one-step-ahead fit l+b from the PREVIOUS state) and one per
+    forecast step h = 1..7 (actual NULL, forecast = l_T + h·b_T)."""
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(_cents(F.col("value"))).alias("cents"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        y = (pdf["cents"] / 100.0).to_list()
+        days = pdf["day"].to_list()
+        lev, tr = y[0], y[1] - y[0]
+        out = [
+            {
+                "day": days[0].strftime("%Y-%m-%d"),
+                "h": 0,
+                "actual": round(y[0], 6),
+                "level": round(lev, 6),
+                "trend": round(tr, 6),
+                "fitted": None,
+            }
+        ]
+        for t in range(1, len(y)):
+            fit = lev + tr
+            new_lev = HOLT_ALPHA * y[t] + (1 - HOLT_ALPHA) * (lev + tr)
+            tr = HOLT_BETA * (new_lev - lev) + (1 - HOLT_BETA) * tr
+            lev = new_lev
+            out.append(
+                {
+                    "day": days[t].strftime("%Y-%m-%d"),
+                    "h": 0,
+                    "actual": round(y[t], 6),
+                    "level": round(lev, 6),
+                    "trend": round(tr, 6),
+                    "fitted": round(fit, 6),
+                }
+            )
+        import datetime
+
+        for h in range(1, HOLT_H + 1):
+            out.append(
+                {
+                    "day": (days[-1] + datetime.timedelta(days=h)).strftime(
+                        "%Y-%m-%d"
+                    ),
+                    "h": h,
+                    "actual": None,
+                    "level": None,
+                    "trend": None,
+                    "fitted": round(lev + h * tr, 6),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            holt,
+            schema="day string, h long, actual double, level double, "
+            "trend double, fitted double",
+        )
+    )
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users (WAU) + same-day actives (DAU) per
     calendar day — the sliding-window COUNT DISTINCT that naive SQL
@@ -649,6 +735,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ucb_bandit_scores": q_ucb_bandit_scores,
     "kaplan_meier": q_kaplan_meier,
+    "holt_forecast": q_holt_forecast,
     "rolling_active_users": q_rolling_active_users,
     "sequence_anomaly": q_sequence_anomaly,
     "ab_test_zscore": q_ab_test_zscore,
@@ -662,6 +749,55 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "holt_forecast": f"""
+        WITH RECURSIVE daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1
+        ), ser AS (
+            SELECT day, CAST(cents AS DOUBLE) / 100.0 AS y,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn
+            FROM daily
+        ), nmax AS (SELECT MAX(rn) AS n FROM ser),
+        rec AS (
+            SELECT s.rn, s.day, s.y AS actual,
+                   s.y AS l,
+                   (SELECT y FROM ser WHERE rn = 2) - s.y AS b,
+                   CAST(NULL AS DOUBLE) AS fitted
+            FROM ser s WHERE s.rn = 1
+            UNION ALL
+            SELECT s.rn, s.day, s.y,
+                   {HOLT_ALPHA} * s.y + {1 - HOLT_ALPHA} * (r.l + r.b),
+                   {HOLT_BETA} * (({HOLT_ALPHA} * s.y
+                                   + {1 - HOLT_ALPHA} * (r.l + r.b)) - r.l)
+                       + {1 - HOLT_BETA} * r.b,
+                   r.l + r.b
+            FROM rec r JOIN ser s ON s.rn = r.rn + 1
+        ),
+        observed AS (
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   CAST(0 AS BIGINT) AS h,
+                   ROUND(actual, 6) AS actual,
+                   ROUND(l, 6) AS level,
+                   ROUND(b, 6) AS trend,
+                   ROUND(fitted, 6) AS fitted
+            FROM rec
+        ),
+        last AS (
+            SELECT r.day, r.l, r.b FROM rec r, nmax WHERE r.rn = nmax.n
+        ),
+        fc AS (
+            SELECT strftime(last.day + h * INTERVAL '1 day',
+                            '%Y-%m-%d') AS day,
+                   CAST(h AS BIGINT) AS h,
+                   CAST(NULL AS DOUBLE) AS actual,
+                   CAST(NULL AS DOUBLE) AS level,
+                   CAST(NULL AS DOUBLE) AS trend,
+                   ROUND(last.l + h * last.b, 6) AS fitted
+            FROM last, (SELECT UNNEST(RANGE(1, {HOLT_H + 1})) AS h)
+        )
+        SELECT * FROM observed UNION ALL SELECT * FROM fc
+    """,
     "ucb_bandit_scores": f"""
         WITH per_user AS (
             SELECT user_id,

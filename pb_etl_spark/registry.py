@@ -158,6 +158,7 @@ _PRIORITY = [
     "parameterized_sql_agg",
     "listagg_per_group",
     "binaryfile_ingest",
+    "holt_forecast",
     # scalar battery
     "string_funcs",
     "date_funcs",

@@ -220,3 +220,24 @@ def test_kaplan_meier_curve_is_valid_survival_function(spark):
     # censoring must actually occur on the fixture (else the estimator
     # degenerates to an empirical CDF and the test proves less)
     assert sum(r.censored for r in rows) > 0 or rows[-1].at_risk > rows[-1].d
+
+
+def test_holt_forecast_structure_and_linearity(spark):
+    """Holt output contract: one row per observed day (h=0) with level/
+    trend defined, 7 forecast rows with linearly extrapolated values
+    (differences equal the final trend), and the one-step fit equals
+    the previous state's level+trend."""
+    from pb_etl_spark.operators.timeseries import HOLT_H, q_holt_forecast
+
+    rows = sorted(q_holt_forecast(spark, SF_DIR).collect(), key=lambda r: (r.h, r.day))
+    obs = [r for r in rows if r.h == 0]
+    fc = sorted((r for r in rows if r.h > 0), key=lambda r: r.h)
+    assert len(fc) == HOLT_H
+    assert len(obs) > 10
+    obs.sort(key=lambda r: r.day)
+    for prev, cur in zip(obs, obs[1:]):
+        assert cur.fitted is not None
+        assert abs(cur.fitted - (prev.level + prev.trend)) < 2e-6
+    last = obs[-1]
+    for a, b in zip(fc, fc[1:]):
+        assert abs((b.fitted - a.fitted) - last.trend) < 2e-6
