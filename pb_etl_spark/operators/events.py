@@ -28,6 +28,53 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType(), True)])
 
 
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining (the MATCH_RECOGNIZE use case, engine-
+    portable): each user's journey becomes an ordered initial-letter
+    string (v/c/p/s/e) via listagg WITHIN GROUP, and regexes classify
+    the journeys — eventual funnel v.*c.*p, an IMMEDIATE vcp run, and
+    error-recovery e[^e]*p (an error later followed by a purchase).
+    Counts per pattern over all users.
+
+    Scale shape: one per-user ordered string aggregation (shuffle on
+    user_id; journey length = that user's event count), then regex
+    classification + a 3-row rollup. The journey string is the per-key
+    state — the same boundedness argument as any sessionizer."""
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__pm_events")
+    return spark.sql(
+        """
+        WITH journeys AS (
+            SELECT user_id,
+                   listagg(substr(event_type, 1, 1), '')
+                       WITHIN GROUP (ORDER BY ts, event_id) AS j
+            FROM __pm_events GROUP BY user_id
+        )
+        SELECT pattern, n_matching, n_users,
+               ROUND(CAST(n_matching AS DOUBLE) / n_users, 6) AS share
+        FROM (
+            SELECT 'eventual_funnel' AS pattern,
+                   CAST(SUM(CASE WHEN j RLIKE '^.*v.*c.*p.*$'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+                   COUNT(*) AS n_users
+            FROM journeys
+            UNION ALL
+            SELECT 'immediate_vcp',
+                   CAST(SUM(CASE WHEN j RLIKE '^.*vcp.*$'
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(*)
+            FROM journeys
+            UNION ALL
+            SELECT 'error_then_purchase',
+                   CAST(SUM(CASE WHEN j RLIKE '^.*e[^e]*p[^e]*$'
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(*)
+            FROM journeys
+        )
+        """
+    )
+
+
 def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse the JSON ``props`` column with an explicit schema (from_json is
     JVM-side, codegen-friendly — no Python in the loop) and aggregate the
@@ -594,6 +641,35 @@ def q_variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "event_pattern_match": """
+        WITH journeys AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS j
+            FROM events GROUP BY user_id
+        )
+        SELECT pattern, n_matching, n_users,
+               ROUND(CAST(n_matching AS DOUBLE) / n_users, 6) AS share
+        FROM (
+            SELECT 'eventual_funnel' AS pattern,
+                   CAST(SUM(CASE WHEN regexp_matches(j, '^.*v.*c.*p.*$')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+                   COUNT(*) AS n_users
+            FROM journeys
+            UNION ALL
+            SELECT 'immediate_vcp',
+                   CAST(SUM(CASE WHEN regexp_matches(j, '^.*vcp.*$')
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(*)
+            FROM journeys
+            UNION ALL
+            SELECT 'error_then_purchase',
+                   CAST(SUM(CASE WHEN regexp_matches(j, '^.*e[^e]*p[^e]*$')
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(*)
+            FROM journeys
+        )
+    """,
     "time_bounded_funnel": f"""
         WITH s1 AS (
             SELECT user_id, MIN(ts) AS t1 FROM events
@@ -1050,6 +1126,7 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "time_bounded_funnel": q_time_bounded_funnel,
+    "event_pattern_match": q_event_pattern_match,
     "capped_running_balance": q_capped_running_balance,
     "json_extract_agg": q_json_extract_agg,
     "variant_extract_agg": q_variant_extract_agg,

@@ -568,7 +568,111 @@ def _ewma_sql_terms() -> tuple[str, str]:
 _EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_sql_terms()
 
 
+TSA_CUTOFFS = ("2024-01-10", "2024-01-17", "2024-01-24")
+TSA_LABEL_DAYS = 7  # label window after the cutoff
+TSA_CONV_VALUE = 150  # high-value purchase (same bar as ab_test)
+
+
+def q_training_set_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly — the feature-store
+    read path: for each (user, cutoff) pair, features computed ONLY
+    from events strictly before the cutoff (activity counts, purchase
+    cents, recency, distinct active days) and a label from the
+    [cutoff, cutoff+7d) window (high-value purchase). No feature can
+    leak label-window information by construction: the two joins use
+    disjoint time predicates on opposite sides of the cutoff.
+
+    Scale shape: the cutoff table is a bounded broadcast (|cutoffs|
+    rows → a ×|cutoffs| fact explode, the standard multi-snapshot
+    training build); features and labels are each one grouped
+    aggregate; the stitch is an equi-join on (user, cutoff). All
+    outputs integer."""
+    ev = read_table(spark, sf_dir, "events")
+    cutoffs = spark.createDataFrame(
+        [(c,) for c in TSA_CUTOFFS], "cutoff string"
+    ).select(F.col("cutoff").cast("timestamp").alias("cut"))
+    feat = (
+        ev.join(F.broadcast(cutoffs), ev.ts < F.col("cut"))
+        .groupBy("user_id", "cut")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("purchase_cents"),
+            F.datediff(
+                F.max("cut"), F.max(F.date_trunc("day", F.col("ts")))
+            )
+            .cast("long")
+            .alias("days_since_last"),
+            F.count_distinct(F.date_trunc("day", F.col("ts"))).alias(
+                "n_active_days"
+            ),
+        )
+    )
+    lab = (
+        ev.join(
+            F.broadcast(cutoffs),
+            (ev.ts >= F.col("cut"))
+            & (
+                ev.ts
+                < F.col("cut") + F.expr(f"INTERVAL {TSA_LABEL_DAYS} DAYS")
+            )
+            & (F.col("event_type") == "purchase")
+            & (F.col("value") >= TSA_CONV_VALUE),
+        )
+        .groupBy("user_id", "cut")
+        .agg(F.lit(1).cast("long").alias("label"))
+    )
+    return (
+        feat.join(lab, ["user_id", "cut"], "left")
+        .select(
+            "user_id",
+            F.date_format("cut", "yyyy-MM-dd").alias("cutoff"),
+            "n_events",
+            "purchase_cents",
+            "days_since_last",
+            "n_active_days",
+            F.coalesce("label", F.lit(0)).alias("label"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "training_set_assembly": f"""
+        WITH cut AS (
+            SELECT CAST(c AS TIMESTAMP) AS cut
+            FROM (VALUES {", ".join(f"('{c}')" for c in TSA_CUTOFFS)}) t(c)
+        ), feat AS (
+            SELECT e.user_id, c.cut,
+                   COUNT(*) AS n_events,
+                   SUM(CASE WHEN e.event_type = 'purchase'
+                            THEN CAST(ROUND(e.value * 100) AS BIGINT)
+                            ELSE 0 END) AS purchase_cents,
+                   CAST(date_diff('day', MAX(date_trunc('day', e.ts)),
+                                  MAX(c.cut)) AS BIGINT) AS days_since_last,
+                   COUNT(DISTINCT date_trunc('day', e.ts)) AS n_active_days
+            FROM events e JOIN cut c ON e.ts < c.cut
+            GROUP BY e.user_id, c.cut
+        ), lab AS (
+            SELECT DISTINCT e.user_id, c.cut, CAST(1 AS BIGINT) AS label
+            FROM events e JOIN cut c
+              ON e.ts >= c.cut
+             AND e.ts < c.cut + INTERVAL {TSA_LABEL_DAYS} DAY
+             AND e.event_type = 'purchase'
+             AND e.value >= {TSA_CONV_VALUE}
+        )
+        SELECT f.user_id,
+               strftime(f.cut, '%Y-%m-%d') AS cutoff,
+               f.n_events, f.purchase_cents, f.days_since_last,
+               f.n_active_days,
+               COALESCE(l.label, 0) AS label
+        FROM feat f
+        LEFT JOIN lab l ON f.user_id = l.user_id AND f.cut = l.cut
+    """,
+
     "time_interpolate": f"""
         WITH pts AS (
             SELECT user_id, epoch_us(ts) AS us,
@@ -742,6 +846,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "training_set_assembly": q_training_set_assembly,
     "time_interpolate": q_time_interpolate,
     "interval_overlap_join": q_interval_overlap_join,
     "ewma_user_value": q_ewma_user_value,

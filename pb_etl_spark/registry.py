@@ -159,6 +159,8 @@ _PRIORITY = [
     "listagg_per_group",
     "binaryfile_ingest",
     "holt_forecast",
+    "event_pattern_match",
+    "training_set_assembly",
     # scalar battery
     "string_funcs",
     "date_funcs",

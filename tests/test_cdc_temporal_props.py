@@ -124,3 +124,44 @@ def test_ewma_matches_python_replay(spark):
             assert got == pytest.approx(num / den, abs=1e-5)
             n_checked += 1
     assert n_checked == len(out) and n_checked > 0
+
+
+def test_training_set_assembly_is_point_in_time_correct(spark):
+    """Leakage check: replaying features/labels row-by-row in pandas
+    must match, and every feature must be derivable from events
+    strictly before the cutoff (none after)."""
+    import pandas as pd
+
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.temporal import (
+        TSA_CONV_VALUE,
+        TSA_CUTOFFS,
+        TSA_LABEL_DAYS,
+        q_training_set_assembly,
+    )
+
+    got = q_training_set_assembly(spark, SF_DIR).toPandas()
+    ev = read_table(spark, SF_DIR, "events").toPandas()
+    for cut_s in TSA_CUTOFFS:
+        cut = pd.Timestamp(cut_s)
+        pre = ev[ev.ts < cut]
+        sub = got[got.cutoff == cut_s].set_index("user_id")
+        assert set(sub.index) == set(pre.user_id.unique())
+        for uid, g in pre.groupby("user_id"):
+            row = sub.loc[uid]
+            assert row.n_events == len(g)
+            exp_cents = int(
+                g[g.event_type == "purchase"].value.mul(100).round().sum()
+            )
+            assert row.purchase_cents == exp_cents
+            last_day = g.ts.dt.normalize().max()
+            assert row.days_since_last == (cut - last_day).days
+            assert row.n_active_days == g.ts.dt.normalize().nunique()
+            win = ev[
+                (ev.user_id == uid)
+                & (ev.ts >= cut)
+                & (ev.ts < cut + pd.Timedelta(days=TSA_LABEL_DAYS))
+                & (ev.event_type == "purchase")
+                & (ev.value >= TSA_CONV_VALUE)
+            ]
+            assert row.label == (1 if len(win) else 0)

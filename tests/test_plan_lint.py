@@ -73,6 +73,8 @@ BNLJ_WHITELIST = {
     #   |arms|-row score table
     "kaplan_meier",  # 1-row (N, end-day) crossJoins onto the ≤|days|
     #   duration table
+    "training_set_assembly",  # |cutoffs|-row (3) broadcast inequality
+    #   join — the deliberate ×|cutoffs| multi-snapshot fact explode
 }
 
 
