@@ -624,6 +624,7 @@ def q_k_core_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = emb.select(F.col("vec_id").alias("node")).localCheckpoint(eager=True)
 
     active = nodes
+    prev_n = active.count()
     for _ in range(KC_ROUNDS):
         live = (
             und.join(active.withColumnRenamed("node", "lo"), "lo", "left_semi")
@@ -639,6 +640,14 @@ def q_k_core_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
             .localCheckpoint(eager=True)
         )
+        # peeling only REMOVES nodes, so an unchanged count IS the
+        # fixpoint — stop early (the checkpoint was an action anyway,
+        # the count on it is free); the oracle's extra unrolled rounds
+        # past the fixpoint are identity steps, so results agree
+        n = active.count()
+        if n == prev_n:
+            break
+        prev_n = n
     # final in-core degree, recomputed on the fixpoint set
     core_edges = (
         und.join(active.withColumnRenamed("node", "lo"), "lo", "left_semi")

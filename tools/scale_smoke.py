@@ -41,6 +41,12 @@ SMOKE = [
     "tpch_q1_pricing",
     "rolling_active_users",
     "kmv_distinct_sketch",
+    # round-4 additions: basket self-join, interaction-matrix self-join,
+    # capped per-key scan (Arrow), 3x global_positions
+    "association_rules",
+    "item_item_cosine",
+    "capped_running_balance",
+    "rfm_segments",
 ]
 
 
