@@ -301,6 +301,34 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DDSketch: the γ-bucket histogram maintained as
+    Structured Streaming state — each micro-batch's bucket counts merge
+    into the running cells by the aggregate itself (the sketch's
+    additivity IS the streaming-state merge), state is bounded at
+    ≤ |γ-buckets| (~630 rows) regardless of stream length, and quantile
+    extraction runs as a bounded batch job over the drained histogram.
+    Same cells, same extraction, same oracle family as the batch
+    ``ddsketch_quantiles`` — over the events value stream."""
+    from pb_etl_spark.operators.retrieval import (
+        dd_bucket_expr,
+        dd_quantiles_from_hist,
+    )
+    from pb_etl_spark.streaming.windows import read_event_stream, run_to_memory
+
+    sdf = read_event_stream(spark, sf_dir, glob="events.parquet")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hist_stream = (
+        sdf.select(cents.alias("cents"))
+        .groupBy(dd_bucket_expr(F.col("cents")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = run_to_memory(
+        hist_stream, "q_stream_ddsketch_hist", output_mode="complete"
+    )
+    return dd_quantiles_from_hist(spark, hist)
+
+
 def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GENUINELY STREAMING tumbling aggregation: Structured Streaming
     file source → watermark → windowed agg → availableNow drain into a
@@ -1148,6 +1176,7 @@ QUERIES = {
     "stream_foreach_upsert": q_stream_foreach_upsert,
     "stream_doc_source_counts": q_stream_doc_source_counts,
     "stream_doc_dedup": q_stream_doc_dedup,
+    "stream_ddsketch_quantiles": q_stream_ddsketch_quantiles,
     "stream_stream_join": q_stream_stream_join,
     "stream_dedup": q_stream_dedup,
     "stream_enrich": q_stream_enrich,
@@ -1158,3 +1187,51 @@ QUERIES = {
 from pb_etl_spark.operators import timeseries as _timeseries  # noqa: E402
 
 ORACLES["stream_ohlc_hourly"] = _timeseries.ORACLES["ohlc_hourly"]
+
+
+# the streaming DDSketch shares the batch sketch's oracle family, over
+# the events value stream (identical bucket decision + extraction)
+from pb_etl_spark.operators.retrieval import (  # noqa: E402
+    DD_QS as _DD_QS,
+    _dd_bounds as _ddb,
+    _dd_ests as _dde,
+    dd_bucket_sql as _dd_bucket_sql,
+)
+
+
+def _stream_dd_oracle() -> str:
+    ests = _dde(_ddb())
+    qs_sql = ", ".join(f"({q})" for q in _DD_QS)
+    bucket = _dd_bucket_sql("cents")
+    return f"""
+        WITH src AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+        ),
+        hist AS (
+            SELECT {bucket} AS bucket, COUNT(*) AS cnt
+            FROM src GROUP BY 1
+        ),
+        n AS (SELECT SUM(cnt) AS n FROM hist),
+        cum AS (
+            SELECT bucket,
+                   SUM(cnt) OVER (ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+            FROM hist
+        ),
+        probes AS (SELECT * FROM (VALUES {qs_sql}) AS p(q)),
+        hit AS (
+            SELECT q, n.n, MIN(bucket) AS bucket
+            FROM probes CROSS JOIN n
+            JOIN cum ON cum >= CAST(CEIL(q * n.n) AS BIGINT)
+            GROUP BY q, n.n
+        )
+        SELECT q, bucket,
+               ROUND(CAST(([{", ".join(map(str, ests))}])[CAST(bucket + 1 AS INT)]
+                          AS DOUBLE) / 100.0, 2) AS est_price,
+               CAST(n AS BIGINT) AS n_rows
+        FROM hit
+    """
+
+
+ORACLES["stream_ddsketch_quantiles"] = _stream_dd_oracle()

@@ -757,64 +757,59 @@ def _dd_ests(bounds: list[int]) -> list[int]:
     return ests
 
 
-def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DDSketch-style quantiles of l_extendedprice (P50/P90/P99) from a
-    γ-geometric bucket histogram — the RELATIVE-error member of the
-    mergeable-sketch shelf (the fixed-width histogram's error is
-    absolute; DDSketch guarantees |est−true| ≤ α·true at every scale of
-    the value, which is what latency/price distributions need).
-
-    The sketch itself is one grouped count over precomputed integer
-    bucket bounds (see ``_dd_bounds``) — cell-wise ADDITIVE, so
-    per-partition/day sketches merge by summing bucket counts (the same
-    rollup contract as kmv/cms/bloom; merge-equality is pinned in
-    ``tests/test_approx.py``). Quantile extraction walks the
-    ≤ |buckets| cumulative table: first bucket whose cumulative count
-    reaches ceil(q·n).
-
-    Scale shape: the per-row bucket decision is O(1) — DDSketch's own
-    ceil(ln(x/64)/ln γ) candidate index, then an EXACT ±1 correction by
-    integer comparison against the literal bound table (the ceil and a
-    libm-ulp can each shift the candidate by one; the correction makes
-    the final bucket identical across engines regardless of their ln
-    implementations). The histogram is bounded (~630 rows), the
-    cumulative window is sketch-sized, and the probe join is 3 rows."""
+def dd_bucket_expr(cents_col):
+    """The DDSketch bucket decision as a reusable Column expression
+    (ln-candidate + exact ±1 integer-bound correction) — shared by the
+    batch sketch and the streaming twin."""
     bounds = _dd_bounds()
-    ests = _dd_ests(bounds)
     bounds_arr = F.array(*[F.lit(b) for b in bounds])
-    ests_arr = F.array(*[F.lit(e) for e in ests])
     last = len(bounds) - 1
-
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
-    )
-    # candidate index (0-based): ceil of the γ-log of cents/64; /64.0 is
-    # a power-of-two scale (exact in binary), so ln sees the identical
-    # double in both engines and can differ by at most an ulp
     j0 = F.greatest(
         F.lit(0).cast("long"),
         F.least(
             F.lit(last).cast("long"),
-            F.ceil(F.round(F.log(F.col("cents") / 64.0) / DD_LNG, 9)),
+            F.ceil(F.round(F.log(cents_col / 64.0) / DD_LNG, 9)),
         ),
     )
     b_at_j0 = F.element_at(bounds_arr, (j0 + 1).cast("int"))
-    # greatest(j0,1): element_at is 1-based and errors on index 0; the
-    # j0 >= 1 guard below makes the j0 = 0 value irrelevant
-    b_below = F.element_at(bounds_arr, F.greatest(j0, F.lit(1).cast("long")).cast("int"))
-    bucket = (
-        F.when((j0 >= 1) & (F.col("cents") <= b_below), j0 - 1)
-        .when(F.col("cents") > b_at_j0, j0 + 1)
+    b_below = F.element_at(
+        bounds_arr, F.greatest(j0, F.lit(1).cast("long")).cast("int")
+    )
+    # non-positive values collapse into bucket 0 (the min-indexable
+    # region) BEFORE the log-candidate branch runs — ln(≤0) is NULL on
+    # Spark and an ERROR on DuckDB; CASE is lazy on both
+    return (
+        F.when(cents_col <= 0, F.lit(0).cast("long"))
+        .when((j0 >= 1) & (cents_col <= b_below), j0 - 1)
+        .when(cents_col > b_at_j0, j0 + 1)
         .otherwise(j0)
     )
-    hist = li.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    # n derives from the sketch itself (sum of cells), so both consumers
-    # share the one aggregation shape; the ~630-row sketch is cheap
-    # enough that caching it costs more than recomputing (measured)
-    n_df = hist.agg(F.sum("cnt").alias("n"))
 
+
+def dd_bucket_sql(cents_expr: str) -> str:
+    """DuckDB SQL fragment computing the identical bucket for
+    ``cents_expr`` (used as a correlated projection in oracles)."""
+    bounds = _dd_bounds()
+    arr = f"[{', '.join(map(str, bounds))}]"
+    j0 = (
+        f"GREATEST(CAST(0 AS BIGINT), LEAST(CAST({len(bounds) - 1} AS BIGINT), "
+        f"CAST(CEIL(ROUND(LN(({cents_expr}) / 64.0) / {DD_LNG!r}, 9)) AS BIGINT)))"
+    )
+    return (
+        f"CASE WHEN ({cents_expr}) <= 0 THEN CAST(0 AS BIGINT) "
+        f"WHEN {j0} >= 1 AND ({cents_expr}) <= "
+        f"({arr})[CAST(GREATEST({j0}, 1) AS INT)] THEN {j0} - 1 "
+        f"WHEN ({cents_expr}) > ({arr})[CAST({j0} + 1 AS INT)] THEN {j0} + 1 "
+        f"ELSE {j0} END"
+    )
+
+
+def dd_quantiles_from_hist(spark, hist: DataFrame) -> DataFrame:
+    """Quantile extraction over a (bucket, cnt) sketch table — shared by
+    the batch and streaming paths (bounded ≤ |γ-buckets| input)."""
+    ests = _dd_ests(_dd_bounds())
+    ests_arr = F.array(*[F.lit(e) for e in ests])
+    n_df = hist.agg(F.sum("cnt").alias("n"))
     w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = hist.select("bucket", F.sum("cnt").over(w_cum).alias("cum"))
     probes = spark.createDataFrame([(q,) for q in DD_QS], "q double")
@@ -838,6 +833,34 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_rows"),
         )
     )
+
+
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style quantiles of l_extendedprice (P50/P90/P99) from a
+    γ-geometric bucket histogram — the RELATIVE-error member of the
+    mergeable-sketch shelf (the fixed-width histogram's error is
+    absolute; DDSketch guarantees |est−true| ≤ α·true at every scale of
+    the value, which is what latency/price distributions need).
+
+    The sketch itself is one grouped count over the ``dd_bucket_expr``
+    decision (O(1) per row: DDSketch's own ceil(ln·) candidate, then an
+    EXACT ±1 correction by integer comparison against the literal bound
+    table — the ceil and a libm-ulp can each shift the candidate by
+    one; the correction makes the final bucket identical across engines
+    regardless of their ln implementations). Cells are ADDITIVE, so
+    per-partition/day sketches merge by summing bucket counts (the same
+    rollup contract as kmv/cms/bloom; merge-equality is pinned in
+    ``tests/test_approx.py``, and ``stream_ddsketch_quantiles`` runs
+    the identical cells as streaming state). Quantile extraction walks
+    the ≤ |buckets| cumulative table: first bucket whose cumulative
+    count reaches ceil(q·n)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    hist = li.groupBy(dd_bucket_expr(F.col("cents")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return dd_quantiles_from_hist(spark, hist)
 
 
 def _dd_oracle() -> str:

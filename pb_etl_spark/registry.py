@@ -161,6 +161,7 @@ _PRIORITY = [
     "holt_forecast",
     "event_pattern_match",
     "training_set_assembly",
+    "stream_ddsketch_quantiles",
     # scalar battery
     "string_funcs",
     "date_funcs",
