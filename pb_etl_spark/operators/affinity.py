@@ -40,6 +40,21 @@ from pyspark.sql import functions as F
 
 from pb_etl_spark.catalog import read_table
 
+# one live cache per query: each invocation unpersists the PREVIOUS
+# invocation's persisted frame (its action has completed by the time a
+# new plan is built), so repeated driver/bench runs keep exactly one
+# cached copy instead of accumulating O(invocations)
+_CACHE_SWAP: dict[str, object] = {}
+
+
+def _swap_persist(key: str, df):
+    prev = _CACHE_SWAP.pop(key, None)
+    if prev is not None:
+        prev.unpersist()
+    out = df.persist()
+    _CACHE_SWAP[key] = out
+    return out
+
 # association-rule knobs: brand-level items, 1% minimum support
 # (integer cross-multiplied in both engines — no double threshold compare)
 AR_MIN_SUPPORT_PCT = 1
@@ -131,12 +146,12 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # persist: the interaction matrix feeds both self-join sides and the
     # norms — three consumers, one computation (plan_audit-caught)
-    v = (
+    v = _swap_persist(
+        "item_item_v",
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("o_custkey").alias("cust"), F.col("p_type").alias("item"))
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
-        .persist()
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w")),
     )
     norms = v.groupBy("item").agg(F.sum(F.col("w") * F.col("w")).alias("nrm2"))
     a, b = v.alias("a"), v.alias("b")
@@ -188,7 +203,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = orders.select(F.max("o_orderdate").alias("mxd"))
     # persist: three quintile scorers + the final join all consume the
     # per-customer aggregate — one computation, not four
-    rfm = (
+    rfm = _swap_persist(
+        "rfm_base",
         orders.crossJoin(F.broadcast(mx))
         .groupBy(F.col("o_custkey").alias("c"))
         .agg(
@@ -199,8 +215,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
                 "monetary_cents"
             ),
-        )
-        .persist()
+        ),
     )
 
     def quintile(df: DataFrame, metric: str, asc: bool, out: str) -> DataFrame:

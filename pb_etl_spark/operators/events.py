@@ -726,14 +726,21 @@ ORACLES: dict[str, str] = {
         )
         SELECT '1_view' AS step, c1 AS users,
                1.0 AS conv_from_prev,
-               ROUND(CAST(c1 AS DOUBLE) / c1, 6) AS conv_overall
+               CASE WHEN c1 = 0 THEN 0.0
+                    ELSE ROUND(CAST(c1 AS DOUBLE) / c1, 6) END AS conv_overall
         FROM counts
         UNION ALL
-        SELECT '2_click', c2, ROUND(CAST(c2 AS DOUBLE) / c1, 6),
-               ROUND(CAST(c2 AS DOUBLE) / c1, 6) FROM counts
+        SELECT '2_click', c2,
+               CASE WHEN c1 = 0 THEN 0.0
+                    ELSE ROUND(CAST(c2 AS DOUBLE) / c1, 6) END,
+               CASE WHEN c1 = 0 THEN 0.0
+                    ELSE ROUND(CAST(c2 AS DOUBLE) / c1, 6) END FROM counts
         UNION ALL
-        SELECT '3_purchase', c3, ROUND(CAST(c3 AS DOUBLE) / c2, 6),
-               ROUND(CAST(c3 AS DOUBLE) / c1, 6) FROM counts
+        SELECT '3_purchase', c3,
+               CASE WHEN c2 = 0 THEN 0.0
+                    ELSE ROUND(CAST(c3 AS DOUBLE) / c2, 6) END,
+               CASE WHEN c1 = 0 THEN 0.0
+                    ELSE ROUND(CAST(c3 AS DOUBLE) / c1, 6) END FROM counts
     """,
     "capped_running_balance": f"""
         WITH RECURSIVE ev AS (
@@ -1074,12 +1081,18 @@ def q_time_bounded_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.lit("2_click").alias("step"),
             F.col("c2").alias("users"),
-            F.round(F.col("c2") / F.col("c1"), 6).alias("conv_from_prev"),
+            # empty previous step -> conversion 0.0 (Spark double /0 is
+            # NaN/Inf while DuckDB yields NULL; guard on both engines)
+            F.when(F.col("c1") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("c2") / F.col("c1"), 6))
+            .alias("conv_from_prev"),
         ),
         F.struct(
             F.lit("3_purchase").alias("step"),
             F.col("c3").alias("users"),
-            F.round(F.col("c3") / F.col("c2"), 6).alias("conv_from_prev"),
+            F.when(F.col("c2") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("c3") / F.col("c2"), 6))
+            .alias("conv_from_prev"),
         ),
     )
     return (
@@ -1088,7 +1101,9 @@ def q_time_bounded_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.step").alias("step"),
             F.col("s.users").alias("users"),
             F.col("s.conv_from_prev").alias("conv_from_prev"),
-            F.round(F.col("s.users") / F.col("c1"), 6).alias("conv_overall"),
+            F.when(F.col("c1") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("s.users") / F.col("c1"), 6))
+            .alias("conv_overall"),
         )
     )
 

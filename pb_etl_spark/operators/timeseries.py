@@ -69,6 +69,14 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day").reset_index(drop=True)
+        if len(pdf) < 2:
+            # the trend seed needs two points; fail loud rather than
+            # emit a degenerate forecast (the oracle would NULL-poison
+            # silently on the same input)
+            raise ValueError(
+                "holt_forecast needs >= 2 daily observations, got "
+                f"{len(pdf)}"
+            )
         y = (pdf["cents"] / 100.0).to_list()
         days = pdf["day"].to_list()
         lev, tr = y[0], y[1] - y[0]
@@ -708,17 +716,34 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     at_risk = F.col("n") - F.coalesce(
         F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)
     )
+    # ln(1 - d/n) is -inf when d == at_risk (risk set exhausted) — Spark
+    # F.log(0) yields NULL (silently skipped by SUM) while DuckDB LN(0)
+    # hard-errors, so the zero factor is handled EXPLICITLY: the row
+    # sets a sticky flag and survival is 0 from there on; the log-sum
+    # only ever sees strictly positive factors on both engines
     curve = (
         per_t.crossJoin(F.broadcast(n_total))
         .withColumn("at_risk", at_risk)
         .withColumn(
             "ln_factor",
-            F.log(
-                F.lit(1.0)
-                - F.col("d").cast("double") / F.col("at_risk")
+            F.when(
+                F.col("d") < F.col("at_risk"),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("at_risk")
+                ),
             ),
         )
-        .withColumn("surv", F.exp(F.sum("ln_factor").over(w_cum)))
+        .withColumn(
+            "hit_zero",
+            F.sum((F.col("d") == F.col("at_risk")).cast("long")).over(w_cum),
+        )
+        .withColumn(
+            "surv",
+            F.when(F.col("hit_zero") >= 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum("ln_factor").over(w_cum))
+            ),
+        )
     )
     return (
         curve.filter(F.col("d") > 0)
@@ -850,9 +875,16 @@ ORACLES: dict[str, str] = {
             FROM per_t CROSS JOIN nt
         ), curve AS (
             SELECT t, d, c, at_risk,
-                   EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / at_risk)) OVER (
-                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW)) AS surv
+                   CASE WHEN SUM(CASE WHEN d = at_risk THEN 1 ELSE 0 END)
+                             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) >= 1
+                        THEN 0.0
+                        ELSE EXP(SUM(CASE WHEN d < at_risk
+                                          THEN LN(1.0 - CAST(d AS DOUBLE)
+                                                  / at_risk) END) OVER (
+                                 ORDER BY t ROWS BETWEEN UNBOUNDED
+                                      PRECEDING AND CURRENT ROW))
+                   END AS surv
             FROM cum
         )
         SELECT t, CAST(at_risk AS BIGINT) AS at_risk,
