@@ -300,14 +300,87 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report: the Gini coefficient of customer
+    lifetime spend plus top-1% / top-10% revenue shares — the
+    inequality measures behind "whale" analyses and fairness audits.
+
+    Gini via the rank formula G = (2·Σ pos·x − (n+1)·Σx) / (n·Σx) over
+    spend sorted ascending: positions come from the distributed
+    ``global_positions`` primitive and every sum is INTEGER
+    (Σ pos·cents stays < 2^63 while n·max_spend_cents < 6·10^18 — at
+    larger scales swap the cents grid for dollars). One grouped pass,
+    one range shuffle, a 1-row report."""
+    from pb_etl_spark.operators.corpus import global_positions
+
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    pos_df, n = global_positions(spark, spend, ["cents", "c"])
+    top1_k = -(-n // 100)  # ceil(n/100)
+    top10_k = -(-n // 10)
+    agg = pos_df.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("pos") * F.col("cents")).alias("pos_cents"),
+        F.sum(F.when(F.col("pos") > n - top1_k, F.col("cents")).otherwise(0)).alias(
+            "top1_cents"
+        ),
+        F.sum(
+            F.when(F.col("pos") > n - top10_k, F.col("cents")).otherwise(0)
+        ).alias("top10_cents"),
+    )
+    gini = (
+        (2.0 * F.col("pos_cents") - (n + 1) * F.col("total_cents").cast("double"))
+        / (n * F.col("total_cents").cast("double"))
+    )
+    return agg.select(
+        "n_customers",
+        "total_cents",
+        F.round(gini, 6).alias("gini"),
+        F.round(F.col("top1_cents").cast("double") / F.col("total_cents"), 6).alias(
+            "top1pct_share"
+        ),
+        F.round(
+            F.col("top10_cents").cast("double") / F.col("total_cents"), 6
+        ).alias("top10pct_share"),
+    )
+
+
 QUERIES = {
     "association_rules": q_association_rules,
     "item_item_cosine": q_item_item_cosine,
     "rfm_segments": q_rfm_segments,
     "target_encoding": q_target_encoding,
+    "gini_concentration": q_gini_concentration,
 }
 
 ORACLES: dict[str, str] = {
+    "gini_concentration": """
+        WITH spend AS (
+            SELECT o_custkey AS c,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        ), pos AS (
+            SELECT c, cents,
+                   ROW_NUMBER() OVER (ORDER BY cents, c) AS pos
+            FROM spend
+        ), nt AS (SELECT COUNT(*) AS n FROM spend)
+        SELECT COUNT(*) AS n_customers,
+               SUM(cents) AS total_cents,
+               ROUND((2.0 * CAST(SUM(pos * cents) AS DOUBLE)
+                      - (nt.n + 1) * CAST(SUM(cents) AS DOUBLE))
+                     / (nt.n * CAST(SUM(cents) AS DOUBLE)), 6) AS gini,
+               ROUND(CAST(SUM(CASE WHEN pos > nt.n - CEIL(nt.n / 100.0)
+                                   THEN cents ELSE 0 END) AS DOUBLE)
+                     / SUM(cents), 6) AS top1pct_share,
+               ROUND(CAST(SUM(CASE WHEN pos > nt.n - CEIL(nt.n / 10.0)
+                                   THEN cents ELSE 0 END) AS DOUBLE)
+                     / SUM(cents), 6) AS top10pct_share
+        FROM pos CROSS JOIN nt
+        GROUP BY nt.n
+    """,
     "association_rules": f"""
         WITH baskets AS (
             SELECT DISTINCT l.l_orderkey AS bid, p.p_brand AS item

@@ -90,12 +90,95 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benford expected first-digit shares log10(1 + 1/d), Python-computed
+# literals embedded identically in both engines
+BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def q_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fraud/synthetic-data screen: naturally occurring amounts follow
+    log10(1+1/d); fabricated ones usually don't. Emits, per leading
+    digit, the observed count/share, the Benford expectation, and the
+    χ² contribution (obs−exp)²/exp.
+
+    The leading digit comes from the CENTS INTEGER's decimal string
+    (no log10 of data values — pure integer/string, engine-exact);
+    expectations are embedded literals, so every float is one local
+    chain per digit row. One grouped count, a 9-row report."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    counts = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = counts.agg(F.sum("n_obs").alias("n"))
+    exp_share = F.element_at(
+        F.array(*[F.lit(BENFORD[d]) for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    expected = F.col("n") * exp_share
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias(
+                "obs_share"
+            ),
+            F.round(exp_share, 6).alias("benford_share"),
+            F.round(
+                (F.col("n_obs") - expected) * (F.col("n_obs") - expected)
+                / expected,
+                6,
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
 QUERIES = {
     "k_anonymity_report": q_k_anonymity_report,
     "dp_noisy_counts": q_dp_noisy_counts,
+    "benford_digit_test": q_benford_digit_test,
 }
 
 ORACLES: dict[str, str] = {
+    "benford_digit_test": """
+        WITH src AS (
+            SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100)
+                                        AS BIGINT) AS VARCHAR), 1, 1)
+                        AS BIGINT) AS digit
+            FROM orders
+        ), counts AS (
+            SELECT digit, COUNT(*) AS n_obs FROM src GROUP BY digit
+        ), tot AS (
+            -- DuckDB SUM(BIGINT) is DECIMAL(38); cast once to BIGINT so
+            -- the double chains below match Spark's long->double casts
+            SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts
+        )
+        SELECT digit, n_obs,
+               ROUND(CAST(n_obs AS DOUBLE) / t.n, 6) AS obs_share,
+               ROUND((CAST([0.3010299956639812, 0.17609125905568124, 0.12493873660829992, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514] AS DOUBLE[]))[CAST(digit AS INT)], 6) AS benford_share,
+               ROUND((n_obs - t.n * (CAST([0.3010299956639812, 0.17609125905568124, 0.12493873660829992, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514] AS DOUBLE[]))[CAST(digit AS INT)])
+                     * (n_obs - t.n * (CAST([0.3010299956639812, 0.17609125905568124, 0.12493873660829992, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514] AS DOUBLE[]))[CAST(digit AS INT)])
+                     / (t.n * (CAST([0.3010299956639812, 0.17609125905568124, 0.12493873660829992, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514] AS DOUBLE[]))[CAST(digit AS INT)]), 6)
+                   AS chi2_contrib
+        FROM counts CROSS JOIN tot t
+    """,
     "k_anonymity_report": f"""
         WITH groups AS (
             SELECT c_nationkey, c_mktsegment, COUNT(*) AS size

@@ -133,6 +133,87 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SPRT design: H0 p=0.4 vs H1 p=0.5, alpha = beta = 0.05. The per-
+# observation log-likelihood-ratio increments and the Wald boundaries
+# are PYTHON-computed literals embedded identically in both engines, so
+# the running LLR is integer-count arithmetic x two constants — exact.
+SPRT_L1 = 0.22314355131420976  # ln(p1/p0), added per conversion
+SPRT_L0 = -0.1823215567939546  # ln((1-p1)/(1-p0)), added per miss
+SPRT_UPPER = 2.9444389791664403  # ln((1-beta)/alpha) → accept H1
+SPRT_LOWER = -2.9444389791664403  # ln(beta/(1-alpha)) → accept H0
+
+
+def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per experiment variant:
+    users arrive ordered by their first event, each contributes a
+    conversion outcome, and the running log-likelihood ratio
+    LLR_n = converts·L1 + misses·L0 stops the experiment the moment it
+    crosses a Wald boundary — the sequential test that ends experiments
+    in a fraction of the fixed-horizon sample size.
+
+    Exactness: LLR is two integer running counts times two embedded
+    literals — no cross-engine float accumulation at all. Shape: one
+    per-user aggregate, one keyed cumsum window per variant, a
+    |variants|-row rollup locating the first crossing."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= KM_CONV_VALUE),
+                1,
+            ).otherwise(0)
+        ).alias("x"),
+    )
+    w = W.partitionBy("variant").orderBy("first_ts", "user_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    obs = (
+        per_user.withColumn(
+            "variant", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        )
+        .withColumn("c1", F.sum("x").over(w))
+        .withColumn("c0", F.sum(F.lit(1) - F.col("x")).over(w))
+        .withColumn("rn", (F.col("c1") + F.col("c0")).cast("long"))
+        .withColumn(
+            "llr",
+            F.col("c1") * F.lit(SPRT_L1) + F.col("c0") * F.lit(SPRT_L0),
+        )
+        .withColumn(
+            "crossed",
+            (F.col("llr") >= SPRT_UPPER) | (F.col("llr") <= SPRT_LOWER),
+        )
+    )
+    firsts = obs.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_obs_total"),
+        F.min(F.when(F.col("crossed"), F.col("rn"))).alias("stop_rn"),
+    )
+    at_stop = obs.select(
+        F.col("variant").alias("v2"), F.col("rn").alias("rn2"), "llr"
+    )
+    return (
+        firsts.withColumn(
+            "n_at_decision", F.coalesce("stop_rn", "n_obs_total")
+        )
+        .join(
+            at_stop,
+            (F.col("variant") == F.col("v2"))
+            & (F.col("n_at_decision") == F.col("rn2")),
+        )
+        .select(
+            "variant",
+            "n_obs_total",
+            "n_at_decision",
+            F.when(F.col("stop_rn").isNull(), F.lit("continue"))
+            .when(F.col("llr") >= SPRT_UPPER, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+            F.round("llr", 6).alias("llr_at_decision"),
+        )
+    )
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users (WAU) + same-day actives (DAU) per
     calendar day — the sliding-window COUNT DISTINCT that naive SQL
@@ -761,6 +842,7 @@ QUERIES = {
     "ucb_bandit_scores": q_ucb_bandit_scores,
     "kaplan_meier": q_kaplan_meier,
     "holt_forecast": q_holt_forecast,
+    "sprt_decision": q_sprt_decision,
     "rolling_active_users": q_rolling_active_users,
     "sequence_anomaly": q_sequence_anomaly,
     "ab_test_zscore": q_ab_test_zscore,
@@ -822,6 +904,52 @@ ORACLES: dict[str, str] = {
             FROM last, (SELECT UNNEST(RANGE(1, {HOLT_H + 1})) AS h)
         )
         SELECT * FROM observed UNION ALL SELECT * FROM fc
+    """,
+    "sprt_decision": f"""
+        WITH per_user AS (
+            SELECT user_id, MIN(ts) AS first_ts,
+                   MAX(CASE WHEN event_type = 'purchase'
+                             AND value >= {KM_CONV_VALUE}
+                            THEN 1 ELSE 0 END) AS x
+            FROM events GROUP BY user_id
+        ), obs AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+                   user_id, first_ts, x
+            FROM per_user
+        ), cum AS (
+            SELECT variant,
+                   SUM(x) OVER wv AS c1,
+                   SUM(1 - x) OVER wv AS c0,
+                   ROW_NUMBER() OVER (PARTITION BY variant
+                                      ORDER BY first_ts, user_id) AS rn
+            FROM obs
+            WINDOW wv AS (PARTITION BY variant ORDER BY first_ts, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), scored AS (
+            SELECT variant, rn,
+                   -- CAST: a bare decimal literal makes bigint*literal
+                   -- an exact-DECIMAL chain in DuckDB, which can round
+                   -- differently from Spark's double chain at a 6-dp
+                   -- boundary
+                   c1 * CAST({SPRT_L1!r} AS DOUBLE)
+                       + c0 * CAST({SPRT_L0!r} AS DOUBLE) AS llr
+            FROM cum
+        ), firsts AS (
+            SELECT variant, COUNT(*) AS n_obs_total,
+                   MIN(CASE WHEN llr >= {SPRT_UPPER!r}
+                              OR llr <= {SPRT_LOWER!r}
+                            THEN rn END) AS stop_rn
+            FROM scored GROUP BY variant
+        )
+        SELECT f.variant, f.n_obs_total,
+               COALESCE(f.stop_rn, f.n_obs_total) AS n_at_decision,
+               CASE WHEN f.stop_rn IS NULL THEN 'continue'
+                    WHEN s.llr >= {SPRT_UPPER!r} THEN 'accept_h1'
+                    ELSE 'accept_h0' END AS decision,
+               ROUND(s.llr, 6) AS llr_at_decision
+        FROM firsts f
+        JOIN scored s ON s.variant = f.variant
+                     AND s.rn = COALESCE(f.stop_rn, f.n_obs_total)
     """,
     "ucb_bandit_scores": f"""
         WITH per_user AS (

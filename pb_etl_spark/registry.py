@@ -162,6 +162,9 @@ _PRIORITY = [
     "event_pattern_match",
     "training_set_assembly",
     "stream_ddsketch_quantiles",
+    "sprt_decision",
+    "gini_concentration",
+    "benford_digit_test",
     # scalar battery
     "string_funcs",
     "date_funcs",

@@ -75,6 +75,8 @@ BNLJ_WHITELIST = {
     #   duration table
     "training_set_assembly",  # |cutoffs|-row (3) broadcast inequality
     #   join — the deliberate ×|cutoffs| multi-snapshot fact explode
+    "benford_digit_test",  # 1-row digit-total crossJoin onto the
+    #   9-row report
 }
 
 
@@ -101,6 +103,9 @@ GLOBAL_WINDOW_WHITELIST = {
     #   1-row max-date / offset-count aggregates
     "kaplan_meier",  # cumulative risk/survival windows over the
     #   ≤|days| (30-row) duration table — bounded by construction
+    "gini_concentration",  # false positive: the window is KEYED on pid
+    #   (global_positions); the SinglePartition exchange is the 1-row
+    #   final report aggregate
 }
 
 
