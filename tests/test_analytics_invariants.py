@@ -284,3 +284,45 @@ def test_target_encoding_shrinks_toward_prior(spark):
     for r in df.itertuples():
         lo, hi = sorted((r.raw_mean, gmean))
         assert lo - 1e-6 <= r.encoded <= hi + 1e-6, r
+
+
+def test_benford_shares_account(spark):
+    from pb_etl_spark.operators.governance import q_benford_digit_test
+
+    rows = q_benford_digit_test(spark, SF_DIR).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-3
+    assert all(r.chi2_contrib >= 0 for r in rows)
+
+
+def test_gini_bounds_and_share_ordering(spark):
+    from pb_etl_spark.operators.affinity import q_gini_concentration
+
+    r = q_gini_concentration(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    assert 0.0 < r.top1pct_share <= r.top10pct_share <= 1.0
+    # top-10% of customers must hold at least 10% of revenue (sorted
+    # tail dominance)
+    assert r.top10pct_share >= 0.1 - 1e-9
+
+
+def test_sprt_decision_consistency(spark):
+    from pb_etl_spark.operators.timeseries import (
+        SPRT_LOWER,
+        SPRT_UPPER,
+        q_sprt_decision,
+    )
+
+    rows = q_sprt_decision(spark, SF_DIR).collect()
+    assert {r.variant for r in rows} == {"A", "B"}
+    for r in rows:
+        assert 1 <= r.n_at_decision <= r.n_obs_total
+        if r.decision == "accept_h1":
+            assert r.llr_at_decision >= SPRT_UPPER - 1e-6
+        elif r.decision == "accept_h0":
+            assert r.llr_at_decision <= SPRT_LOWER + 1e-6
+        else:
+            assert r.decision == "continue"
+            assert SPRT_LOWER < r.llr_at_decision < SPRT_UPPER
+            assert r.n_at_decision == r.n_obs_total
