@@ -348,15 +348,143 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    YEAR, cumulative revenue per customer tracked by cohort age in
+    years — the LTV triangle every growth team maintains (read down a
+    column to compare cohort quality at equal age).
+
+    All sums are integer cents; the cumulative window runs over the
+    bounded (cohort × age) triangle (≤ |years|² rows), never the
+    facts. Shape: one per-customer first-order aggregate, one
+    broadcastable join back, one grouped rollup + triangle cumsum."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = orders.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).cast("long").alias("cohort")
+    )
+    cohort_sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    aged = (
+        orders.join(firsts, "o_custkey")
+        .select(
+            "cohort",
+            (F.year("o_orderdate").cast("long") - F.col("cohort")).alias("age"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("cohort", "age")
+        .agg(F.sum("cents").alias("age_cents"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w_cum = (
+        W.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        aged.withColumn("cum_cents", F.sum("age_cents").over(w_cum))
+        .join(F.broadcast(cohort_sizes), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_customers",
+            "age_cents",
+            "cum_cents",
+            F.round(
+                F.col("cum_cents").cast("double") / 100.0 / F.col("n_customers"),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-cycle-time distribution: days between a customer's
+    consecutive orders (the repeat-purchase cadence), summarized as
+    count / mean / exact P50 / P90 / max — the replenishment metric
+    behind churn-risk and campaign timing.
+
+    Gaps are INTEGER day counts from one keyed lag window (shuffle on
+    customer); the distribution summary is a single 1-row aggregate
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the
+    histogram_quantiles-established identity)."""
+    from pyspark.sql.window import Window as W
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.datediff("o_orderdate", "prev").cast("long").alias("gap"))
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap"), 6).alias("mean_days"),
+        F.round(F.percentile("gap", F.lit(0.5)), 6).alias("p50_days"),
+        F.round(F.percentile("gap", F.lit(0.9)), 6).alias("p90_days"),
+        F.max("gap").alias("max_days"),
+    )
+
+
 QUERIES = {
     "association_rules": q_association_rules,
     "item_item_cosine": q_item_item_cosine,
     "rfm_segments": q_rfm_segments,
     "target_encoding": q_target_encoding,
     "gini_concentration": q_gini_concentration,
+    "cohort_ltv": q_cohort_ltv,
+    "order_cycle_time": q_order_cycle_time,
 }
 
 ORACLES: dict[str, str] = {
+    "order_cycle_time": """
+        WITH gaps AS (
+            SELECT CAST(date_diff('day',
+                        LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate,
+                                                        o_orderkey),
+                        o_orderdate) AS BIGINT) AS gap
+            FROM orders
+        )
+        SELECT COUNT(gap) AS n_gaps,
+               ROUND(AVG(gap), 6) AS mean_days,
+               ROUND(quantile_cont(gap, 0.5), 6) AS p50_days,
+               ROUND(quantile_cont(gap, 0.9), 6) AS p90_days,
+               MAX(gap) AS max_days
+        FROM gaps WHERE gap IS NOT NULL
+    """,
+    "cohort_ltv": """
+        WITH firsts AS (
+            SELECT o_custkey,
+                   CAST(year(MIN(o_orderdate)) AS BIGINT) AS cohort
+            FROM orders GROUP BY o_custkey
+        ), sizes AS (
+            SELECT cohort, COUNT(*) AS n_customers FROM firsts GROUP BY cohort
+        ), aged AS (
+            SELECT f.cohort,
+                   CAST(year(o.o_orderdate) AS BIGINT) - f.cohort AS age,
+                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                       AS age_cents
+            FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT cohort, age, age_cents,
+                   CAST(SUM(age_cents) OVER (PARTITION BY cohort ORDER BY age
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_cents
+            FROM aged
+        )
+        SELECT c.cohort, c.age, s.n_customers,
+               CAST(c.age_cents AS BIGINT) AS age_cents, c.cum_cents,
+               ROUND(CAST(c.cum_cents AS DOUBLE) / 100.0 / s.n_customers, 6)
+                   AS cum_ltv_per_customer
+        FROM cum c JOIN sizes s ON c.cohort = s.cohort
+    """,
     "gini_concentration": """
         WITH spend AS (
             SELECT o_custkey AS c,

@@ -165,6 +165,8 @@ _PRIORITY = [
     "sprt_decision",
     "gini_concentration",
     "benford_digit_test",
+    "cohort_ltv",
+    "order_cycle_time",
     # scalar battery
     "string_funcs",
     "date_funcs",

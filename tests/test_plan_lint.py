@@ -106,6 +106,8 @@ GLOBAL_WINDOW_WHITELIST = {
     "gini_concentration",  # false positive: the window is KEYED on pid
     #   (global_positions); the SinglePartition exchange is the 1-row
     #   final report aggregate
+    "order_cycle_time",  # false positive: the lag window is KEYED on
+    #   customer; the SinglePartition exchange is the 1-row summary agg
 }
 
 
