@@ -214,6 +214,78 @@ def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_CREDIT_SCALE = 60  # lcm(1..5): |event types| ≤ 5 ⇒ exact splits
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution: each user's
+    purchase revenue is split equally across the DISTINCT channels
+    (event types) they touched. The split stays INTEGER-EXACT by
+    crediting in 1/60-cent units — 60 = lcm(1..5) is divisible by any
+    possible channel count, so cents·60/n_channels is an exact integer
+    and per-channel sums are order-independent (a naive cents/n double
+    split would accumulate cross-engine drift). Complements
+    q_attribution_first_touch (the single-touch model).
+
+    Shape: one per-user channel-set aggregate, one per-user revenue
+    aggregate, a channel explode bounded by |event types|, one grouped
+    integer sum."""
+    ev = read_table(spark, sf_dir, "events")
+    touches = ev.select("user_id", F.col("event_type").alias("channel")).distinct()
+    n_ch = touches.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_channels"))
+    revenue = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(_cents(F.col("value"))).alias("rev_cents"))
+    )
+    credits = (
+        touches.join(n_ch, "user_id")
+        .join(revenue, "user_id")
+        .select(
+            "channel",
+            (
+                F.col("rev_cents") * ATTR_CREDIT_SCALE / F.col("n_channels")
+            )
+            .cast("long")
+            .alias("units"),
+        )
+    )
+    return (
+        credits.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("units").alias("credit_units"),
+        )
+        .select(
+            "channel",
+            "n_users",
+            F.round(
+                F.col("credit_units").cast("double") / ATTR_CREDIT_SCALE / 100.0,
+                6,
+            ).alias("credited_revenue"),
+        )
+    )
+
+
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the load-profile
+    matrix behind capacity planning and campaign timing. One grouped
+    count to the bounded 7×24 frame; shares divide by a 1-row total.
+    All integers except the final share."""
+    ev = read_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    total = cells.agg(F.sum("n_events").alias("n"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hod",
+        "n_events",
+        F.round(F.col("n_events").cast("double") / F.col("n"), 6).alias("share"),
+    )
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users (WAU) + same-day actives (DAU) per
     calendar day — the sliding-window COUNT DISTINCT that naive SQL
@@ -843,6 +915,8 @@ QUERIES = {
     "kaplan_meier": q_kaplan_meier,
     "holt_forecast": q_holt_forecast,
     "sprt_decision": q_sprt_decision,
+    "attribution_linear": q_attribution_linear,
+    "activity_heatmap": q_activity_heatmap,
     "rolling_active_users": q_rolling_active_users,
     "sequence_anomaly": q_sequence_anomaly,
     "ab_test_zscore": q_ab_test_zscore,
@@ -904,6 +978,40 @@ ORACLES: dict[str, str] = {
             FROM last, (SELECT UNNEST(RANGE(1, {HOLT_H + 1})) AS h)
         )
         SELECT * FROM observed UNION ALL SELECT * FROM fc
+    """,
+    "attribution_linear": f"""
+        WITH touches AS (
+            SELECT DISTINCT user_id, event_type AS channel FROM events
+        ), n_ch AS (
+            SELECT user_id, COUNT(*) AS n_channels FROM touches
+            GROUP BY user_id
+        ), revenue AS (
+            SELECT user_id,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev_cents
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), credits AS (
+            SELECT t.channel,
+                   CAST(r.rev_cents * {ATTR_CREDIT_SCALE} / n.n_channels
+                        AS BIGINT) AS units
+            FROM touches t
+            JOIN n_ch n ON t.user_id = n.user_id
+            JOIN revenue r ON t.user_id = r.user_id
+        )
+        SELECT channel, COUNT(*) AS n_users,
+               ROUND(CAST(SUM(units) AS DOUBLE) / {ATTR_CREDIT_SCALE} / 100.0,
+                     6) AS credited_revenue
+        FROM credits GROUP BY channel
+    """,
+    "activity_heatmap": """
+        WITH cells AS (
+            SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hod,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n FROM cells)
+        SELECT dow, hod, n_events,
+               ROUND(CAST(n_events AS DOUBLE) / t.n, 6) AS share
+        FROM cells CROSS JOIN tot t
     """,
     "sprt_decision": f"""
         WITH per_user AS (

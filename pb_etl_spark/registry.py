@@ -167,6 +167,8 @@ _PRIORITY = [
     "benford_digit_test",
     "cohort_ltv",
     "order_cycle_time",
+    "attribution_linear",
+    "activity_heatmap",
     # scalar battery
     "string_funcs",
     "date_funcs",
