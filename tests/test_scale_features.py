@@ -413,3 +413,55 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
         .first()["n"]
     )
     assert pruned == unpruned
+
+
+def test_binaryfile_ingest_covers_exactly_the_materialized_docs(spark):
+    from pb_etl_spark.operators.multimodal import BIN_DOCS, q_binaryfile_ingest
+
+    rows = q_binaryfile_ingest(spark, SF_DIR).collect()
+    assert len(rows) == BIN_DOCS
+    assert {r.doc_id for r in rows} == set(range(BIN_DOCS))
+    assert all(r.n_bytes > 0 for r in rows)
+
+
+def test_event_pattern_counts_nest(spark):
+    """The immediate-run pattern is a strict subset of the eventual
+    funnel; all patterns share one user universe."""
+    from pb_etl_spark.operators.events import q_event_pattern_match
+
+    rows = {r.pattern: r for r in q_event_pattern_match(spark, SF_DIR).collect()}
+    assert rows["immediate_vcp"].n_matching <= rows["eventual_funnel"].n_matching
+    universes = {r.n_users for r in rows.values()}
+    assert len(universes) == 1
+
+
+def test_stream_ddsketch_matches_batch_extraction_on_same_hist(spark):
+    """The streaming sketch must answer exactly what a batch sketch
+    over the same values answers — state-merged cells are the same
+    cells."""
+    from pyspark.sql import functions as F
+
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.events import q_stream_ddsketch_quantiles
+    from pb_etl_spark.operators.retrieval import (
+        dd_bucket_expr,
+        dd_quantiles_from_hist,
+    )
+
+    streamed = {
+        r.q: r for r in q_stream_ddsketch_quantiles(spark, SF_DIR).collect()
+    }
+    ev = read_table(spark, SF_DIR, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    hist = ev.groupBy(dd_bucket_expr(F.col("cents")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    batch = {r.q: r for r in dd_quantiles_from_hist(spark, hist).collect()}
+    assert set(streamed) == set(batch)
+    for q in batch:
+        assert (streamed[q].bucket, streamed[q].est_price, streamed[q].n_rows) == (
+            batch[q].bucket,
+            batch[q].est_price,
+            batch[q].n_rows,
+        )
