@@ -393,9 +393,17 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "age_cents",
             "cum_cents",
-            F.round(
-                F.col("cum_cents").cast("double") / 100.0 / F.col("n_customers"),
-                6,
+            # integer half-away rounding on the micro-unit grid:
+            # round(a/b, 6) as ((2·a·10⁴ + b) div (2·b)) / 10⁶ — a
+            # plain ROUND(double, 6) can land exactly on a half
+            # boundary (e.g. cents/2^k cohort sizes) where the engines
+            # disagree; the integer form cannot
+            (
+                F.expr(
+                    "(2 * cum_cents * 10000 + n_customers)"
+                    " div (2 * n_customers)"
+                ).cast("double")
+                / 1000000.0
             ).alias("cum_ltv_per_customer"),
         )
     )
@@ -481,7 +489,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT c.cohort, c.age, s.n_customers,
                CAST(c.age_cents AS BIGINT) AS age_cents, c.cum_cents,
-               ROUND(CAST(c.cum_cents AS DOUBLE) / 100.0 / s.n_customers, 6)
+               CAST((2 * c.cum_cents * 10000 + s.n_customers)
+                    // (2 * s.n_customers) AS DOUBLE) / 1000000.0
                    AS cum_ltv_per_customer
         FROM cum c JOIN sizes s ON c.cohort = s.cohort
     """,

@@ -127,6 +127,15 @@ def q_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
     total = counts.agg(F.sum("n_obs").alias("n"))
+    # drive the report from the FULL 1..9 digit frame: a digit that
+    # never occurs is the strongest Benford violation and must
+    # contribute its whole (0 − n·p)²/(n·p) term, not vanish; this also
+    # keeps element_at's index in 1..9 by construction (digit-0 rows
+    # from zero/negative amounts can't reach it)
+    digits = spark.createDataFrame([(d,) for d in range(1, 10)], "digit long")
+    counts = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
+    )
     exp_share = F.element_at(
         F.array(*[F.lit(BENFORD[d]) for d in range(1, 10)]),
         F.col("digit").cast("int"),
@@ -163,8 +172,12 @@ ORACLES: dict[str, str] = {
                                         AS BIGINT) AS VARCHAR), 1, 1)
                         AS BIGINT) AS digit
             FROM orders
-        ), counts AS (
+        ), observed AS (
             SELECT digit, COUNT(*) AS n_obs FROM src GROUP BY digit
+        ), counts AS (
+            SELECT d.digit, COALESCE(o.n_obs, 0) AS n_obs
+            FROM (SELECT UNNEST(RANGE(1, 10)) AS digit) d
+            LEFT JOIN observed o ON d.digit = o.digit
         ), tot AS (
             -- DuckDB SUM(BIGINT) is DECIMAL(38); cast once to BIGINT so
             -- the double chains below match Spark's long->double casts

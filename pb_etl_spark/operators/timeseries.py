@@ -153,8 +153,19 @@ def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: LLR is two integer running counts times two embedded
     literals — no cross-engine float accumulation at all. Shape: one
-    per-user aggregate, one keyed cumsum window per variant, a
-    |variants|-row rollup locating the first crossing."""
+    per-user aggregate, then the running counts come from ONE total
+    order over (variant, first_ts, user_id) via the distributed
+    ``global_positions`` / ``global_running_sum`` primitives — a
+    window partitioned on the |variants|-valued key would cap the
+    stage at |variants| tasks (the entity-resolution ceiling class);
+    the range-partitioned form parallelizes regardless of how few
+    variants there are. Per-variant counts subtract a bounded
+    |variants|-row prefix offset."""
+    from pb_etl_spark.operators.corpus import (
+        global_positions,
+        global_running_sum,
+    )
+
     ev = read_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min("ts").alias("first_ts"),
@@ -166,16 +177,41 @@ def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("x"),
     )
-    w = W.partitionBy("variant").orderBy("first_ts", "user_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    base = per_user.withColumn(
+        "variant", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
     )
+    order = ["variant", "first_ts", "user_id"]
+    pos_df, _ = global_positions(spark, base, order)
+    cum_df = global_running_sum(spark, base, order, "x").select(
+        F.col("variant").alias("v3"),
+        F.col("first_ts").alias("ft3"),
+        F.col("user_id").alias("u3"),
+        F.col("cum").alias("cum_x"),
+    )
+    # bounded per-variant prefix offsets (|variants| rows on the driver)
+    vt = sorted(
+        base.groupBy("variant")
+        .agg(F.sum("x").alias("tx"), F.count(F.lit(1)).alias("tn"))
+        .collect(),
+        key=lambda r: r["variant"],
+    )
+    x_off, n_off, ax, an = {}, {}, 0, 0
+    for r in vt:
+        x_off[r["variant"]], n_off[r["variant"]] = ax, an
+        ax += r["tx"]
+        an += r["tn"]
+    x_off_c = F.create_map(*[F.lit(v) for kv in x_off.items() for v in kv])
+    n_off_c = F.create_map(*[F.lit(v) for kv in n_off.items() for v in kv])
     obs = (
-        per_user.withColumn(
-            "variant", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        pos_df.join(
+            cum_df,
+            (F.col("variant") == F.col("v3"))
+            & (F.col("first_ts") == F.col("ft3"))
+            & (F.col("user_id") == F.col("u3")),
         )
-        .withColumn("c1", F.sum("x").over(w))
-        .withColumn("c0", F.sum(F.lit(1) - F.col("x")).over(w))
-        .withColumn("rn", (F.col("c1") + F.col("c0")).cast("long"))
+        .withColumn("c1", F.col("cum_x") - x_off_c[F.col("variant")])
+        .withColumn("rn", F.col("pos") - n_off_c[F.col("variant")])
+        .withColumn("c0", F.col("rn") - F.col("c1"))
         .withColumn(
             "llr",
             F.col("c1") * F.lit(SPRT_L1) + F.col("c0") * F.lit(SPRT_L0),
@@ -243,11 +279,12 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(revenue, "user_id")
         .select(
             "channel",
-            (
-                F.col("rev_cents") * ATTR_CREDIT_SCALE / F.col("n_channels")
-            )
-            .cast("long")
-            .alias("units"),
+            # integer `div`: exact because n_channels divides the lcm
+            # scale — double division + cast would truncate on Spark
+            # but ROUND on DuckDB once the numerator passes 2^53
+            F.expr(
+                f"(rev_cents * {ATTR_CREDIT_SCALE}) div n_channels"
+            ).alias("units"),
         )
     )
     return (
@@ -991,8 +1028,8 @@ ORACLES: dict[str, str] = {
             FROM events WHERE event_type = 'purchase' GROUP BY user_id
         ), credits AS (
             SELECT t.channel,
-                   CAST(r.rev_cents * {ATTR_CREDIT_SCALE} / n.n_channels
-                        AS BIGINT) AS units
+                   (r.rev_cents * {ATTR_CREDIT_SCALE}) // n.n_channels
+                       AS units
             FROM touches t
             JOIN n_ch n ON t.user_id = n.user_id
             JOIN revenue r ON t.user_id = r.user_id
@@ -1044,15 +1081,16 @@ ORACLES: dict[str, str] = {
             FROM cum
         ), firsts AS (
             SELECT variant, COUNT(*) AS n_obs_total,
-                   MIN(CASE WHEN llr >= {SPRT_UPPER!r}
-                              OR llr <= {SPRT_LOWER!r}
+                   MIN(CASE WHEN llr >= CAST({SPRT_UPPER!r} AS DOUBLE)
+                              OR llr <= CAST({SPRT_LOWER!r} AS DOUBLE)
                             THEN rn END) AS stop_rn
             FROM scored GROUP BY variant
         )
         SELECT f.variant, f.n_obs_total,
                COALESCE(f.stop_rn, f.n_obs_total) AS n_at_decision,
                CASE WHEN f.stop_rn IS NULL THEN 'continue'
-                    WHEN s.llr >= {SPRT_UPPER!r} THEN 'accept_h1'
+                    WHEN s.llr >= CAST({SPRT_UPPER!r} AS DOUBLE)
+                        THEN 'accept_h1'
                     ELSE 'accept_h0' END AS decision,
                ROUND(s.llr, 6) AS llr_at_decision
         FROM firsts f

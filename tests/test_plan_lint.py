@@ -77,6 +77,7 @@ BNLJ_WHITELIST = {
     #   join — the deliberate ×|cutoffs| multi-snapshot fact explode
     "benford_digit_test",  # 1-row digit-total crossJoin onto the
     #   9-row report
+    "activity_heatmap",  # 1-row total crossJoin onto the 7×24 matrix
 }
 
 
