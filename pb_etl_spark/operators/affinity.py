@@ -439,6 +439,152 @@ def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEG_SPLIT_DATE = "1998-05-01"  # period boundary for segment migration
+
+
+def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier reliability scorecard: per supplier, line counts and the
+    LATE-shipment rate (shipped > 90 days after the order date) — the
+    vendor-performance rollup sourcing teams rank on. One fact-fact
+    equi-join (lineitem⋈orders on orderkey, both filtered projections),
+    one grouped aggregate to the |suppliers| frame; the rate is one
+    integer-derived division."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (
+                    F.datediff("l_shipdate", "o_orderdate") > 90
+                ).cast("long")
+            ).alias("n_late"),
+        )
+        .select(
+            "suppkey",
+            "n_lines",
+            "n_late",
+            F.round(F.col("n_late").cast("double") / F.col("n_lines"), 6).alias(
+                "late_rate"
+            ),
+        )
+    )
+
+
+DUP_INV_BAND_CENTS = 1_000_000  # $10k amount band for the similarity key
+DUP_INV_WINDOW_DAYS = 30
+
+
+def q_duplicate_invoice_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspicious-invoice screen (double-billing / split-billing): pairs
+    of orders by the SAME customer with totals in the SAME $10k band
+    within 30 days. The join key is (customer, amount-band) — the
+    classic blocking key whose collision groups are tiny — so the pair
+    join is linear; the date-window predicate verifies candidates.
+    Emits each pair once (lower orderkey first). Note a same-BAND key
+    can miss pairs straddling a band boundary; a production screen
+    also joins on band±1 (doubling keys, same linear shape)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).withColumn("band", F.expr(f"cents div {DUP_INV_BAND_CENTS}"))
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            F.col("a.cents").alias("cents_a"),
+            F.col("b.cents").alias("cents_b"),
+            F.abs(
+                F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))
+            )
+            .cast("long")
+            .alias("day_gap"),
+        )
+        .filter(F.col("day_gap") <= DUP_INV_WINDOW_DAYS)
+    )
+
+
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix: monetary quintile in the
+    EARLY period (orders before SEG_SPLIT_DATE) vs the LATE period,
+    counted over customers active in both — the upgrade/downgrade flow
+    behind retention programs. Quintiles are exact rank-based
+    (global_positions per period, integer arithmetic); the matrix is a
+    ≤ 5×5 grouped count."""
+    from pb_etl_spark.operators.corpus import global_positions
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+    def period_quintile(df, out):
+        spend = df.groupBy(F.col("o_custkey").alias("c")).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+        pos_df, n = global_positions(spark, spend, ["cents", "c"])
+        return pos_df.select(
+            "c", F.expr(f"1L + ((pos - 1) * {RFM_BUCKETS}) div {n}").alias(out)
+        )
+
+    early = period_quintile(
+        orders.filter(F.col("o_orderdate") < F.lit(SEG_SPLIT_DATE).cast("timestamp")),
+        "from_q",
+    )
+    late = period_quintile(
+        orders.filter(
+            F.col("o_orderdate") >= F.lit(SEG_SPLIT_DATE).cast("timestamp")
+        ),
+        "to_q",
+    )
+    return (
+        early.join(late, "c")
+        .groupBy("from_q", "to_q")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever active day) vs
+    RETURNING — the top-left tile of every growth dashboard. One
+    (user, day) dedup, one per-user min, one grouped count; all
+    integers."""
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    firsts = pairs.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        pairs.join(firsts, "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("long")).alias(
+                "new_users"
+            ),
+            F.sum((F.col("day") != F.col("first_day")).cast("long")).alias(
+                "returning_users"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "association_rules": q_association_rules,
     "item_item_cosine": q_item_item_cosine,
@@ -447,9 +593,81 @@ QUERIES = {
     "gini_concentration": q_gini_concentration,
     "cohort_ltv": q_cohort_ltv,
     "order_cycle_time": q_order_cycle_time,
+    "supplier_reliability": q_supplier_reliability,
+    "duplicate_invoice_detector": q_duplicate_invoice_detector,
+    "segment_migration": q_segment_migration,
+    "new_vs_returning_daily": q_new_vs_returning_daily,
 }
 
 ORACLES: dict[str, str] = {
+    "supplier_reliability": """
+        SELECT l.l_suppkey AS suppkey,
+               COUNT(*) AS n_lines,
+               SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                        THEN 1 ELSE 0 END) AS n_late,
+               ROUND(CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate,
+                                                  l.l_shipdate) > 90
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS late_rate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_suppkey
+    """,
+    "duplicate_invoice_detector": f"""
+        SELECT a.o_custkey AS custkey,
+               a.o_orderkey AS orderkey_a,
+               b.o_orderkey AS orderkey_b,
+               CAST(ROUND(a.o_totalprice * 100) AS BIGINT) AS cents_a,
+               CAST(ROUND(b.o_totalprice * 100) AS BIGINT) AS cents_b,
+               CAST(ABS(date_diff('day', a.o_orderdate, b.o_orderdate))
+                    AS BIGINT) AS day_gap
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey
+         AND CAST(ROUND(a.o_totalprice * 100) AS BIGINT)
+             // {DUP_INV_BAND_CENTS}
+             = CAST(ROUND(b.o_totalprice * 100) AS BIGINT)
+               // {DUP_INV_BAND_CENTS}
+         AND a.o_orderkey < b.o_orderkey
+        WHERE ABS(date_diff('day', a.o_orderdate, b.o_orderdate))
+              <= {DUP_INV_WINDOW_DAYS}
+    """,
+    "segment_migration": f"""
+        WITH early AS (
+            SELECT o_custkey AS c,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders WHERE o_orderdate < TIMESTAMP '{SEG_SPLIT_DATE}'
+            GROUP BY o_custkey
+        ), late AS (
+            SELECT o_custkey AS c,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders WHERE o_orderdate >= TIMESTAMP '{SEG_SPLIT_DATE}'
+            GROUP BY o_custkey
+        ), eq AS (
+            SELECT c, 1 + ((ROW_NUMBER() OVER (ORDER BY cents, c) - 1)
+                           * {RFM_BUCKETS}) // COUNT(*) OVER () AS from_q
+            FROM early
+        ), lq AS (
+            SELECT c, 1 + ((ROW_NUMBER() OVER (ORDER BY cents, c) - 1)
+                           * {RFM_BUCKETS}) // COUNT(*) OVER () AS to_q
+            FROM late
+        )
+        SELECT eq.from_q, lq.to_q, COUNT(*) AS n_customers
+        FROM eq JOIN lq ON eq.c = lq.c
+        GROUP BY 1, 2
+    """,
+    "new_vs_returning_daily": """
+        WITH pairs AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ), firsts AS (
+            SELECT user_id, MIN(day) AS first_day FROM pairs GROUP BY user_id
+        )
+        SELECT strftime(p.day, '%Y-%m-%d') AS day,
+               SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)
+                   AS new_users,
+               SUM(CASE WHEN p.day != f.first_day THEN 1 ELSE 0 END)
+                   AS returning_users
+        FROM pairs p JOIN firsts f ON p.user_id = f.user_id
+        GROUP BY 1
+    """,
     "order_cycle_time": """
         WITH gaps AS (
             SELECT CAST(date_diff('day',

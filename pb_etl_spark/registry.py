@@ -169,6 +169,10 @@ _PRIORITY = [
     "order_cycle_time",
     "attribution_linear",
     "activity_heatmap",
+    "supplier_reliability",
+    "duplicate_invoice_detector",
+    "segment_migration",
+    "new_vs_returning_daily",
     # scalar battery
     "string_funcs",
     "date_funcs",
