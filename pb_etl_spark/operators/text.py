@@ -357,6 +357,103 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROC_THRESHOLDS = tuple(range(0, 101, 10))  # en-marker rate per mille
+
+
+def _en_score_int():
+    """Integer per-mille EN-marker rate: 1000·|en-marker tokens| div
+    |tokens| — the deterministic classifier score behind the ROC/AUC
+    harness (integer, so threshold compares are engine-exact)."""
+    toks = _tokens()
+    en_arr = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_en = F.size(F.filter(toks, lambda t: F.array_contains(en_arr, t)))
+    return F.expr("1000L") * n_en.cast("long") / F.size(toks)
+
+
+def q_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC sweep for the EN-marker language classifier (score =
+    per-mille marker rate, label = lang == 'en'): per threshold, the
+    confusion counts and TPR/FPR/precision — the model-eval harness
+    beside lang_id_confusion, with every number integer-derived.
+
+    Shape: one per-doc score projection, a bounded |thresholds|-row
+    crossJoin (the sweep), one grouped count."""
+    doc = read_table(spark, sf_dir, "documents")
+    scored = doc.select(
+        F.floor(_en_score_int()).cast("long").alias("score"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    th = spark.createDataFrame([(t,) for t in ROC_THRESHOLDS], "threshold long")
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("score") >= F.col("threshold"), F.col("y")).otherwise(0)).alias("tp"),
+            F.sum(
+                F.when(F.col("score") >= F.col("threshold"), 1 - F.col("y")).otherwise(0)
+            ).alias("fp"),
+            F.sum("y").alias("pos"),
+            F.sum(F.lit(1) - F.col("y")).alias("neg"),
+        )
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            F.round(F.col("tp").cast("double") / F.col("pos"), 6).alias("tpr"),
+            F.round(F.col("fp").cast("double") / F.col("neg"), 6).alias("fpr"),
+            F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+                )
+            )
+            .alias("precision"),
+        )
+    )
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trapezoidal AUC over the threshold sweep — computed
+    ENTIRELY in integers: AUC·2·P·N = Σ (FP_i − FP_{i+1})·(TP_i +
+    TP_{i+1}) over thresholds sorted ascending (descending FP), an
+    order-independent integer sum, divided once at the end. No double
+    accumulates across rows, so the estimate is engine-exact by
+    construction (the usual float trapezoid would be order-sensitive)."""
+    from pyspark.sql.window import Window as W
+
+    pts = q_roc_curve_points(spark, sf_dir).select("threshold", "tp", "fp")
+    doc = read_table(spark, sf_dir, "documents")
+    totals = doc.agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("neg"),
+    )
+    w = W.orderBy("threshold")
+    terms = (
+        pts.withColumn("tp_next", F.lead("tp").over(w))
+        .withColumn("fp_next", F.lead("fp").over(w))
+        .filter(F.col("tp_next").isNotNull())
+        .select(
+            (
+                (F.col("fp") - F.col("fp_next"))
+                * (F.col("tp") + F.col("tp_next"))
+            ).alias("units")
+        )
+    )
+    return (
+        terms.agg(F.sum("units").alias("units"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("pos").alias("n_pos"),
+            F.col("neg").alias("n_neg"),
+            F.round(
+                F.col("units").cast("double")
+                / (2.0 * F.col("pos") * F.col("neg")),
+                6,
+            ).alias("auc_partial"),
+        )
+    )
+
+
 ZIPF_TOP = 200  # vocabulary head used for the log-log fit
 
 
@@ -410,6 +507,65 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "roc_curve_points": """
+        WITH scored AS (
+            SELECT CAST(FLOOR(1000 * len(list_filter(string_split(text, ' '),
+                                   t -> t IN ('the', 'a', 'of', 'and', 'fast')))
+                        / len(string_split(text, ' '))) AS BIGINT) AS score,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ), th AS (SELECT * FROM (VALUES (0), (10), (20), (30), (40), (50), (60), (70), (80), (90), (100)) t(threshold))
+        SELECT th.threshold,
+               SUM(CASE WHEN score >= th.threshold THEN y ELSE 0 END) AS tp,
+               SUM(CASE WHEN score >= th.threshold THEN 1 - y ELSE 0 END)
+                   AS fp,
+               ROUND(CAST(SUM(CASE WHEN score >= th.threshold THEN y
+                                   ELSE 0 END) AS DOUBLE) / SUM(y), 6)
+                   AS tpr,
+               ROUND(CAST(SUM(CASE WHEN score >= th.threshold THEN 1 - y
+                                   ELSE 0 END) AS DOUBLE) / SUM(1 - y), 6)
+                   AS fpr,
+               CASE WHEN SUM(CASE WHEN score >= th.threshold THEN 1
+                                  ELSE 0 END) = 0 THEN 0.0
+                    ELSE ROUND(CAST(SUM(CASE WHEN score >= th.threshold
+                                            THEN y ELSE 0 END) AS DOUBLE)
+                               / SUM(CASE WHEN score >= th.threshold
+                                          THEN 1 ELSE 0 END), 6) END
+                   AS precision
+        FROM scored CROSS JOIN th
+        GROUP BY th.threshold
+    """,
+    "roc_auc": """
+        WITH scored AS (
+            SELECT CAST(FLOOR(1000 * len(list_filter(string_split(text, ' '),
+                                   t -> t IN ('the', 'a', 'of', 'and', 'fast')))
+                        / len(string_split(text, ' '))) AS BIGINT) AS score,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ), th AS (SELECT * FROM (VALUES (0), (10), (20), (30), (40), (50), (60), (70), (80), (90), (100)) t(threshold)),
+        pts AS (
+            SELECT th.threshold,
+                   SUM(CASE WHEN score >= th.threshold THEN y ELSE 0 END)
+                       AS tp,
+                   SUM(CASE WHEN score >= th.threshold THEN 1 - y ELSE 0 END)
+                       AS fp
+            FROM scored CROSS JOIN th GROUP BY th.threshold
+        ), terms AS (
+            SELECT (fp - LEAD(fp) OVER (ORDER BY threshold))
+                   * (tp + LEAD(tp) OVER (ORDER BY threshold)) AS units
+            FROM pts
+        ), tot AS (
+            SELECT CAST(SUM(y) AS BIGINT) AS pos,
+                   CAST(SUM(1 - y) AS BIGINT) AS neg
+            FROM scored
+        )
+        SELECT t.pos AS n_pos, t.neg AS n_neg,
+               ROUND(CAST(SUM(units) AS DOUBLE) / (2.0 * t.pos * t.neg), 6)
+                   AS auc_partial
+        FROM terms CROSS JOIN tot t
+        WHERE units IS NOT NULL
+        GROUP BY t.pos, t.neg
+    """,
     "zipf_slope": f"""
         WITH tok AS (
             SELECT unnest(string_split(text, ' ')) AS term FROM documents
@@ -624,6 +780,8 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "zipf_slope": q_zipf_slope,
+    "roc_curve_points": q_roc_curve_points,
+    "roc_auc": q_roc_auc,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,

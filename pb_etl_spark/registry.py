@@ -173,6 +173,8 @@ _PRIORITY = [
     "duplicate_invoice_detector",
     "segment_migration",
     "new_vs_returning_daily",
+    "roc_curve_points",
+    "roc_auc",
     # scalar battery
     "string_funcs",
     "date_funcs",

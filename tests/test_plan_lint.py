@@ -78,6 +78,9 @@ BNLJ_WHITELIST = {
     "benford_digit_test",  # 1-row digit-total crossJoin onto the
     #   9-row report
     "activity_heatmap",  # 1-row total crossJoin onto the 7×24 matrix
+    "roc_curve_points",  # |thresholds|-row (11) broadcast sweep — the
+    #   deliberate ×|thresholds| explode of the classifier eval
+    "roc_auc",  # same sweep + 1-row (P, N) totals crossJoin
 }
 
 
@@ -109,6 +112,8 @@ GLOBAL_WINDOW_WHITELIST = {
     #   final report aggregate
     "order_cycle_time",  # false positive: the lag window is KEYED on
     #   customer; the SinglePartition exchange is the 1-row summary agg
+    "roc_auc",  # lead window over the 11-row threshold frame — bounded
+    #   by construction
 }
 
 
