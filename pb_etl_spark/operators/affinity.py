@@ -65,6 +65,28 @@ TE_PRIOR_WEIGHT = 20.0
 RFM_BUCKETS = 5
 
 
+def exact_quintile(
+    spark, df, value_col: str, key_col: str, out: str, asc: bool = True
+):
+    """Exact rank-based quintile 1..5 over (value, key) via the
+    distributed ``global_positions`` primitive — the ONE place the
+    integer `div` bucket formula lives (its DuckDB twin is
+    `1 + ((ROW_NUMBER() - 1) * 5) // n`); used by rfm_segments and
+    segment_migration. ``asc=False`` ranks descending (high value →
+    low quintile), which is how recency scores invert."""
+    from pb_etl_spark.operators.corpus import global_positions
+
+    order = [
+        F.col(value_col).asc() if asc else F.col(value_col).desc(),
+        F.col(key_col).asc(),
+    ]
+    pos_df, n = global_positions(spark, df.select(key_col, value_col), order)
+    return pos_df.select(
+        key_col,
+        F.expr(f"1L + ((pos - 1) * {RFM_BUCKETS}) div {n}").alias(out),
+    )
+
+
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over orders-as-baskets and
     p_brand-as-items: directed rules a→b with support, confidence and
@@ -195,8 +217,6 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``global_positions`` — three range-partitioned distributed
     row-numbers, no single-partition window. Every output column is an
     integer: no float appears anywhere in the query."""
-    from pb_etl_spark.operators.corpus import global_positions
-
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -219,18 +239,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def quintile(df: DataFrame, metric: str, asc: bool, out: str) -> DataFrame:
-        order = [
-            F.col(metric).asc() if asc else F.col(metric).desc(),
-            F.col("c").asc(),
-        ]
-        pos_df, n = global_positions(spark, df.select("c", metric), order)
-        # integer `div`, not `/`: double division + cast would floor the
-        # ROUNDED quotient, which can disagree with exact integer
-        # division once n exceeds double precision
-        return pos_df.select(
-            "c",
-            F.expr(f"1L + ((pos - 1) * {RFM_BUCKETS}) div {n}").alias(out),
-        )
+        return exact_quintile(spark, df, metric, "c", out, asc=asc)
 
     # recency: fewer days = better = score 5 → order DESC so the most
     # recent customers take the largest positions (highest quintile)
@@ -539,10 +548,7 @@ def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents"
             )
         )
-        pos_df, n = global_positions(spark, spend, ["cents", "c"])
-        return pos_df.select(
-            "c", F.expr(f"1L + ((pos - 1) * {RFM_BUCKETS}) div {n}").alias(out)
-        )
+        return exact_quintile(spark, spend, "cents", "c", out)
 
     early = period_quintile(
         orders.filter(F.col("o_orderdate") < F.lit(SEG_SPLIT_DATE).cast("timestamp")),

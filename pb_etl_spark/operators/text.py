@@ -361,13 +361,17 @@ ROC_THRESHOLDS = tuple(range(0, 101, 10))  # en-marker rate per mille
 
 
 def _en_score_int():
-    """Integer per-mille EN-marker rate: 1000·|en-marker tokens| div
-    |tokens| — the deterministic classifier score behind the ROC/AUC
-    harness (integer, so threshold compares are engine-exact)."""
+    """Integer per-mille EN-marker rate: floor(1000·|en-marker tokens|
+    / |tokens|), returned as LONG — the deterministic classifier score
+    behind the ROC/AUC harness (integral, so threshold compares are
+    engine-exact; the floor lives HERE so every consumer gets the same
+    integer column)."""
     toks = _tokens()
     en_arr = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
     n_en = F.size(F.filter(toks, lambda t: F.array_contains(en_arr, t)))
-    return F.expr("1000L") * n_en.cast("long") / F.size(toks)
+    return F.floor(
+        F.expr("1000L") * n_en.cast("long") / F.size(toks)
+    ).cast("long")
 
 
 def q_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,9 +383,11 @@ def q_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one per-doc score projection, a bounded |thresholds|-row
     crossJoin (the sweep), one grouped count."""
     doc = read_table(spark, sf_dir, "documents")
+    # y via CASE (not a bare boolean cast): a NULL lang must count as a
+    # negative exactly like the oracle's CASE WHEN, not vanish from SUM
     scored = doc.select(
-        F.floor(_en_score_int()).cast("long").alias("score"),
-        (F.col("lang") == "en").cast("long").alias("y"),
+        _en_score_int().alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
     )
     th = spark.createDataFrame([(t,) for t in ROC_THRESHOLDS], "threshold long")
     return (
@@ -422,10 +428,10 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     pts = q_roc_curve_points(spark, sf_dir).select("threshold", "tp", "fp")
-    doc = read_table(spark, sf_dir, "documents")
-    totals = doc.agg(
-        F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
-        F.sum((F.col("lang") != "en").cast("long")).alias("neg"),
+    # (P, N) are exactly the threshold-0 row of the sweep (scores are
+    # always >= 0): no second documents scan, one definition of y
+    totals = pts.filter(F.col("threshold") == 0).select(
+        F.col("tp").alias("pos"), F.col("fp").alias("neg")
     )
     w = W.orderBy("threshold")
     terms = (
@@ -555,12 +561,12 @@ ORACLES: dict[str, str] = {
                    * (tp + LEAD(tp) OVER (ORDER BY threshold)) AS units
             FROM pts
         ), tot AS (
-            SELECT CAST(SUM(y) AS BIGINT) AS pos,
-                   CAST(SUM(1 - y) AS BIGINT) AS neg
-            FROM scored
+            SELECT CAST(tp AS BIGINT) AS pos, CAST(fp AS BIGINT) AS neg
+            FROM pts WHERE threshold = 0
         )
         SELECT t.pos AS n_pos, t.neg AS n_neg,
-               ROUND(CAST(SUM(units) AS DOUBLE) / (2.0 * t.pos * t.neg), 6)
+               ROUND(CAST(SUM(units) AS DOUBLE)
+                     / (2.0 * CAST(t.pos AS DOUBLE) * t.neg), 6)
                    AS auc_partial
         FROM terms CROSS JOIN tot t
         WHERE units IS NOT NULL
