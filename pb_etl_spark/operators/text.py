@@ -460,6 +460,40 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the EN-marker score: documents bucketed by
+    score band (per-mille div 100 → bands 0..10), each band's observed
+    positive rate next to its mean score — the reliability-diagram
+    input that tells you whether a score of 0.3 MEANS 30%. Completes
+    the eval family (confusion matrix → ROC/AUC → calibration).
+
+    Bands and counts are integers; mean score and observed rate are
+    single divisions over band-local integer sums (round 6)."""
+    doc = read_table(spark, sf_dir, "documents")
+    scored = doc.select(
+        _en_score_int().alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+    )
+    return (
+        scored.groupBy(F.expr("score div 100").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score").alias("score_sum"),
+            F.sum("y").alias("n_pos"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            F.round(
+                F.col("score_sum").cast("double") / 1000.0 / F.col("n_docs"), 6
+            ).alias("mean_score"),
+            F.round(F.col("n_pos").cast("double") / F.col("n_docs"), 6).alias(
+                "observed_rate"
+            ),
+        )
+    )
+
+
 ZIPF_TOP = 200  # vocabulary head used for the log-log fit
 
 
@@ -513,6 +547,21 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "calibration_bins": """
+        WITH scored AS (
+            SELECT CAST(FLOOR(1000 * len(list_filter(string_split(text, ' '),
+                                   t -> t IN ('the', 'a', 'of', 'and', 'fast')))
+                        / len(string_split(text, ' '))) AS BIGINT) AS score,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        )
+        SELECT score // 100 AS band,
+               COUNT(*) AS n_docs,
+               ROUND(CAST(SUM(score) AS DOUBLE) / 1000.0 / COUNT(*), 6)
+                   AS mean_score,
+               ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS observed_rate
+        FROM scored GROUP BY 1
+    """,
     "roc_curve_points": """
         WITH scored AS (
             SELECT CAST(FLOOR(1000 * len(list_filter(string_split(text, ' '),
@@ -788,6 +837,7 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "roc_curve_points": q_roc_curve_points,
     "roc_auc": q_roc_auc,
+    "calibration_bins": q_calibration_bins,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,

@@ -175,6 +175,7 @@ _PRIORITY = [
     "new_vs_returning_daily",
     "roc_curve_points",
     "roc_auc",
+    "calibration_bins",
     # scalar battery
     "string_funcs",
     "date_funcs",
