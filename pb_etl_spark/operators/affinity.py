@@ -591,6 +591,64 @@ def q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume revenue bridge per brand between the two halves of
+    the order history (split at SEG_SPLIT_DATE): Δrevenue decomposed as
+    volume effect (Δqty·p₀) + price effect (q₀·Δp) + joint effect
+    (Δqty·Δp) — the FP&A walk from last period's revenue to this
+    period's. Brands present in both periods only (a bridge needs both
+    endpoints; entering/exiting brands are a separate line in practice).
+
+    Per brand, everything derives from four integers (period revenue
+    cents and quantities); each effect is one double chain (round 6),
+    and the three effects sum IDENTICALLY to Δrev (pinned in tests).
+    Shape: two filtered joins+aggregates to |brands| rows, one
+    broadcastable join between them."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey).join(
+        orders, li.l_orderkey == orders.o_orderkey
+    )
+
+    def period(df, tag):
+        return df.groupBy(F.col("p_brand").alias("brand")).agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                f"rev{tag}"
+            ),
+            F.sum(F.col("l_quantity").cast("long")).alias(f"qty{tag}"),
+        )
+
+    split = F.lit(SEG_SPLIT_DATE).cast("timestamp")
+    p0 = period(joined.filter(F.col("o_orderdate") < split), "0")
+    p1 = period(joined.filter(F.col("o_orderdate") >= split), "1")
+    price0 = F.col("rev0").cast("double") / F.col("qty0")
+    price1 = F.col("rev1").cast("double") / F.col("qty1")
+    return (
+        p0.join(p1, "brand")
+        .select(
+            "brand",
+            "rev0",
+            "rev1",
+            "qty0",
+            "qty1",
+            F.round(
+                (F.col("qty1") - F.col("qty0")) * price0 / 100.0, 6
+            ).alias("volume_effect"),
+            F.round(F.col("qty0") * (price1 - price0) / 100.0, 6).alias(
+                "price_effect"
+            ),
+            F.round(
+                (F.col("qty1") - F.col("qty0")) * (price1 - price0) / 100.0, 6
+            ).alias("joint_effect"),
+        )
+    )
+
+
 QUERIES = {
     "association_rules": q_association_rules,
     "item_item_cosine": q_item_item_cosine,
@@ -603,9 +661,40 @@ QUERIES = {
     "duplicate_invoice_detector": q_duplicate_invoice_detector,
     "segment_migration": q_segment_migration,
     "new_vs_returning_daily": q_new_vs_returning_daily,
+    "revenue_bridge": q_revenue_bridge,
 }
 
 ORACLES: dict[str, str] = {
+    "revenue_bridge": f"""
+        WITH joined AS (
+            SELECT p.p_brand AS brand, o.o_orderdate,
+                   CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents,
+                   CAST(l.l_quantity AS BIGINT) AS qty
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), p0 AS (
+            SELECT brand, CAST(SUM(cents) AS BIGINT) AS rev0,
+                   CAST(SUM(qty) AS BIGINT) AS qty0
+            FROM joined WHERE o_orderdate < TIMESTAMP '{SEG_SPLIT_DATE}'
+            GROUP BY brand
+        ), p1 AS (
+            SELECT brand, CAST(SUM(cents) AS BIGINT) AS rev1,
+                   CAST(SUM(qty) AS BIGINT) AS qty1
+            FROM joined WHERE o_orderdate >= TIMESTAMP '{SEG_SPLIT_DATE}'
+            GROUP BY brand
+        )
+        SELECT p0.brand, rev0, rev1, qty0, qty1,
+               ROUND((qty1 - qty0) * (CAST(rev0 AS DOUBLE) / qty0) / 100.0, 6)
+                   AS volume_effect,
+               ROUND(qty0 * (CAST(rev1 AS DOUBLE) / qty1
+                             - CAST(rev0 AS DOUBLE) / qty0) / 100.0, 6)
+                   AS price_effect,
+               ROUND((qty1 - qty0) * (CAST(rev1 AS DOUBLE) / qty1
+                                      - CAST(rev0 AS DOUBLE) / qty0) / 100.0,
+                     6) AS joint_effect
+        FROM p0 JOIN p1 ON p0.brand = p1.brand
+    """,
     "supplier_reliability": """
         SELECT l.l_suppkey AS suppkey,
                COUNT(*) AS n_lines,

@@ -176,6 +176,7 @@ _PRIORITY = [
     "roc_curve_points",
     "roc_auc",
     "calibration_bins",
+    "revenue_bridge",
     # scalar battery
     "string_funcs",
     "date_funcs",

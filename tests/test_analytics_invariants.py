@@ -326,3 +326,14 @@ def test_sprt_decision_consistency(spark):
             assert r.decision == "continue"
             assert SPRT_LOWER < r.llr_at_decision < SPRT_UPPER
             assert r.n_at_decision == r.n_obs_total
+
+
+def test_revenue_bridge_effects_reconcile(spark):
+    """The three bridge effects must walk exactly from rev0 to rev1:
+    volume + price + joint == Δrev (to rounding) per brand."""
+    from pb_etl_spark.operators.affinity import q_revenue_bridge
+
+    for r in q_revenue_bridge(spark, SF_DIR).collect():
+        delta = (r.rev1 - r.rev0) / 100.0
+        walk = r.volume_effect + r.price_effect + r.joint_effect
+        assert abs(walk - delta) < 5e-6, (r.brand, walk, delta)
