@@ -127,13 +127,15 @@ _PRIORITY = [
     # size-thresholded hybrid this round — adjacent in case window > 50.
     "entity_resolution",
     "kmv_distinct_sketch",
-    # ---- round-5 window, pre-staged (r03 verdict directive #5):
-    # brand-new round-4 operators first (highest verification value),
-    # then the ~44 remaining never-checked names in the exact order r05
-    # should verify them: scalar battery (largest count), agg shapes,
+    # ---- round-5 window, pre-staged: the 41 BRAND-NEW round-4
+    # operators first (highest verification value — never driver-
+    # checked, some with code changed after local checks), then the
+    # ~44 remaining never-checked names in the exact order r05 should
+    # verify them: scalar battery (largest count), agg shapes,
     # subquery battery, vectors/layout, text/stats remainder, final
     # stragglers. Rotate r05 by simply deleting the names that
-    # CORRECTNESS_r04 covers above. ----
+    # CORRECTNESS_r04 covers above; the window (~50) lands on all new
+    # ops + the first scalar-battery entries. ----
     # new in round 4: affinity analytics, DDSketch, retrieval heads,
     # k-core, ORC connector
     "association_rules",
