@@ -45,99 +45,25 @@ from pb_etl_spark.operators import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Order matters: the driver's correctness harness verifies the FIRST ~50
-# registry entries (registry insertion order) each round. Rounds 1-3
-# verified 139 unique queries, all green latest-status. The round-4
-# window (slots 0-49) is 100% never-driver-checked names, per the r03
-# verdict directive:
-#   1. slots 0-5: the six Spark-4 surfaces (SQL UDF, UDTF+LATERAL,
-#      recursive CTE, collation, pipe syntax, session variables) — the
-#      registry's most environment-sensitive entries, twice missed,
-#   2. slots 6-16: the 11 remaining TPC-H shapes (decorrelated-subquery
-#      battery, composite_ext.py),
-#   3. dedup/graph novelties, temporal, retrieval, corpus-sampling,
-#   4. the rest of the never-checked reporting/monitoring rollups,
-#      including the two whose code changes this round
-#      (seasonal_anomalies ordering fix; entity_golden_record rides the
-#      reworked entity-resolution clustering).
-# Slot 50 is entity_resolution itself (already r03-green, but its
-# clustering gains the size-thresholded union-find/CC hybrid this round
-# — kept adjacent to the window in case the driver checks >50).
+# registry entries (registry insertion order) each round. Rounds 1-4
+# verified 188 unique queries, all green latest-status (r04: 50/50).
+# The round-5 window (slots 0-49) follows the r04 verdict directive:
+#   1. slots 0-40: the 41 operators ADDED in round 4 — never driver-
+#      checked, and the highest-value names to verify (brand-new code;
+#      includes the environment-sensitive Spark-4 SQL scripting /
+#      table-UDF / parameterized-SQL trio and the streaming DDSketch).
+#      benford_digit_test and binaryfile_ingest also carry round-5
+#      code/oracle fixes (ADVICE items), so they are changed-code
+#      in-window.
+#   2. slot 41: entity_resolution — r03-green, but clustering.py's
+#      eager per-nation collect moves to execution time this round
+#      (ADVICE item #1), so its construction path changed.
+#   3. slots 42-49: the head of the never-checked remainder
+#      (kmv_distinct_sketch + the scalar-function battery).
+# Slot 50 keeps entity_golden_record adjacent (r04-green; rides the
+# changed clustering construction) in case the driver checks >50.
 _PRIORITY = [
-    # -- Spark-4 surfaces: slots 0-5 (r03 verdict directive #1) --
-    "recursive_hierarchy",
-    "collated_group",
-    "pipe_syntax_agg",
-    "sql_udf_pricing",
-    "udtf_chunking",
-    "session_variable_agg",
-    # -- the 11 remaining TPC-H shapes --
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "tpch_q20_part_shippers",
-    "tpch_q22_idle_balances",
-    # -- dedup / graph novelties (fuzzy_match_pairs's blocking gains
-    #    single-deletion keys this round — changed code in-window) --
-    "semantic_dedup",
-    "fuzzy_match_pairs",
-    "pagerank_knn",
-    "triangle_count_knn",
-    "dup_span_ratio",
-    "span_dedup_rewrite",
-    "incremental_dedup",
-    # -- temporal --
-    "pit_join",
-    "cogroup_time_since",
-    # -- retrieval --
-    "bm25_topk",
-    "contamination_check",
-    "doc_chunking",
-    "rolling_fingerprint",
-    # -- corpus sampling / packing family --
-    "seq_packing",
-    "pii_redaction",
-    "quality_filter_chain",
-    "weighted_hash_sample",
-    "kfold_assign",
-    "topk_hash_sample",
-    "negative_sampling",
-    "temperature_mixture",
-    "stream_doc_dedup",
-    # -- changed this round / downstream of changed code --
-    "seasonal_anomalies",
-    "entity_golden_record",
-    # -- never-checked reporting / monitoring / sketch rollups --
-    "topk_with_others",
-    "rolling_corr_events",
-    "dynamic_partition_pruning",
-    "join_cardinality_report",
-    "ols2_per_group",
-    "vocab_drift",
-    "shard_manifest",
-    "kmv_jaccard_sources",
-    "ewma_user_value",
-    # ---- slot 50: window boundary ----
-    # entity_resolution: r03-green, but clustering.py gains the
-    # size-thresholded hybrid this round — adjacent in case window > 50.
-    "entity_resolution",
-    "kmv_distinct_sketch",
-    # ---- round-5 window, pre-staged: the 41 BRAND-NEW round-4
-    # operators first (highest verification value — never driver-
-    # checked, some with code changed after local checks), then the
-    # ~44 remaining never-checked names in the exact order r05 should
-    # verify them: scalar battery (largest count), agg shapes,
-    # subquery battery, vectors/layout, text/stats remainder, final
-    # stragglers. Rotate r05 by simply deleting the names that
-    # CORRECTNESS_r04 covers above; the window (~50) lands on all new
-    # ops + the first scalar-battery entries. ----
-    # new in round 4: affinity analytics, DDSketch, retrieval heads,
-    # k-core, ORC connector
+    # -- round-5 window: the 41 round-4 additions, never driver-checked --
     "association_rules",
     "item_item_cosine",
     "rfm_segments",
@@ -179,7 +105,11 @@ _PRIORITY = [
     "roc_auc",
     "calibration_bins",
     "revenue_bridge",
-    # scalar battery
+    # -- slot 41: changed construction path this round (ADVICE #1) --
+    "entity_resolution",
+    # -- slots 42-49: never-checked remainder head --
+    "kmv_distinct_sketch",
+    # scalar battery (head)
     "string_funcs",
     "date_funcs",
     "math_funcs",
@@ -187,6 +117,18 @@ _PRIORITY = [
     "hash_funcs",
     "bitwise_funcs",
     "null_handling",
+    # ---- slot 50: window boundary ----
+    # entity_golden_record: r04-green, kept adjacent because it rides
+    # the reworked entity-resolution construction (ADVICE #1 fix).
+    "entity_golden_record",
+    # ---- round-6 window, pre-staged: the exact remaining never-
+    # checked names in verification order — scalar battery tail, agg
+    # shapes, subquery battery, vectors/layout remainder, text/stats
+    # remainder, final stragglers (hll_mergeable_counts is rows-only,
+    # no oracle by design). Rotate r06 by deleting the names
+    # CORRECTNESS_r05 covers above; the ~50 window then covers ALL of
+    # these → 100% driver coverage at round 6. ----
+    # scalar battery (tail)
     "try_funcs",
     "array_funcs",
     "struct_funcs",
