@@ -147,8 +147,40 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 ER_UF_MAX_MEMBERS = 2_000_000
 
 
+def _parquet_rows_at_most(path: str, bound: int) -> bool:
+    """True iff the parquet data at ``path`` provably holds ≤ ``bound``
+    rows, decided from FILE FOOTERS alone — driver-side metadata IO, no
+    Spark job. Short-circuits as soon as the running total exceeds the
+    bound, so at 100 TB this touches a handful of footers before handing
+    off to an exact distributed count. Returns False on any read error
+    (remote FS, permissions) so callers fall back to the exact count."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        files = [path]
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        total = 0
+        for f in files:
+            total += pq.ParquetFile(f).metadata.num_rows
+            if total > bound:
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def q_entity_resolution(
-    spark: SparkSession, sf_dir: str, uf_max_members: int = ER_UF_MAX_MEMBERS
+    spark: SparkSession,
+    sf_dir: str,
+    uf_max_members: int = ER_UF_MAX_MEMBERS,
+    big_nats: list[int] | None = None,
 ) -> DataFrame:
     """End-to-end entity resolution: fuzzy name matching (deletion-
     neighborhood blocked edit-distance-1 pairs, dedup.py) feeds
@@ -174,11 +206,19 @@ def q_entity_resolution(
     executor's memory and cap the stage at |big nations| tasks, so they
     fall back to the distributed pointer-jumping
     ``connected_components`` restricted to their edge subset (edges
-    never cross nations, so the union of the two paths is exact). The
-    split is decided from a bounded per-nation count (≤ |nations| rows
-    collected). Both paths label a component by its minimum custkey, so
-    the result is path-independent — the same rows and hashes come out
-    whatever the threshold.
+    never cross nations, so the union of the two paths is exact). Both
+    paths label a component by its minimum custkey, so the result is
+    path-independent — the same rows and hashes come out whatever the
+    threshold.
+
+    The split decision is CONSTRUCTION-CHEAP: when the customer table's
+    parquet footers prove total rows ≤ the bound (the common case — no
+    nation can exceed it), ``big_nats`` is decided from metadata alone
+    and building this query runs NO Spark job. Only when the footer
+    total exceeds the bound (or footers are unreadable) does a bounded
+    per-nation count run (≤ |nations| rows collected) — negligible next
+    to the ER job it precedes. Callers that already know the big keys
+    can pass ``big_nats`` explicitly and skip both.
 
     Oracle: the quadratic levenshtein pair join + a recursive CTE — the
     Spark side's blocking AND its clustering are both proven against
@@ -205,10 +245,22 @@ def q_entity_resolution(
         .select(F.col("nat_a").alias("nat"), "ia", "ib")
     )
 
-    # bounded driver-side split decision: one row per nation (≤ 25 here;
-    # |distinct blocking keys| in general — a dimension, not a fact)
-    counts = members.groupBy("nat").agg(F.count(F.lit(1)).alias("n")).collect()
-    big_nats = sorted(r["nat"] for r in counts if r["n"] > uf_max_members)
+    if big_nats is None:
+        # footer-metadata fast path: total customer rows ≤ bound ⇒ no
+        # nation can exceed it ⇒ no Spark job at construction time
+        cust_path = f"{sf_dir.rstrip('/')}/customer.parquet"
+        if _parquet_rows_at_most(cust_path, uf_max_members):
+            big_nats = []
+        else:
+            # bounded driver-side split decision: one row per nation
+            # (≤ 25 here; |distinct blocking keys| in general — a
+            # dimension, not a fact)
+            counts = (
+                members.groupBy("nat").agg(F.count(F.lit(1)).alias("n")).collect()
+            )
+            big_nats = sorted(r["nat"] for r in counts if r["n"] > uf_max_members)
+    else:
+        big_nats = sorted(big_nats)
 
     def resolve(key, mem: pd.DataFrame, edg: pd.DataFrame) -> pd.DataFrame:
         ids = mem["id"].to_numpy()

@@ -126,7 +126,6 @@ def q_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit")
     )
     counts = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
-    total = counts.agg(F.sum("n_obs").alias("n"))
     # drive the report from the FULL 1..9 digit frame: a digit that
     # never occurs is the strongest Benford violation and must
     # contribute its whole (0 − n·p)²/(n·p) term, not vanish; this also
@@ -136,6 +135,10 @@ def q_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = digits.join(counts, "digit", "left").select(
         "digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
     )
+    # total over the REINDEXED 1..9 frame, same as the oracle's tot CTE:
+    # digit-0 / NULL-digit rows from zero-or-negative amounts must not
+    # inflate the share/χ² denominator on either engine
+    total = counts.agg(F.sum("n_obs").alias("n"))
     exp_share = F.element_at(
         F.array(*[F.lit(BENFORD[d]) for d in range(1, 10)]),
         F.col("digit").cast("int"),

@@ -307,10 +307,11 @@ def q_binaryfile_ingest(spark, sf_dir: str) -> DataFrame:
     files becomes (path, length, content) rows; downstream decode is
     the mapInPandas path above). Emits per-doc byte length and content
     md5, with the doc id parsed from the filename. The oracle derives
-    the identical rows from the documents table (ascii text: bytes =
-    n_chars; md5(content) = md5(text)), so a hash match proves the
-    file materialization, the binaryFile scan, and the content bytes
-    all round-trip exactly."""
+    the identical rows from the documents table (UTF-8 byte length via
+    octet_length of the encoded blob — encoding-aware, so non-ASCII
+    text still matches; md5(content) = md5 of the same UTF-8 bytes),
+    so a hash match proves the file materialization, the binaryFile
+    scan, and the content bytes all round-trip exactly."""
     path = binary_docs_path(spark, sf_dir)
     files = spark.read.format("binaryFile").load(path + "/*.bin")
     return files.select(
@@ -325,7 +326,10 @@ def q_binaryfile_ingest(spark, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "binaryfile_ingest": f"""
         SELECT doc_id,
-               CAST(length(text) AS BIGINT) AS n_bytes,
+               -- UTF-8 BYTE length (octet_length of the encoded blob),
+               -- not character count: matches Spark binaryFile's file
+               -- length even if the fixture text ever goes non-ASCII
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
                md5(text) AS content_md5
         FROM documents WHERE doc_id < {BIN_DOCS}
     """,

@@ -177,6 +177,46 @@ def test_entity_resolution_cc_fallback_matches_union_find(spark):
     assert base.equals(mixed)
 
 
+def test_entity_resolution_construction_is_job_free(spark):
+    """ADVICE r04: constructing q_entity_resolution must not run a Spark
+    job in the common case. The footer-metadata guard decides the split
+    from parquet file footers; an explicit big_nats skips even that."""
+    from pb_etl_spark.operators.clustering import (
+        _parquet_rows_at_most,
+        q_entity_resolution,
+    )
+
+    path = f"{SF_DIR}/customer.parquet"
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(path).metadata.num_rows
+    assert _parquet_rows_at_most(path, n)  # exact bound: provable
+    assert not _parquet_rows_at_most(path, n - 1)  # one under: not
+    assert not _parquet_rows_at_most("/nonexistent.parquet", 10**9)  # err→False
+    # default construction takes the metadata fast path: the only jobs
+    # allowed are Spark's own single-task parquet schema-inference reads
+    # (inherent to spark.read.parquet); the old groupBy+collect split
+    # job (multi-stage shuffle) must be gone
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    df = q_entity_resolution(spark, SF_DIR)
+    new_jobs = set(tracker.getJobIdsForGroup(None)) - before
+    for j in new_jobs:
+        stages = tracker.getJobInfo(j).stageIds
+        assert len(stages) == 1, f"construction ran a shuffle job {j}"
+        si = tracker.getStageInfo(stages[0])
+        assert "parquet" in si.name and si.numTasks == 1, si.name
+    # explicit big_nats routes identically to the auto decision
+    base = df.toPandas().sort_values("c_custkey").reset_index(drop=True)
+    explicit = (
+        q_entity_resolution(spark, SF_DIR, big_nats=[])
+        .toPandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    assert base.equals(explicit)
+
+
 def test_ab_test_accounting(spark, events):
     from pb_etl_spark.operators.timeseries import q_ab_test_zscore
 
