@@ -131,6 +131,21 @@ def calibrate(spark, sf_dir: str, n: int = 5) -> float:
     return round(best, 4)
 
 
+def prior_slowest(n: int = 3) -> list[str]:
+    """Names of the ``n`` slowest queries from the latest BENCH_r*.json
+    next to this script (empty if none exists yet)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f))
+    if not benches:
+        return []
+    try:
+        with open(os.path.join(here, benches[-1])) as f:
+            prior = json.load(f).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return []
+    return sorted(prior, key=prior.get, reverse=True)[:n]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -139,9 +154,18 @@ def main() -> None:
 
     # steady-state warm-up: JIT/codegen + parquet footer caches, untimed.
     # Warm with a NON-headline query so no timed entry gets a free warm
-    # second run the others don't.
+    # second run the others don't ...
     spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
     queries["semi_join"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # ... PLUS the 3 slowest prior-round queries, once each, untimed
+    # (r04 verdict directive #7): the heaviest plans exercise the widest
+    # JIT/codegen surface, so running them first makes warm-up uniform
+    # instead of landing the cold-start cost on whatever row is timed
+    # first (r04's tpch_q1_pricing 0.51→0.61 first-row pattern).
+    for name in prior_slowest():
+        if name in queries:
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            print(f"# warmed: {name}", file=sys.stderr)
 
     calib = calibrate(spark, sf_dir)
     print(f"# calib_scan_s: {calib:.4f}s", file=sys.stderr)

@@ -17,6 +17,7 @@ from pb_etl_spark.operators import (
     advanced,
     affinity,
     bucketing,
+    insights,
     cdc,
     clustering,
     composite,
@@ -121,13 +122,25 @@ _PRIORITY = [
     # entity_golden_record: r04-green, kept adjacent because it rides
     # the reworked entity-resolution construction (ADVICE #1 fix).
     "entity_golden_record",
-    # ---- round-6 window, pre-staged: the exact remaining never-
-    # checked names in verification order — scalar battery tail, agg
-    # shapes, subquery battery, vectors/layout remainder, text/stats
-    # remainder, final stragglers (hll_mergeable_counts is rows-only,
-    # no oracle by design). Rotate r06 by deleting the names
-    # CORRECTNESS_r05 covers above; the ~50 window then covers ALL of
-    # these → 100% driver coverage at round 6. ----
+    # ---- round-6 window, pre-staged: the round-5 additions (newest
+    # code first), then the exact remaining never-checked names in
+    # verification order — scalar battery tail, agg shapes, subquery
+    # battery, vectors/layout remainder, text/stats remainder, final
+    # stragglers (hll_mergeable_counts is rows-only, no oracle by
+    # design). Rotate r06 by deleting the names CORRECTNESS_r05 covers
+    # above; the ~50 window then covers ALL of these → 100% driver
+    # coverage at round 6. ----
+    # round-5 additions (operators/insights.py)
+    "lateral_topk_join",
+    "map_funcs",
+    "mode_per_group",
+    "interval_coverage",
+    "burstiness_stats",
+    "label_propagation_knn",
+    "bfs_hops_knn",
+    "theil_sen_trend",
+    "oov_rate",
+    "abc_classification",
     # scalar battery (tail)
     "try_funcs",
     "array_funcs",
@@ -175,6 +188,7 @@ _PRIORITY = [
 _MODULES = [
     affinity,
     governance,
+    insights,
     bucketing,
     layout,
     cdc,

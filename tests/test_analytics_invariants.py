@@ -177,6 +177,45 @@ def test_entity_resolution_cc_fallback_matches_union_find(spark):
     assert base.equals(mixed)
 
 
+SCALE_DIR = __file__.rsplit("/tests/", 1)[0] + "/.scale/sf0.4"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SCALE_DIR),
+    reason="x4 scaled fixture not generated (tools/make_scaled_fixture.py 4)",
+)
+def test_entity_resolution_hybrid_both_paths_at_scale(spark):
+    """r04 verdict directive #5: run the size-thresholded hybrid on the
+    ×4 scaled fixture with a MID bound so BOTH the partition-local
+    union-find path and the distributed CC path execute on real data in
+    the same invocation — and match the all-union-find answer exactly."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.clustering import q_entity_resolution
+
+    nat_sizes = (
+        read_table(spark, SCALE_DIR, "customer")
+        .groupBy("c_nationkey")
+        .count()
+        .toPandas()["count"]
+    )
+    mid = int(nat_sizes.median())
+    assert nat_sizes.min() <= mid < nat_sizes.max()  # both paths populated
+    base = (
+        q_entity_resolution(spark, SCALE_DIR)
+        .toPandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    mixed = (
+        q_entity_resolution(spark, SCALE_DIR, uf_max_members=mid)
+        .toPandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    assert len(base) == read_table(spark, SCALE_DIR, "customer").count()
+    assert base.equals(mixed)
+
+
 def test_entity_resolution_construction_is_job_free(spark):
     """ADVICE r04: constructing q_entity_resolution must not run a Spark
     job in the common case. The footer-metadata guard decides the split

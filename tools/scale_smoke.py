@@ -47,6 +47,11 @@ SMOKE = [
     "item_item_cosine",
     "capped_running_balance",
     "rfm_segments",
+    # r04 verdict directive #4: the remaining heavy r04 families —
+    # iterative peel, grouped-sketch build, unrolled greedy re-rank
+    "k_core_knn",
+    "ddsketch_quantiles",
+    "mmr_diverse_topk",
 ]
 
 
