@@ -59,10 +59,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   2. slot 41: entity_resolution — r03-green, but clustering.py's
 #      eager per-nation collect moves to execution time this round
 #      (ADVICE item #1), so its construction path changed.
-#   3. slots 42-49: the head of the never-checked remainder
-#      (kmv_distinct_sketch + the scalar-function battery).
+#   3. slots 42-49: 8 of the 10 round-5 additions (operators/
+#      insights.py) — the NEWEST code, hence the highest driver-quirk
+#      risk (the same newest-first principle as slots 0-40); the
+#      iterative/CTE-chain and Spark-4 LATERAL entries lead.
 # Slot 50 keeps entity_golden_record adjacent (r04-green; rides the
-# changed clustering construction) in case the driver checks >50.
+# changed clustering construction) in case the driver checks >50;
+# slots 51-52 hold the two simplest round-5 additions.
 _PRIORITY = [
     # -- round-5 window: the 41 round-4 additions, never driver-checked --
     "association_rules",
@@ -108,9 +111,33 @@ _PRIORITY = [
     "revenue_bridge",
     # -- slot 41: changed construction path this round (ADVICE #1) --
     "entity_resolution",
-    # -- slots 42-49: never-checked remainder head --
+    # -- slots 42-49: the round-5 additions (operators/insights.py),
+    # newest-first: iterative CTE-chain graph ops, Spark-4 LATERAL,
+    # the global_running_sum consumer, window/integer-math screens --
+    "label_propagation_knn",
+    "bfs_hops_knn",
+    "lateral_topk_join",
+    "abc_classification",
+    "theil_sen_trend",
+    "interval_coverage",
+    "burstiness_stats",
+    "map_funcs",
+    # ---- slot 50: window boundary ----
+    # entity_golden_record: r04-green, kept adjacent because it rides
+    # the reworked entity-resolution construction (ADVICE #1 fix).
+    "entity_golden_record",
+    # the two simplest round-5 additions (single hash-agg shapes)
+    "mode_per_group",
+    "oov_rate",
+    # ---- round-6 window, pre-staged: the exact remaining
+    # never-checked names in verification order — scalar battery, agg
+    # shapes, subquery battery, vectors/layout remainder, text/stats
+    # remainder, final stragglers (hll_mergeable_counts is rows-only,
+    # no oracle by design). Rotate r06 by deleting the names
+    # CORRECTNESS_r05 covers above; the ~50 window then covers ALL of
+    # these → 100% driver coverage at round 6. ----
     "kmv_distinct_sketch",
-    # scalar battery (head)
+    # scalar battery
     "string_funcs",
     "date_funcs",
     "math_funcs",
@@ -118,30 +145,6 @@ _PRIORITY = [
     "hash_funcs",
     "bitwise_funcs",
     "null_handling",
-    # ---- slot 50: window boundary ----
-    # entity_golden_record: r04-green, kept adjacent because it rides
-    # the reworked entity-resolution construction (ADVICE #1 fix).
-    "entity_golden_record",
-    # ---- round-6 window, pre-staged: the round-5 additions (newest
-    # code first), then the exact remaining never-checked names in
-    # verification order — scalar battery tail, agg shapes, subquery
-    # battery, vectors/layout remainder, text/stats remainder, final
-    # stragglers (hll_mergeable_counts is rows-only, no oracle by
-    # design). Rotate r06 by deleting the names CORRECTNESS_r05 covers
-    # above; the ~50 window then covers ALL of these → 100% driver
-    # coverage at round 6. ----
-    # round-5 additions (operators/insights.py)
-    "lateral_topk_join",
-    "map_funcs",
-    "mode_per_group",
-    "interval_coverage",
-    "burstiness_stats",
-    "label_propagation_knn",
-    "bfs_hops_knn",
-    "theil_sen_trend",
-    "oov_rate",
-    "abc_classification",
-    # scalar battery (tail)
     "try_funcs",
     "array_funcs",
     "struct_funcs",
