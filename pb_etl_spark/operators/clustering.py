@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from pb_etl_spark.catalog import read_table
 from pb_etl_spark.operators.dedup import q_minhash_near_dup_pairs
+from pb_etl_spark.session import stats_reset_checkpoint
 
 MAX_ROUNDS = 40  # hook+jump needs ~log_phi(diameter) rounds; 40 covers
 # any component a fixture could build (sf0.1 name chains: 24 rounds)
@@ -48,10 +49,14 @@ def connected_components(
     # materialize the edge list once: each round re-evaluates its plan, and
     # edges often come from an expensive upstream (LSH candidate generation)
     # that must not re-run per iteration
-    sym = (
+    # stats_reset_checkpoint, not plain localCheckpoint: the loop joins
+    # each round's frame with itself, so a carried-over Statistics
+    # snapshot SQUARES per round and overflows BigInteger near round
+    # ~25 (see the helper's docstring). All three loop checkpoints and
+    # the edge materialization reset stats to keep round plans O(1).
+    sym = stats_reset_checkpoint(
         edges.select("src", "dst")
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
     )
     labels = vertices.select(F.col("id"), F.col("id").alias("cluster_id"))
     for _ in range(max_rounds):
@@ -60,7 +65,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        hooked = (
+        hooked = stats_reset_checkpoint(
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
                 "id",
@@ -71,7 +76,6 @@ def connected_components(
             )
             # truncate: the jump self-joins hooked with itself — without
             # this the round's plan embeds the 3-join subtree twice
-            .localCheckpoint(eager=True)
         )
         # pointer jumping: cluster_id ← label(cluster_id). Labels only
         # ever DECREASE (min semantics), so jumping is safe and strictly
@@ -79,7 +83,7 @@ def connected_components(
         parents = hooked.select(
             F.col("id").alias("pid"), F.col("cluster_id").alias("parent")
         )
-        new_labels = (
+        new_labels = stats_reset_checkpoint(
             hooked.join(parents, hooked.cluster_id == parents.pid, "left")
             .select(
                 "id",
@@ -88,7 +92,6 @@ def connected_components(
                     F.coalesce(F.col("parent"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

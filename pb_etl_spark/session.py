@@ -64,3 +64,41 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def stats_reset_checkpoint(df):
+    """Eager localCheckpoint that DROPS the plan-statistics snapshot.
+
+    ``Dataset.checkpoint`` copies the optimized plan's ``Statistics``
+    into the resulting ``LogicalRDD`` (SPARK-39834) so broadcast
+    decisions keep working across a checkpoint. In an ITERATIVE loop
+    whose round plan joins the previous round's frame with itself
+    (connected components: hook + pointer-jump), that snapshot is fed
+    back into the next round's join-size estimate — a PRODUCT of the
+    two sides — so the carried ``sizeInBytes`` squares every round.
+    The estimate is a ``BigInt``: around round ~25 its magnitude
+    crosses java.math.BigInteger's 2^31-bit ceiling and PLANNING
+    (not execution) dies with "BigInteger would overflow supported
+    range". sf0.1 name chains converge in ~24 rounds — just under;
+    the ×4 scaled fixture crosses it (caught by
+    test_entity_resolution_hybrid_both_paths_at_scale).
+
+    Rebuilding the frame over the SAME checkpointed RDD via
+    ``internalCreateDataFrame`` drops ``originStats``: every round then
+    re-plans from ``defaultSizeInBytes`` (constant 63-bit estimate,
+    measured flat across 12 probe rounds). The joins in such loops are
+    same-sized-frame equi-joins where broadcast was never the right
+    strategy, so losing the snapshot costs nothing. Falls back to the
+    plain checkpoint if the internal JVM API moves."""
+    from pyspark.sql import DataFrame as _DF
+
+    cp = df.localCheckpoint(eager=True)
+    try:
+        spark = cp.sparkSession
+        jdf = cp._jdf
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return _DF(new_jdf, spark)
+    except Exception:  # pragma: no cover - version-drift guard
+        return cp

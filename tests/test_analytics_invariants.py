@@ -416,3 +416,49 @@ def test_revenue_bridge_effects_reconcile(spark):
         delta = (r.rev1 - r.rev0) / 100.0
         walk = r.volume_effect + r.price_effect + r.joint_effect
         assert abs(walk - delta) < 5e-6, (r.brand, walk, delta)
+
+
+def test_stats_reset_checkpoint_keeps_plan_stats_bounded(spark):
+    """Regression for the iterative-loop BigInteger overflow:
+    ``localCheckpoint`` snapshots the optimized plan's Statistics into
+    the LogicalRDD (SPARK-39834), so a loop that joins each round's
+    frame with itself SQUARES the carried sizeInBytes estimate per
+    round — java.math.BigInteger dies near round ~25, which is exactly
+    where the ×4 fixture's name chains pushed connected_components.
+    ``stats_reset_checkpoint`` must keep the estimate flat (and the
+    plain checkpoint must demonstrably grow, so the probe itself stays
+    honest if Spark changes the snapshot behavior)."""
+    import pyspark.sql.functions as F
+
+    from pb_etl_spark.session import stats_reset_checkpoint
+
+    def one_round(df, cp):
+        parents = df.select(
+            F.col("id").alias("pid"), F.col("cluster_id").alias("parent")
+        )
+        return cp(
+            df.join(parents, df.cluster_id == parents.pid, "left").select(
+                "id",
+                F.least(
+                    "cluster_id", F.coalesce("parent", "cluster_id")
+                ).alias("cluster_id"),
+            )
+        )
+
+    def bits(df):
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ).bit_length()
+
+    base = spark.range(100).select("id", F.col("id").alias("cluster_id"))
+
+    plain = one_round(base, lambda d: d.localCheckpoint(eager=True))
+    b1 = bits(plain)
+    plain = one_round(plain, lambda d: d.localCheckpoint(eager=True))
+    assert bits(plain) > b1  # snapshot carried → estimate compounds
+
+    reset = base
+    for _ in range(6):
+        reset = one_round(reset, stats_reset_checkpoint)
+    assert bits(reset) <= 64  # flat at defaultSizeInBytes, round-count-free
+    assert reset.count() == 100  # and the frame still computes

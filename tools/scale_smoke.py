@@ -52,6 +52,14 @@ SMOKE = [
     "k_core_knn",
     "ddsketch_quantiles",
     "mmr_diverse_topk",
+    # round-5 additions: the iterative graph ops (fixed-round loops),
+    # the daily-aggregate pairwise self-join, the gaps-and-islands
+    # window pass, and the global_running_sum consumer
+    "label_propagation_knn",
+    "bfs_hops_knn",
+    "theil_sen_trend",
+    "interval_coverage",
+    "abc_classification",
 ]
 
 
