@@ -111,6 +111,16 @@ HEADLINE = [
     "ddsketch_quantiles",
     "mmr_diverse_topk",
     "k_core_knn",
+    # round-5 new operators, tracked before the driver ever times them:
+    # the two fixed-round graph loops (4-round LPA, 6-round BFS — per-
+    # round join+agg cost), the calendar-bounded pairwise slope join,
+    # the gaps-and-islands window pass, and the global_running_sum
+    # consumer
+    "label_propagation_knn",
+    "bfs_hops_knn",
+    "theil_sen_trend",
+    "interval_coverage",
+    "abc_classification",
 ]
 
 
