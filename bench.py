@@ -150,7 +150,16 @@ def prior_slowest(n: int = 3) -> list[str]:
         return []
     try:
         with open(os.path.join(here, benches[-1])) as f:
-            prior = json.load(f).get("queries", {})
+            doc = json.load(f)
+        # the driver's record format nests bench.py's own JSON line
+        # under "parsed" (or raw text in "tail") — accept all 3 shapes,
+        # like tools/bench_compare.load
+        if "queries" not in doc and isinstance(doc.get("parsed"), dict):
+            doc = doc["parsed"]
+        if "queries" not in doc:
+            m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
+            doc = json.loads(m.group(0)) if m else {}
+        prior = doc.get("queries", {})
     except (OSError, json.JSONDecodeError):
         return []
     return sorted(prior, key=prior.get, reverse=True)[:n]

@@ -169,6 +169,12 @@ def _parquet_rows_at_most(path: str, bound: int) -> bool:
                 for f in os.listdir(path)
                 if f.endswith(".parquet")
             ]
+            if not files:
+                # partitioned/nested layout (Hive dirs, no top-level
+                # part files): footers aren't enumerable here — a 0
+                # total would wrongly "prove" the bound, so fall back
+                # to the exact distributed count instead
+                return False
         total = 0
         for f in files:
             total += pq.ParquetFile(f).metadata.num_rows

@@ -31,10 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
-
-
-def _cents(col):
-    return F.round(col * 100).cast("long")
+from pb_etl_spark.operators.timeseries import _cents  # the shared cents grid
 
 
 # --------------------------------------------------------------------------
@@ -228,7 +225,12 @@ def q_burstiness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_num = n * ss - s * s  # int64-exact population-variance numerator
     mean = s.cast("double") / n
     std = F.sqrt(var_num.cast("double")) / n
-    return agg.filter(n >= 2).select(
+    # s > 0 alongside n >= 2: a user whose events all land inside one
+    # whole second has every gap 0 → mean 0 → cv is 0/0, which the two
+    # engines disagree on (Spark double 0/0 → NaN, DuckDB → NULL);
+    # such users have no meaningful inter-arrival stats, so both
+    # engines drop them instead
+    return agg.filter((n >= 2) & (s > 0)).select(
         "user_id",
         "n_gaps",
         F.round(mean, 6).alias("mean_gap_s"),
@@ -485,9 +487,15 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: revenue is exact integer CENTI-CENTS
     (cents(extendedprice) × (100 − cents-pct(discount))); the class
-    boundaries are INTEGER cross-multiplications (cum·5 ≤ tot·3,
-    cum·10 ≤ tot·9) — no float ever decides a class. The one emitted
-    ratio is an off-grid quotient, safe at 6 dp.
+    boundaries are INTEGER comparisons against arbitrary-precision
+    thresholds computed driver-side (cum·5 ≤ tot·3 ⟺ cum ≤ ⌊3·tot/5⌋
+    for integer cum — the floor-div form never multiplies a COLUMN, so
+    no int64 overflow exists at any corpus size where the running sum
+    itself fits; the oracle mirrors it in HUGEINT). No float ever
+    decides a class. The one emitted ratio is an off-grid quotient,
+    safe at 6 dp. The remaining int64 budget is Σrevenue_cc itself
+    (~9.2e18 centi-cents ≈ $9.2e11): beyond that, widen the sums to
+    decimal(38,0) — the plan shape is unchanged.
 
     Scale: the running total uses ``global_running_sum`` (range
     partition + per-partition cumsum + driver prefix-sum offsets,
@@ -513,10 +521,11 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ordered, ["neg_rev", "l_partkey"], "revenue_cc"
     )
     tot = cum.agg(F.sum("revenue_cc")).collect()[0][0]
+    a_bound, b_bound = (3 * tot) // 5, (9 * tot) // 10  # exact, Python bigint
     classed = cum.select(
         "revenue_cc",
-        F.when(F.col("cum") * 5 <= F.lit(tot) * 3, F.lit("A"))
-        .when(F.col("cum") * 10 <= F.lit(tot) * 9, F.lit("B"))
+        F.when(F.col("cum") <= F.lit(a_bound), F.lit("A"))
+        .when(F.col("cum") <= F.lit(b_bound), F.lit("B"))
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
@@ -676,7 +685,7 @@ ORACLES: dict[str, str] = {
                    CAST(SUM(gap_s * gap_s) AS BIGINT) AS ss
             FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
         )
-        SELECT user_id, n_gaps,
+        SELECT user_id, n_gaps,  -- s > 0: see the Spark-side comment
                ROUND(CAST(s AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
                ROUND((SQRT(CAST(n_gaps * ss - s * s AS DOUBLE)) / n_gaps)
                      / (CAST(s AS DOUBLE) / n_gaps), 6) AS cv,
@@ -684,7 +693,7 @@ ORACLES: dict[str, str] = {
                       - CAST(s AS DOUBLE) / n_gaps)
                      / (SQRT(CAST(n_gaps * ss - s * s AS DOUBLE)) / n_gaps
                         + CAST(s AS DOUBLE) / n_gaps), 6) AS burstiness
-        FROM agg WHERE n_gaps >= 2
+        FROM agg WHERE n_gaps >= 2 AND s > 0
     """,
     "label_propagation_knn": f"""
         WITH {_GRAPH_CTES},
@@ -770,8 +779,8 @@ ORACLES: dict[str, str] = {
                    CAST(SUM(revenue_cc) OVER () AS BIGINT) AS tot
             FROM rev
         )
-        SELECT CASE WHEN cum * 5 <= tot * 3 THEN 'A'
-                    WHEN cum * 10 <= tot * 9 THEN 'B'
+        SELECT CASE WHEN cum <= CAST(tot AS HUGEINT) * 3 // 5 THEN 'A'
+                    WHEN cum <= CAST(tot AS HUGEINT) * 9 // 10 THEN 'B'
                     ELSE 'C' END AS abc_class,
                COUNT(*) AS n_parts,
                CAST(SUM(revenue_cc) AS BIGINT) AS revenue_cc,

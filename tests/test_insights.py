@@ -82,9 +82,13 @@ def test_interval_coverage_bounds(spark):
 def test_burstiness_in_range(spark):
     out = q_burstiness_stats(spark, SF_DIR).toPandas()
     assert (out["cv"] >= 0).all()
-    assert (out["burstiness"] > -1).all()
+    # burstiness = (σ−μ)/(σ+μ): exactly −1 for perfectly periodic gaps
+    # (σ=0) — a legal value a future fixture may produce; the all-zero-
+    # gap 0/0 class is filtered by the operator itself (s > 0)
+    assert (out["burstiness"] >= -1).all()
     assert (out["burstiness"] < 1).all()
     assert (out["mean_gap_s"] > 0).all()
+    assert out["cv"].notna().all() and out["burstiness"].notna().all()
 
 
 def test_label_propagation_labels_are_node_ids(spark):
