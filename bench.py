@@ -176,7 +176,19 @@ def main() -> None:
     # second run the others don't ...
     spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
     queries["semi_join"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # ... PLUS the 3 slowest prior-round queries, once each, untimed
+
+    # calibrate BEFORE the heavy warm-up, at exactly this point in the
+    # session: the anchor's cross-round comparability depends on a FIXED
+    # measurement protocol (light warm-up → calibrate), and that is the
+    # protocol every prior round's recorded calib used. Measured: running
+    # 3 heavy queries first JIT-warms the scan and drops calib ~25%
+    # (0.192 → 0.147 same host, same hour) — which would inflate every
+    # drift-normalized timing by ~1.4× against prior rounds and
+    # manufacture wholesale fake regressions in bench_compare.
+    calib = calibrate(spark, sf_dir)
+    print(f"# calib_scan_s: {calib:.4f}s", file=sys.stderr)
+
+    # ... THEN the 3 slowest prior-round queries, once each, untimed
     # (r04 verdict directive #7): the heaviest plans exercise the widest
     # JIT/codegen surface, so running them first makes warm-up uniform
     # instead of landing the cold-start cost on whatever row is timed
@@ -185,9 +197,6 @@ def main() -> None:
         if name in queries:
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             print(f"# warmed: {name}", file=sys.stderr)
-
-    calib = calibrate(spark, sf_dir)
-    print(f"# calib_scan_s: {calib:.4f}s", file=sys.stderr)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
