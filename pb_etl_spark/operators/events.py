@@ -522,28 +522,33 @@ def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_upsert_parquet,
     )
 
-    base = (
-        Path(__file__).resolve().parents[2]
-        / "spark-warehouse"
-        / "stream_upsert"
-        / uuid.uuid4().hex[:12]
-    )
+    import time as _time
+
+    root = Path(__file__).resolve().parents[2] / "spark-warehouse" / "stream_upsert"
+    # sweep STALE run dirs (previous invocations) instead of this run's:
+    # the returned DataFrame reads the persisted silver table directly —
+    # the production shape, no driver round-trip — so this run's dir must
+    # outlive the return. Age-gated so a concurrent invocation's live
+    # dir is never touched.
+    if root.is_dir():
+        cutoff = _time.time() - 1800
+        for old in root.iterdir():
+            try:
+                if old.is_dir() and old.stat().st_mtime < cutoff:
+                    shutil.rmtree(old, ignore_errors=True)
+            except OSError:
+                pass
+    base = root / uuid.uuid4().hex[:12]
     target, ckpt = str(base / "target"), str(base / "ckpt")
     sdf = read_event_stream(spark, sf_dir, glob="events.parquet")
     q = stream_upsert_parquet(sdf, target, key="user_id", ts_col="ts", checkpoint_dir=ckpt)
     q.awaitTermination()
-    final = spark.read.parquet(target).select(
+    return spark.read.parquet(target).select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
         F.col("event_type").alias("last_type"),
         F.round("value", 6).alias("last_value"),
     )
-    # materialize to the DRIVER before sweeping the temp dir: a cached
-    # DataFrame can lose partitions and recompute from the (deleted)
-    # path; the result is 1-row-per-user (bounded), so collect is safe
-    rows, schema = final.collect(), final.schema
-    shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
 
 
 DOCS_STREAM_SCHEMA = T.StructType(
