@@ -51,6 +51,15 @@ def main() -> int:
             f"{cur['calib_scan_s']:.4f}s (drift {drift:.2f}x; "
             f"current timings normalized by it)"
         )
+        if not 0.67 <= drift <= 1.5:
+            print(
+                "!! anchor moved more than ambient drift plausibly "
+                "explains — check that BOTH runs measured calib at the "
+                "same session point (light warm-up -> calibrate; a "
+                "warm-up change before calibrate shifts the anchor ~25% "
+                "and manufactures fake regressions). Treat the "
+                "normalized column with suspicion."
+            )
     else:
         print("no calib_scan_s anchor in both files; raw comparison")
     regressions = []
