@@ -82,6 +82,14 @@ def main() -> int:
         f"{cur['value']:.3f}s ({len(cq)} queries); "
         f"{len(regressions)} regression(s)"
     )
+    if len(regressions) > len(bq) // 3:
+        print(
+            "!! more than a third of the common set regressed at once — "
+            "real plan regressions are localized; a wholesale shift "
+            "means the anchor or the host moved (e.g. calib measured at "
+            "a different session point, or heavy ambient load during "
+            "one run). Re-run back-to-back before believing any row."
+        )
     return 1 if regressions else 0
 
 
