@@ -528,10 +528,14 @@ def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sweep STALE run dirs (previous invocations) instead of this run's:
     # the returned DataFrame reads the persisted silver table directly —
     # the production shape, no driver round-trip — so this run's dir must
-    # outlive the return. Age-gated so a concurrent invocation's live
-    # dir is never touched.
+    # outlive the return. The age gate is deliberately LONG (6 h, vs
+    # seconds-long drains and immediately-collected results here): a
+    # run dir's mtime is its creation time, so the gate must exceed both
+    # the longest plausible drain AND how long any consumer might hold
+    # the returned (lazy, file-backed) DataFrame before evaluating it.
+    # Garbage is bounded to one session's dirs either way.
     if root.is_dir():
-        cutoff = _time.time() - 1800
+        cutoff = _time.time() - 6 * 3600
         for old in root.iterdir():
             try:
                 if old.is_dir() and old.stat().st_mtime < cutoff:

@@ -51,18 +51,22 @@ def main() -> int:
             f"{cur['calib_scan_s']:.4f}s (drift {drift:.2f}x; "
             f"current timings normalized by it)"
         )
-        if not 0.67 <= drift <= 1.5:
+        if not 0.45 <= drift <= 2.2:
+            # ambient host drift has been measured up to ~2x between
+            # rounds (see module docstring) — only an anchor move
+            # BEYOND that range suggests the measurement itself changed
             print(
-                "!! anchor moved more than ambient drift plausibly "
-                "explains — check that BOTH runs measured calib at the "
-                "same session point (light warm-up -> calibrate; a "
-                "warm-up change before calibrate shifts the anchor ~25% "
-                "and manufactures fake regressions). Treat the "
-                "normalized column with suspicion."
+                "!! anchor moved beyond the ~2x ambient drift ever "
+                "observed on this host — check that BOTH runs measured "
+                "calib at the same session point (light warm-up -> "
+                "calibrate; a warm-up change before calibrate shifts "
+                "the anchor ~25% and manufactures fake regressions). "
+                "Treat the normalized column with suspicion."
             )
     else:
         print("no calib_scan_s anchor in both files; raw comparison")
     regressions = []
+    slowdowns = []  # true timing regressions only (not removals)
     for name, t0 in sorted(bq.items()):
         t1 = cq.get(name)
         if t1 is None:
@@ -74,6 +78,7 @@ def main() -> int:
         if t1n > ratio * t0:
             flag = f"  <-- REGRESSION (>{ratio}x, drift-normalized)"
             regressions.append(name)
+            slowdowns.append(name)
         print(f"   {name}: {t0:.3f}s -> {t1:.3f}s (norm {t1n:.3f}s){flag}")
     for name in sorted(set(cq) - set(bq)):
         print(f" + {name}: {cq[name]:.3f}s (new)")
@@ -82,10 +87,13 @@ def main() -> int:
         f"{cur['value']:.3f}s ({len(cq)} queries); "
         f"{len(regressions)} regression(s)"
     )
-    if len(regressions) > len(bq) // 3:
+    # wholesale-shift heuristic: SLOWDOWNS only (removals are a query-
+    # set change, a different problem), and only when the common set is
+    # big enough for "a third" to mean anything
+    if len(bq) >= 9 and len(slowdowns) > len(bq) // 3:
         print(
-            "!! more than a third of the common set regressed at once — "
-            "real plan regressions are localized; a wholesale shift "
+            "!! more than a third of the common set slowed down at once "
+            "— real plan regressions are localized; a wholesale shift "
             "means the anchor or the host moved (e.g. calib measured at "
             "a different session point, or heavy ambient load during "
             "one run). Re-run back-to-back before believing any row."
