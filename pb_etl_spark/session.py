@@ -88,8 +88,18 @@ def stats_reset_checkpoint(df):
     re-plans from ``defaultSizeInBytes`` (constant 63-bit estimate,
     measured flat across 12 probe rounds). The joins in such loops are
     same-sized-frame equi-joins where broadcast was never the right
-    strategy, so losing the snapshot costs nothing. Falls back to the
-    plain checkpoint if the internal JVM API moves."""
+    strategy, so losing the snapshot costs nothing.
+
+    The rebuilt frame also loses the checkpoint's outputPartitioning
+    hint, so a follow-up join on the same key re-shuffles where the
+    plain checkpoint might not have. In the CC loop each phase joins on
+    a DIFFERENT key (nbr.src, then the label-as-pid self-join), so the
+    carried partitioning rarely matched anyway; measured loop cost is
+    job-scheduling-bound at fixture scale and the forced all-CC ×10 run
+    (150k entities, ~28 rounds) completes in 71 s. One extra hash
+    exchange per round is the price of an unbounded round count.
+
+    Falls back to the plain checkpoint if the internal JVM API moves."""
     from pyspark.sql import DataFrame as _DF
 
     cp = df.localCheckpoint(eager=True)
