@@ -23,8 +23,12 @@ from pb_etl_spark.catalog import read_table
 from pb_etl_spark.operators.dedup import q_minhash_near_dup_pairs
 from pb_etl_spark.session import stats_reset_checkpoint
 
-MAX_ROUNDS = 40  # hook+jump needs ~log_phi(diameter) rounds; 40 covers
-# any component a fixture could build (sf0.1 name chains: 24 rounds)
+MAX_ROUNDS = 64  # hook+jump needs roughly O(log diameter) rounds with a
+# ~2x constant (measured: sf0.1 name chains 24 rounds, x10 chains ~28),
+# so 64 covers diameters orders of magnitude past any fixture while
+# still failing loud on true divergence. Raising past 40 became safe
+# once stats_reset_checkpoint removed the ~25-round BigInteger ceiling
+# the carried checkpoint Statistics used to impose.
 
 
 def connected_components(
