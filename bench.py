@@ -149,18 +149,14 @@ def prior_slowest(n: int = 3) -> list[str]:
     if not benches:
         return []
     try:
-        with open(os.path.join(here, benches[-1])) as f:
-            doc = json.load(f)
-        # the driver's record format nests bench.py's own JSON line
-        # under "parsed" (or raw text in "tail") — accept all 3 shapes,
-        # like tools/bench_compare.load
-        if "queries" not in doc and isinstance(doc.get("parsed"), dict):
-            doc = doc["parsed"]
-        if "queries" not in doc:
-            m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
-            doc = json.loads(m.group(0)) if m else {}
-        prior = doc.get("queries", {})
-    except (OSError, json.JSONDecodeError):
+        # one parser for the driver's record shapes ("queries" at top
+        # level, nested under "parsed", or raw in "tail") — shared with
+        # the comparison tool so a format change can't silently disable
+        # the warm-up here while bench_compare still works
+        from tools.bench_compare import load as _load_bench
+
+        prior = _load_bench(os.path.join(here, benches[-1])).get("queries", {})
+    except (OSError, json.JSONDecodeError, SystemExit, ImportError):
         return []
     return sorted(prior, key=prior.get, reverse=True)[:n]
 

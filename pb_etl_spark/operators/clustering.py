@@ -168,16 +168,24 @@ def _parquet_rows_at_most(path: str, bound: int) -> bool:
     try:
         files = [path]
         if os.path.isdir(path):
+            entries = os.listdir(path)
+            if any(
+                os.path.isdir(os.path.join(path, e))
+                for e in entries
+                if not e.startswith((".", "_"))
+            ):
+                # partitioned/nested layout (Hive subdirs — flat, mixed,
+                # or fully nested): rows hide below the top level, so a
+                # top-level-only footer total would UNDERCOUNT and
+                # wrongly "prove" the bound; fall back to the exact
+                # distributed count instead
+                return False
             files = [
                 os.path.join(path, f)
-                for f in os.listdir(path)
+                for f in entries
                 if f.endswith(".parquet")
             ]
             if not files:
-                # partitioned/nested layout (Hive dirs, no top-level
-                # part files): footers aren't enumerable here — a 0
-                # total would wrongly "prove" the bound, so fall back
-                # to the exact distributed count instead
                 return False
         total = 0
         for f in files:

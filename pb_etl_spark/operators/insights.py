@@ -133,8 +133,14 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, pinned by test probes) alongside the event count. The
     oracle replays the same semantics explicitly (max count, min value
     tie-break) — DuckDB's own ``mode()`` leaves ties unspecified, so
-    it is not used. One hash aggregate keyed on user_id."""
-    ev = read_table(spark, sf_dir, "events")
+    it is not used. NULL event types are excluded EXPLICITLY on both
+    sides: Spark's mode() ignores NULLs while a SQL GROUP BY would rank
+    the NULL group, so without the shared filter a fixture that ever
+    ships NULL types would diverge. One hash aggregate keyed on
+    user_id."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     return ev.groupBy("user_id").agg(
         F.mode("event_type", True).alias("mode_event_type"),
         F.count(F.lit(1)).alias("n_events"),
@@ -201,10 +207,11 @@ def q_burstiness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: gaps are INTEGER whole seconds (microsecond
     difference ``div`` 1e6 — integer div, matching truncation on both
-    engines); Σgap and Σgap² are int64, so the population-variance
-    numerator n·Σg²−(Σg)² is exact, and every emitted double is one
-    identical local chain (sqrt/div) from the same integers. One keyed
-    window (lag) + one keyed aggregate."""
+    engines); Σgap and Σgap² are int64 and the population-variance
+    numerator n·Σg²−(Σg)² is computed in decimal(38,0) (oracle:
+    HUGEINT) so it stays EXACT even where n·Σg² passes int64, and
+    every emitted double is one identical local chain (sqrt/div) from
+    the same integers. One keyed window (lag) + one keyed aggregate."""
     ev = read_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("us", "event_id")
     gaps = (
@@ -222,7 +229,13 @@ def q_burstiness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("gap_s") * F.col("gap_s")).alias("sumsq_s"),
     )
     n, s, ss = F.col("n_gaps"), F.col("sum_s"), F.col("sumsq_s")
-    var_num = n * ss - s * s  # int64-exact population-variance numerator
+    # population-variance numerator in decimal(38,0): n·Σg² alone can
+    # pass int64 at ~100 gaps of ~3e8 s (decade-idle users), and Spark
+    # 4's ANSI mode would throw; decimal keeps the arithmetic EXACT
+    # integers on both engines (oracle: HUGEINT) with one double cast
+    # at the end
+    dec = "decimal(38,0)"
+    var_num = n.cast(dec) * ss.cast(dec) - s.cast(dec) * s.cast(dec)
     mean = s.cast("double") / n
     std = F.sqrt(var_num.cast("double")) / n
     # s > 0 alongside n >= 2: a user whose events all land inside one
@@ -440,9 +453,10 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one fact-sized token explode + grouped count builds the
     global counts; the top-K vocabulary (a K-row frame) broadcasts
-    into a left anti membership check; per-source totals are a second
-    grouped count over the SAME exploded frame. Integer counts, one
-    off-grid ratio rounded at 6 dp."""
+    back as a membership FLAG onto the exploded frame, and ONE grouped
+    pass per source counts totals and OOV together — two fact scans in
+    all (the vocabulary must precede membership), not three. Integer
+    counts, one off-grid ratio rounded at 6 dp."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(F.split("text", " ")).alias("tok")
@@ -452,22 +466,18 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("tok"))
         .limit(OOV_VOCAB_K)
-        .select("tok")
+        .select("tok", F.lit(1).alias("in_vocab"))
     )
-    per_source = toks.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_tokens")
-    )
-    oov = (
-        toks.join(F.broadcast(vocab), "tok", "left_anti")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_oov"))
-    )
-    return per_source.join(oov, "source", "left").select(
-        "source",
-        "n_tokens",
-        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
         F.round(
-            F.coalesce("n_oov", F.lit(0)).cast("double") / F.col("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
             6,
         ).alias("oov_rate"),
     )
@@ -633,7 +643,8 @@ ORACLES: dict[str, str] = {
                    ROW_NUMBER() OVER (PARTITION BY user_id
                                       ORDER BY COUNT(*) DESC,
                                                event_type ASC) AS rn
-            FROM events GROUP BY user_id, event_type
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY user_id, event_type
         ) WHERE rn = 1
     """,
     "interval_coverage": """
@@ -685,13 +696,13 @@ ORACLES: dict[str, str] = {
                    CAST(SUM(gap_s * gap_s) AS BIGINT) AS ss
             FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
         )
-        SELECT user_id, n_gaps,  -- s > 0: see the Spark-side comment
+        SELECT user_id, n_gaps,  -- s > 0 / HUGEINT: see Spark-side comments
                ROUND(CAST(s AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
-               ROUND((SQRT(CAST(n_gaps * ss - s * s AS DOUBLE)) / n_gaps)
+               ROUND((SQRT(CAST(CAST(n_gaps AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)) / n_gaps)
                      / (CAST(s AS DOUBLE) / n_gaps), 6) AS cv,
-               ROUND((SQRT(CAST(n_gaps * ss - s * s AS DOUBLE)) / n_gaps
+               ROUND((SQRT(CAST(CAST(n_gaps AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)) / n_gaps
                       - CAST(s AS DOUBLE) / n_gaps)
-                     / (SQRT(CAST(n_gaps * ss - s * s AS DOUBLE)) / n_gaps
+                     / (SQRT(CAST(CAST(n_gaps AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)) / n_gaps
                         + CAST(s AS DOUBLE) / n_gaps), 6) AS burstiness
         FROM agg WHERE n_gaps >= 2 AND s > 0
     """,

@@ -30,9 +30,13 @@ def load(path: str) -> dict:
         doc = json.load(f)
     if "queries" in doc:
         return doc
+    if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
+        return doc["parsed"]
     m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
     if not m:
-        raise SystemExit(f"{path}: no bench line found (checked top level and 'tail')")
+        raise SystemExit(
+            f"{path}: no bench line found (checked top level, 'parsed', 'tail')"
+        )
     return json.loads(m.group(0))
 
 
@@ -88,9 +92,11 @@ def main() -> int:
         f"{len(regressions)} regression(s)"
     )
     # wholesale-shift heuristic: SLOWDOWNS only (removals are a query-
-    # set change, a different problem), and only when the common set is
-    # big enough for "a third" to mean anything
-    if len(bq) >= 9 and len(slowdowns) > len(bq) // 3:
+    # set change, a different problem), over the COMMON set (names in
+    # both files), and only when that set is big enough for "a third"
+    # to mean anything
+    n_common = sum(1 for name in bq if name in cq)
+    if n_common >= 9 and len(slowdowns) > n_common // 3:
         print(
             "!! more than a third of the common set slowed down at once "
             "— real plan regressions are localized; a wholesale shift "
