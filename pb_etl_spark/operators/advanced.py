@@ -629,7 +629,8 @@ ORACLES: dict[str, str] = {
     "parameterized_sql_agg": f"""
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
         FROM orders
         WHERE o_totalprice > {PARAM_MIN_PRICE!r} AND o_orderstatus = '{PARAM_STATUS}'
         GROUP BY o_orderpriority
@@ -637,7 +638,8 @@ ORACLES: dict[str, str] = {
     "sql_table_udf_agg": """
         SELECT o_custkey,
                COUNT(*) AS n_big_orders,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS big_cents
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS big_cents
         FROM orders
         WHERE o_totalprice > 200000.0
         GROUP BY o_custkey

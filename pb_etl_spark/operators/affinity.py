@@ -698,8 +698,9 @@ ORACLES: dict[str, str] = {
     "supplier_reliability": """
         SELECT l.l_suppkey AS suppkey,
                COUNT(*) AS n_lines,
-               SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
-                        THEN 1 ELSE 0 END) AS n_late,
+               CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate,
+                                            l.l_shipdate) > 90
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
                ROUND(CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate,
                                                   l.l_shipdate) > 90
                                    THEN 1 ELSE 0 END) AS DOUBLE)
@@ -756,10 +757,10 @@ ORACLES: dict[str, str] = {
             SELECT user_id, MIN(day) AS first_day FROM pairs GROUP BY user_id
         )
         SELECT strftime(p.day, '%Y-%m-%d') AS day,
-               SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)
-                   AS new_users,
-               SUM(CASE WHEN p.day != f.first_day THEN 1 ELSE 0 END)
-                   AS returning_users
+               CAST(SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_users,
+               CAST(SUM(CASE WHEN p.day != f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS returning_users
         FROM pairs p JOIN firsts f ON p.user_id = f.user_id
         GROUP BY 1
     """,
@@ -818,7 +819,7 @@ ORACLES: dict[str, str] = {
             FROM spend
         ), nt AS (SELECT COUNT(*) AS n FROM spend)
         SELECT COUNT(*) AS n_customers,
-               SUM(cents) AS total_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
                ROUND((2.0 * CAST(SUM(pos * cents) AS DOUBLE)
                       - (nt.n + 1) * CAST(SUM(cents) AS DOUBLE))
                      / (nt.n * CAST(SUM(cents) AS DOUBLE)), 6) AS gini,
@@ -868,7 +869,8 @@ ORACLES: dict[str, str] = {
         ), norms AS (
             SELECT item, SUM(w * w) AS nrm2 FROM v GROUP BY item
         ), dots AS (
-            SELECT a.item AS item_a, b.item AS item_b, SUM(a.w * b.w) AS dot
+            SELECT a.item AS item_a, b.item AS item_b,
+                   CAST(SUM(a.w * b.w) AS BIGINT) AS dot
             FROM v a JOIN v b ON a.cust = b.cust AND a.item < b.item
             GROUP BY 1, 2
         )
@@ -886,8 +888,8 @@ ORACLES: dict[str, str] = {
                    CAST(MIN(date_diff('day', o_orderdate, mx.mxd)) AS BIGINT)
                        AS recency_days,
                    COUNT(*) AS frequency,
-                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                       AS monetary_cents
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
             FROM orders CROSS JOIN mx GROUP BY 1, mx.mxd
         ), n AS (SELECT COUNT(*) AS n FROM rfm),
         scored AS (

@@ -203,10 +203,10 @@ ORACLES: dict[str, str] = {
         SELECT COUNT(*) AS n_groups,
                MIN(size) AS k_achieved,
                CAST({K_ANON} AS BIGINT) AS k_required,
-               SUM(CASE WHEN size < {K_ANON} THEN 1 ELSE 0 END)
-                   AS n_violating_groups,
-               SUM(CASE WHEN size < {K_ANON} THEN size ELSE 0 END)
-                   AS n_suppressed_rows,
+               CAST(SUM(CASE WHEN size < {K_ANON} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violating_groups,
+               CAST(SUM(CASE WHEN size < {K_ANON} THEN size ELSE 0 END)
+                    AS BIGINT) AS n_suppressed_rows,
                ROUND(CAST(SUM(CASE WHEN size < {K_ANON} THEN size ELSE 0 END)
                           AS DOUBLE) / SUM(size), 6) AS suppression_rate
         FROM groups

@@ -249,7 +249,8 @@ ORACLES: dict[str, str] = {
     "orc_roundtrip_agg": """
         SELECT o_orderstatus,
                COUNT(*) AS n_orders,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
                COUNT(DISTINCT o_custkey) AS n_customers
         FROM orders
         WHERE o_totalprice > 0

@@ -648,9 +648,9 @@ ORACLES: dict[str, str] = {
         ), feat AS (
             SELECT e.user_id, c.cut,
                    COUNT(*) AS n_events,
-                   SUM(CASE WHEN e.event_type = 'purchase'
-                            THEN CAST(ROUND(e.value * 100) AS BIGINT)
-                            ELSE 0 END) AS purchase_cents,
+                   CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                                 THEN CAST(ROUND(e.value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS purchase_cents,
                    CAST(date_diff('day', MAX(date_trunc('day', e.ts)),
                                   MAX(c.cut)) AS BIGINT) AS days_since_last,
                    COUNT(DISTINCT date_trunc('day', e.ts)) AS n_active_days

@@ -569,11 +569,12 @@ ORACLES: dict[str, str] = {
                         / len(string_split(text, ' '))) AS BIGINT) AS score,
                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
             FROM documents
-        ), th AS (SELECT * FROM (VALUES (0), (10), (20), (30), (40), (50), (60), (70), (80), (90), (100)) t(threshold))
+        ), th AS (SELECT CAST(t.threshold AS BIGINT) AS threshold FROM (VALUES (0), (10), (20), (30), (40), (50), (60), (70), (80), (90), (100)) t(threshold))
         SELECT th.threshold,
-               SUM(CASE WHEN score >= th.threshold THEN y ELSE 0 END) AS tp,
-               SUM(CASE WHEN score >= th.threshold THEN 1 - y ELSE 0 END)
-                   AS fp,
+               CAST(SUM(CASE WHEN score >= th.threshold THEN y ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN score >= th.threshold THEN 1 - y ELSE 0 END)
+                    AS BIGINT) AS fp,
                ROUND(CAST(SUM(CASE WHEN score >= th.threshold THEN y
                                    ELSE 0 END) AS DOUBLE) / SUM(y), 6)
                    AS tpr,

@@ -46,96 +46,40 @@ from pb_etl_spark.operators import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Order matters: the driver's correctness harness verifies the FIRST ~50
-# registry entries (registry insertion order) each round. Rounds 1-4
-# verified 188 unique queries, all green latest-status (r04: 50/50).
-# The round-5 window (slots 0-49) follows the r04 verdict directive:
-#   1. slots 0-40: the 41 operators ADDED in round 4 — never driver-
-#      checked, and the highest-value names to verify (brand-new code;
-#      includes the environment-sensitive Spark-4 SQL scripting /
-#      table-UDF / parameterized-SQL trio and the streaming DDSketch).
-#      benford_digit_test and binaryfile_ingest also carry round-5
-#      code/oracle fixes (ADVICE items), so they are changed-code
-#      in-window.
-#   2. slot 41: entity_resolution — r03-green, but clustering.py's
-#      eager per-nation collect moves to execution time this round
-#      (ADVICE item #1), so its construction path changed.
-#   3. slots 42-49: 8 of the 10 round-5 additions (operators/
-#      insights.py) — the NEWEST code, hence the highest driver-quirk
-#      risk (the same newest-first principle as slots 0-40); the
-#      iterative/CTE-chain and Spark-4 LATERAL entries lead.
-# Slot 50 keeps entity_golden_record adjacent (r04-green; rides the
-# changed clustering construction) in case the driver checks >50;
-# slots 51-52 hold the two simplest round-5 additions.
+# registry entries (registry insertion order) each round. Cumulative
+# r01-r06: 238 unique names checked, 223 green latest-status; the only
+# reds were 11 oracle-typing rows (un-cast SUM -> DuckDB HUGEINT ->
+# pandas float64 vs Spark int64; Spark values verified correct).
+# The round-7 window executes the r05/r06 verdict directive verbatim:
+#   1. slots 0-10: the 11 red rows, each carrying a round-7
+#      CAST(... AS BIGINT) oracle fix — re-checked first so the fix is
+#      driver-confirmed this round.
+#   2. slots 11-12: mode_per_group / oov_rate — staged at slots 51-52
+#      in r05/r06 but the driver stops at 50, so still never checked.
+#   3. slots 13-56: the 44 remaining never-checked names in the
+#      pre-staged verification order — scalar battery, agg shapes,
+#      subquery battery, vectors/layout remainder, text/stats
+#      remainder, final stragglers (hll_mergeable_counts is rows-only,
+#      no oracle by design). 11 + 46 = 57: a ~50 window leaves ~7 for
+#      the r08 head; after that every registered query has been
+#      driver-checked at least once.
 _PRIORITY = [
-    # -- round-5 window: the 41 round-4 additions, never driver-checked --
-    "association_rules",
+    # -- slots 0-10: the 11 r05/r06 reds, oracles CAST to BIGINT r07 --
     "item_item_cosine",
     "rfm_segments",
-    "target_encoding",
-    "ddsketch_quantiles",
-    "hard_negative_mining",
-    "mmr_diverse_topk",
-    "k_core_knn",
     "orc_roundtrip_agg",
-    "time_bounded_funnel",
-    "capped_running_balance",
-    "ucb_bandit_scores",
-    "kaplan_meier",
     "k_anonymity_report",
-    "dp_noisy_counts",
-    "zipf_slope",
-    "quantile_normalize",
     "sql_table_udf_agg",
-    "sql_scripting_threshold",
     "parameterized_sql_agg",
-    "listagg_per_group",
-    "binaryfile_ingest",
-    "holt_forecast",
-    "event_pattern_match",
     "training_set_assembly",
-    "stream_ddsketch_quantiles",
-    "sprt_decision",
     "gini_concentration",
-    "benford_digit_test",
-    "cohort_ltv",
-    "order_cycle_time",
-    "attribution_linear",
-    "activity_heatmap",
     "supplier_reliability",
-    "duplicate_invoice_detector",
-    "segment_migration",
     "new_vs_returning_daily",
     "roc_curve_points",
-    "roc_auc",
-    "calibration_bins",
-    "revenue_bridge",
-    # -- slot 41: changed construction path this round (ADVICE #1) --
-    "entity_resolution",
-    # -- slots 42-49: the round-5 additions (operators/insights.py),
-    # newest-first: iterative CTE-chain graph ops, Spark-4 LATERAL,
-    # the global_running_sum consumer, window/integer-math screens --
-    "label_propagation_knn",
-    "bfs_hops_knn",
-    "lateral_topk_join",
-    "abc_classification",
-    "theil_sen_trend",
-    "interval_coverage",
-    "burstiness_stats",
-    "map_funcs",
-    # ---- slot 50: window boundary ----
-    # entity_golden_record: r04-green, kept adjacent because it rides
-    # the reworked entity-resolution construction (ADVICE #1 fix).
-    "entity_golden_record",
-    # the two simplest round-5 additions (single hash-agg shapes)
+    # -- slots 11-12: r05 additions staged beyond the r06 window edge --
     "mode_per_group",
     "oov_rate",
-    # ---- round-6 window, pre-staged: the exact remaining
-    # never-checked names in verification order — scalar battery, agg
-    # shapes, subquery battery, vectors/layout remainder, text/stats
-    # remainder, final stragglers (hll_mergeable_counts is rows-only,
-    # no oracle by design). Rotate r06 by deleting the names
-    # CORRECTNESS_r05 covers above; the ~50 window then covers ALL of
-    # these → 100% driver coverage at round 6. ----
+    # -- slots 13+: the 44 remaining never-checked names --
     "kmv_distinct_sketch",
     # scalar battery
     "string_funcs",

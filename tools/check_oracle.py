@@ -52,11 +52,35 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+#: dtype kinds where the driver's rendered-value hash is typing-sensitive:
+#: int64 123 vs float64 123.0 hash-differ there, so they must FAIL here.
+_NUMERIC_KINDS = "iufb"
+
+
+def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Exact rendered-dtype check over the raw (pre-canon) frames.
+
+    The driver hashes rendered values, so an un-cast DuckDB SUM (HUGEINT ->
+    pandas float64) against Spark's int64 is a driver FAIL even when every
+    value is numerically equal — round-5/6 shipped 11 such reds that this
+    twin's old float-coercing compare() was blind to. Compare the rendered
+    pandas dtypes, not declared schemas: NULL-bearing int columns become
+    float64 on BOTH engines (try_funcs, pit_join) and legitimately pass.
+    """
+    probs = []
+    for c in sorted(sdf.columns):
+        ka, kb = sdf[c].dtype.kind, odf[c].dtype.kind
+        if (ka in _NUMERIC_KINDS or kb in _NUMERIC_KINDS) and sdf[c].dtype != odf[c].dtype:
+            probs.append(f"dtype mismatch in col {c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+    return probs
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if list(sorted(sdf.columns)) != list(sorted(odf.columns)):
         problems.append(f"columns: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         return problems
+    problems.extend(dtype_mismatches(sdf, odf))
     if len(sdf) != len(odf):
         problems.append(f"rowcount: spark={len(sdf)} oracle={len(odf)}")
     a, b = canon(sdf), canon(odf)
