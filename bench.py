@@ -145,7 +145,11 @@ def prior_slowest(n: int = 3) -> list[str]:
     """Names of the ``n`` slowest queries from the latest BENCH_r*.json
     next to this script (empty if none exists yet)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f))
+    # numeric round sort: lexicographic would put BENCH_r10 before BENCH_r2
+    benches = sorted(
+        (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()),
+    )
     if not benches:
         return []
     try:

@@ -180,11 +180,14 @@ def _parquet_rows_at_most(path: str, bound: int) -> bool:
                 # wrongly "prove" the bound; fall back to the exact
                 # distributed count instead
                 return False
-            files = [
-                os.path.join(path, f)
-                for f in entries
-                if f.endswith(".parquet")
-            ]
+            data_files = [e for e in entries if not e.startswith((".", "_"))]
+            if any(not f.endswith(".parquet") for f in data_files):
+                # non-parquet data files (orc/csv/json side-outputs):
+                # their rows are invisible to a parquet-footer total,
+                # which would UNDERCOUNT and wrongly "prove" the bound —
+                # route to the exact distributed count instead
+                return False
+            files = [os.path.join(path, f) for f in data_files]
             if not files:
                 return False
         total = 0

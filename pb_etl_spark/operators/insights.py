@@ -91,10 +91,17 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exploding the final map makes the whole map algebra value-checked
     by a purely RELATIONAL oracle (a map is its entry set). All counts
     are integers. One grouped count (fact-sized) + per-user map ops
-    over bounded |event-types| maps — scale-safe."""
+    over bounded |event-types| maps — scale-safe.
+
+    ``__all`` is a RESERVED key: a literal ``'__all'`` event type would
+    collide with the appended total in ``map_concat`` (a runtime error
+    under the default map-key dedup policy EXCEPTION), so it is filtered
+    out up front — mirrored in the oracle."""
     ev = read_table(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n")
+    counts = (
+        ev.filter(~F.col("event_type").eqNullSafe(F.lit("__all")))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     per_user = counts.groupBy("user_id").agg(
         F.map_from_entries(
@@ -626,7 +633,9 @@ ORACLES: dict[str, str] = {
     "map_funcs": f"""
         WITH counts AS (
             SELECT user_id, event_type, COUNT(*) AS n
-            FROM events GROUP BY 1, 2
+            FROM events
+            WHERE event_type IS DISTINCT FROM '__all'
+            GROUP BY 1, 2
         )
         SELECT user_id, event_type, CAST(n * 10 AS BIGINT) AS n_scaled
         FROM counts WHERE n >= {MF_MIN}

@@ -56,12 +56,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      driver-confirmed this round.
 #   2. slots 11-12: mode_per_group / oov_rate — staged at slots 51-52
 #      in r05/r06 but the driver stops at 50, so still never checked.
-#   3. slots 13-56: the 44 remaining never-checked names in the
+#   3. slot 13: map_funcs — r06-green but its code AND oracle changed
+#      this round (reserved '__all' key filtered on both engines).
+#   4. slots 14-57: the 44 remaining never-checked names in the
 #      pre-staged verification order — scalar battery, agg shapes,
 #      subquery battery, vectors/layout remainder, text/stats
 #      remainder, final stragglers (hll_mergeable_counts is rows-only,
-#      no oracle by design). 11 + 46 = 57: a ~50 window leaves ~7 for
-#      the r08 head; after that every registered query has been
+#      no oracle by design). 11 + 1 + 46 = 58: a ~50 window leaves ~8
+#      for the r08 head; after that every registered query has been
 #      driver-checked at least once.
 _PRIORITY = [
     # -- slots 0-10: the 11 r05/r06 reds, oracles CAST to BIGINT r07 --
@@ -79,7 +81,10 @@ _PRIORITY = [
     # -- slots 11-12: r05 additions staged beyond the r06 window edge --
     "mode_per_group",
     "oov_rate",
-    # -- slots 13+: the 44 remaining never-checked names --
+    # -- slot 13: changed code+oracle this round ('__all' reserved-key
+    # filter on both engines), so re-checked despite being r06-green --
+    "map_funcs",
+    # -- slots 14+: the 44 remaining never-checked names --
     "kmv_distinct_sketch",
     # scalar battery
     "string_funcs",

@@ -110,5 +110,18 @@ def stats_reset_checkpoint(df):
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return _DF(new_jdf, spark)
-    except Exception:  # pragma: no cover - version-drift guard
+    except Exception as e:  # pragma: no cover - version-drift guard
+        # Loudly degrade: without the stats reset, an unbounded iterative
+        # checkpoint loop re-inherits the SPARK-39834 plan-Statistics
+        # carry and can overflow BigInteger after ~25 self-join rounds.
+        import warnings
+
+        warnings.warn(
+            "stats_reset_checkpoint: internal JVM API unavailable "
+            f"({type(e).__name__}: {e}); falling back to plain "
+            "localCheckpoint — long iterative loops may hit the "
+            "SPARK-39834 statistics overflow",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return cp

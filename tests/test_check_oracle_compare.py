@@ -1,0 +1,55 @@
+"""Pin tools/check_oracle.py's comparator to driver exactness.
+
+The driver hashes rendered values, so int64 ``123`` vs float64 ``123.0``
+is a driver FAIL. The twin's old compare() coerced both sides to float
+and compared at round(9), which silently passed the 11 round-5 reds; it
+must now go red on any rendered numeric dtype mismatch while still
+passing the legitimate case where NULLs float-ify an int column on BOTH
+engines (try_funcs, pit_join).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from check_oracle import compare, dtype_mismatches  # noqa: E402
+
+
+def test_int_vs_float_is_red_even_when_values_equal():
+    spark = pd.DataFrame({"k": ["a", "b"], "cents": np.array([100, 200], dtype="int64")})
+    oracle = pd.DataFrame({"k": ["a", "b"], "cents": np.array([100.0, 200.0], dtype="float64")})
+    probs = compare("t", spark, oracle)
+    assert any("dtype mismatch" in p and "cents" in p for p in probs)
+
+
+def test_integer_width_mismatch_is_red():
+    spark = pd.DataFrame({"n": np.array([1, 2], dtype="int32")})
+    oracle = pd.DataFrame({"n": np.array([1, 2], dtype="int64")})
+    assert dtype_mismatches(spark, oracle)
+
+
+def test_null_floatified_int_on_both_engines_is_green():
+    # A NULL-bearing int column renders float64 from BOTH Spark.toPandas
+    # and DuckDB.fetchdf — same rendered dtype, no mismatch.
+    spark = pd.DataFrame({"v": np.array([1.0, np.nan], dtype="float64")})
+    oracle = pd.DataFrame({"v": np.array([1.0, np.nan], dtype="float64")})
+    assert dtype_mismatches(spark, oracle) == []
+    assert compare("t", spark, oracle) == []
+
+
+def test_matching_ints_and_strings_are_green():
+    a = pd.DataFrame({"k": ["x"], "n": np.array([7], dtype="int64")})
+    b = pd.DataFrame({"k": ["x"], "n": np.array([7], dtype="int64")})
+    assert compare("t", a, b) == []
+
+
+def test_value_difference_still_detected():
+    a = pd.DataFrame({"n": np.array([7], dtype="int64")})
+    b = pd.DataFrame({"n": np.array([8], dtype="int64")})
+    assert any("values differ" in p for p in compare("t", a, b))
