@@ -96,10 +96,15 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``__all`` is a RESERVED key: a literal ``'__all'`` event type would
     collide with the appended total in ``map_concat`` (a runtime error
     under the default map-key dedup policy EXCEPTION), so it is filtered
-    out up front — mirrored in the oracle."""
+    out up front — mirrored in the oracle. The plain ``!=`` is
+    deliberate: it also drops NULL event types on BOTH engines (NULL
+    comparison → NULL → filtered), which ``map_from_entries`` would
+    otherwise reject as a map key while the SQL side happily emitted a
+    NULL-key row — the same fixture-proofing convention as
+    mode_per_group."""
     ev = read_table(spark, sf_dir, "events")
     counts = (
-        ev.filter(~F.col("event_type").eqNullSafe(F.lit("__all")))
+        ev.filter(F.col("event_type") != "__all")
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -634,7 +639,9 @@ ORACLES: dict[str, str] = {
         WITH counts AS (
             SELECT user_id, event_type, COUNT(*) AS n
             FROM events
-            WHERE event_type IS DISTINCT FROM '__all'
+            -- plain != drops NULL event types too (mirrors Spark: a
+            -- NULL map key would crash map_from_entries there)
+            WHERE event_type != '__all'
             GROUP BY 1, 2
         )
         SELECT user_id, event_type, CAST(n * 10 AS BIGINT) AS n_scaled

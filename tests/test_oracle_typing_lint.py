@@ -1,25 +1,43 @@
 """Static typing lint over every registered DuckDB oracle.
 
-Guards the round-5 failure class: DuckDB widens SUM(BIGINT) to HUGEINT
-(and an un-cast integer VALUES list binds as INT32), pandas renders
-HUGEINT as float64, and the driver's exact rendered-value hash then
-compares ``123.0`` against Spark's int64 ``123`` and fails — 11 queries
-shipped red for two rounds with numerically identical values.
+Guards the HUGEINT arm of the round-5 failure class: DuckDB widens
+SUM(BIGINT) to HUGEINT, pandas renders HUGEINT as float64, and the
+driver's exact rendered-value hash then compares ``123.0`` against
+Spark's int64 ``123`` and fails — 11 queries shipped red for two rounds
+with numerically identical values.
 
 ``DESCRIBE <query>`` binds the query against the sf0.001 views without
 executing it, so this covers all ~280 oracles in well under a second and
 catches the class at authoring time instead of at the driver.
+
+SCOPE: this lint bans only types pandas can NEVER render as an integer
+(HUGEINT/UHUGEINT and scale-0 DECIMAL). The other r05 arm — an un-cast
+integer VALUES list binding as INT32 against a Spark int64 column
+(roc_curve_points) — is NOT statically detectable here, because a
+blanket INTEGER ban would false-positive the ~14 oracles where int32 is
+the correct rendered dtype on both engines (e.g. l_linenumber). That
+arm is covered at runtime by check_oracle.py's dtype_mismatches(),
+which fails any rendered int-width difference.
 """
 
 from __future__ import annotations
 
+import os
 import re
+import sys
 
 import duckdb
 import pytest
 
-from pb_etl_spark.catalog import BENCH_TABLES
-from pb_etl_spark.registry import all_oracles
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+from check_oracle import duck_con  # noqa: E402
+from pb_etl_spark.registry import all_oracles  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -34,10 +52,8 @@ _BANNED = re.compile(r"^(U?HUGEINT$|DECIMAL\(\d+,\s*0\))", re.IGNORECASE)
 
 @pytest.fixture(scope="module")
 def con() -> duckdb.DuckDBPyConnection:
-    c = duckdb.connect()
-    for t in BENCH_TABLES:
-        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    return c
+    # one source of truth for the view bootstrap: the twin's own
+    return duck_con(SF_DIR)
 
 
 def _banned_columns(con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
