@@ -53,3 +53,19 @@ def test_value_difference_still_detected():
     a = pd.DataFrame({"n": np.array([7], dtype="int64")})
     b = pd.DataFrame({"n": np.array([8], dtype="int64")})
     assert any("values differ" in p for p in compare("t", a, b))
+
+
+def test_sub_tolerance_float_drift_is_red():
+    # The driver hashes rendered values exactly, so a 1e-12 cross-engine
+    # ULP drift is a driver red; the twin's old round(9) passed it.
+    a = pd.DataFrame({"x": np.array([1.0, 2.0], dtype="float64")})
+    b = pd.DataFrame({"x": np.array([1.0 + 1e-12, 2.0], dtype="float64")})
+    assert any("values differ" in p for p in compare("t", a, b))
+
+
+def test_exactly_equal_floats_align_and_pass():
+    # identical multisets in different input order sort-align on the raw
+    # values and compare clean
+    a = pd.DataFrame({"x": np.array([0.1 + 0.2, 0.3], dtype="float64")})
+    b = pd.DataFrame({"x": np.array([0.3, 0.1 + 0.2], dtype="float64")})
+    assert compare("t", a, b) == []

@@ -43,11 +43,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif df[c].dtype.kind == "f":
-            # sort on the same rounded values compare() uses — raw-float
-            # sort keys below tolerance could order ties differently per
-            # engine and misalign the row-by-row diff
-            df[c] = df[c].round(9)
+    # floats sort RAW: compare() is exact, and when the two engines'
+    # row multisets are exactly equal, sorting by the exact values
+    # aligns them identically — rounding sort keys would instead let
+    # sub-tolerance ties order differently per engine
     df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
     return df
 
@@ -88,8 +87,15 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         for c in a.columns:
             av, bv = a[c], b[c]
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                av = pd.to_numeric(av, errors="coerce").astype(float).round(9)
-                bv = pd.to_numeric(bv, errors="coerce").astype(float).round(9)
+                # EXACT float equality (NaN==NaN): the driver hashes
+                # rendered values, so any ULP of cross-engine drift is a
+                # driver red — round(9) here masked exactly that class.
+                # The repo's float convention (identical ROUND 2/6 on
+                # both engines, integer-grid arithmetic for windowed
+                # money math) makes every emitted float bit-equal; the
+                # full registry verified exact at sf0.01 AND sf0.1.
+                av = pd.to_numeric(av, errors="coerce").astype(float)
+                bv = pd.to_numeric(bv, errors="coerce").astype(float)
                 neq = ~((av == bv) | (av.isna() & bv.isna()))
             else:
                 neq = ~((av.astype(str) == bv.astype(str)))
