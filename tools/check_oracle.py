@@ -11,6 +11,14 @@ columns, NaN/None unified). Use while iterating:
 replicating the driver's harness — round 1 proved queries can pass under
 our conf-laden builder session yet crash under the driver's (the
 nanosAsLong events read). Vanilla is the truthful gate; default to it.
+
+A plain session launches the JVM with the 1 GiB default driver heap —
+plenty at the driver's sf0.01, but at sf0.4+ broadcast-heavy queries
+(fuzzy_match_pairs) GC-thrash for tens of minutes without failing. For
+big-SF sweeps run with::
+
+    PYSPARK_SUBMIT_ARGS="--driver-memory 16g pyspark-shell" \\
+        python tools/check_oracle.py --vanilla /root/repo/.scale/sf0.4
 """
 
 from __future__ import annotations
