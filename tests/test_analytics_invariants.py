@@ -216,6 +216,57 @@ def test_entity_resolution_hybrid_both_paths_at_scale(spark):
     assert base.equals(mixed)
 
 
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SCALE_DIR),
+    reason="x4 scaled fixture not generated (tools/make_scaled_fixture.py 4)",
+)
+def test_fuzzy_match_pairs_matches_wildcard_method_at_scale(spark):
+    """×4-scale correctness for the deletion-neighborhood blocking, by an
+    INDEPENDENT method: the registered quadratic oracle is hours of DuckDB
+    at sf0.4, but the fixture's c_name values are fixed-length and unique,
+    so levenshtein≤1 pairs are exactly the Hamming-1 pairs (an insert or
+    delete would change length; distance 0 would need duplicate names) —
+    enumerated completely by wildcard-substitution keys, a different
+    blocking than the engine's deletion keys."""
+    import duckdb
+
+    from pb_etl_spark.operators.dedup import q_fuzzy_match_pairs
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SCALE_DIR}/customer.parquet'"
+    )
+    lo, hi, n, names = con.execute(
+        "SELECT MIN(LENGTH(c_name)), MAX(LENGTH(c_name)), COUNT(*), "
+        "COUNT(DISTINCT c_name) FROM customer"
+    ).fetchone()
+    assert lo == hi and n == names  # preconditions for Hamming-1 == lev<=1
+    oracle = con.execute(
+        """
+        WITH wk AS (
+            SELECT c_custkey AS id, c_name AS name,
+                   concat(substr(c_name, 1, CAST(t.p AS INT) - 1), chr(1),
+                          substr(c_name, CAST(t.p AS INT) + 1)) AS wkey
+            FROM customer, LATERAL (
+                SELECT UNNEST(range(1, LENGTH(c_name) + 1)) AS p
+            ) t
+        )
+        SELECT DISTINCT a.id AS ia, b.id AS ib, CAST(1 AS BIGINT) AS dist
+        FROM wk a JOIN wk b ON a.wkey = b.wkey AND a.id < b.id
+        WHERE a.name <> b.name
+        ORDER BY ia, ib
+        """
+    ).fetchdf()
+    got = (
+        q_fuzzy_match_pairs(spark, SCALE_DIR)
+        .toPandas()
+        .sort_values(["ia", "ib"])
+        .reset_index(drop=True)[["ia", "ib", "dist"]]
+    )
+    assert len(got) == len(oracle) > 0
+    assert got.equals(oracle.astype(got.dtypes.to_dict()))
+
+
 def test_entity_resolution_construction_is_job_free(spark):
     """ADVICE r04: constructing q_entity_resolution must not run a Spark
     job in the common case. The footer-metadata guard decides the split
