@@ -762,7 +762,11 @@ def dd_bucket_expr(cents_col):
     (ln-candidate + exact ±1 integer-bound correction) — shared by the
     batch sketch and the streaming twin."""
     bounds = _dd_bounds()
-    bounds_arr = F.array(*[F.lit(b) for b in bounds])
+    # F.lit(list) → ONE foldable array literal; F.array(*lits) is a
+    # CreateArray expression that rebuilds the ~600-element array PER
+    # ROW (twice here, via both element_at corrections) — measured as
+    # the dominant per-row cost of the sketch pass
+    bounds_arr = F.lit(bounds)
     last = len(bounds) - 1
     j0 = F.greatest(
         F.lit(0).cast("long"),
@@ -808,14 +812,30 @@ def dd_quantiles_from_hist(spark, hist: DataFrame) -> DataFrame:
     """Quantile extraction over a (bucket, cnt) sketch table — shared by
     the batch and streaming paths (bounded ≤ |γ-buckets| input)."""
     ests = _dd_ests(_dd_bounds())
-    ests_arr = F.array(*[F.lit(e) for e in ests])
-    n_df = hist.agg(F.sum("cnt").alias("n"))
+    ests_arr = F.lit(ests)  # foldable array literal, not per-row CreateArray
+    # n rides the SAME window pass as cum (full frame vs running frame,
+    # one Window node): a separate hist.agg(sum) branch made Spark
+    # re-run the whole upstream fact scan+groupBy — AQE did not reuse
+    # the exchange across the two hist references (measured 2× the
+    # fact-pass cost at sf0.1); hist is ≤ |γ-buckets| rows, so the
+    # extra full-frame sum is free
     w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = hist.select("bucket", F.sum("cnt").over(w_cum).alias("cum"))
-    probes = spark.createDataFrame([(q,) for q in DD_QS], "q double")
+    w_all = W.orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    # literal explode, not createDataFrame: the latter ships the probe
+    # list through a Python RDD (applySchemaToPythonRDD), paying a
+    # Python-worker round-trip on every action; this stays JVM-side
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in DD_QS])).alias("q")
+    )
     return (
-        probes.crossJoin(F.broadcast(n_df))
-        .join(
+        probes.join(
             F.broadcast(cum),
             F.col("cum") >= F.ceil(F.col("q") * F.col("n")).cast("long"),
         )
@@ -857,6 +877,17 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
+    # The bucket decision (ln + two bound lookups per row) is the heavy
+    # map work, and the fixture's single-row-group parquet scans as ONE
+    # task — rebalance the 8-byte cents column across cores first, but
+    # ONLY when the scan is narrower than the cluster (plan-build-time
+    # check, no job): at real scale the fact arrives in thousands of
+    # partitions and an unconditional repartition would shuffle the
+    # whole fact for nothing (unlike word_shingles' small-doc-table
+    # case, this input IS the fact).
+    par = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < par:
+        li = li.repartition(par)
     hist = li.groupBy(dd_bucket_expr(F.col("cents")).alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
