@@ -747,6 +747,10 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("r") == 1)
             .select("q_id", "n_id", "rel", "score", F.lit(t).cast("long").alias("pick"))
         )
+        # eager checkpoint is LOAD-BEARING, not just lineage-cost control:
+        # without it the next step's sel-vs-sims joins are ambiguous
+        # self-joins (AnalysisException) because sel still carries sims
+        # in its lineage
         sel = sel.unionAll(pick).localCheckpoint(eager=True)
     return sel.select(
         "q_id", "pick", "n_id", F.round("rel", 6).alias("rel"),
