@@ -1145,7 +1145,77 @@ def q_parameterized_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ALLOC_SEATS = 10_000  # integer budget distributed by largest remainder
+
+
+def q_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hare) apportionment: distribute an integer
+    budget of ``ALLOC_SEATS`` sampling slots across nations proportional
+    to customer counts — the exact-integer allocator behind corpus
+    mixture quotas ("give each source floor(share) docs, then the
+    leftovers to the largest fractional remainders"). Every step is
+    int64 arithmetic (floor = integer div, remainder = mod), so the
+    result is engine-exact with no float apportionment drift, and
+    Σ seats == ALLOC_SEATS by construction.
+
+    Scale shape: one grouped count over the fact (map-side combinable),
+    then all allocation math lives on the one-row-per-nation aggregate;
+    the 1-row totals frame rides a broadcast crossJoin (the
+    maxabs_normalize pattern) and the remainder rank is a window over
+    the ≤|nations| aggregate — bounded by construction."""
+    cust = read_table(spark, sf_dir, "customer")
+    per = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    totals = per.agg(F.sum("n_cust").alias("_t"))
+    scored = per.crossJoin(F.broadcast(totals)).select(
+        "c_nationkey",
+        "n_cust",
+        F.expr(f"(n_cust * {ALLOC_SEATS}L) div _t").alias("base"),
+        F.expr(f"(n_cust * {ALLOC_SEATS}L) % _t").alias("rem"),
+    )
+    from pyspark.sql.window import Window as W
+
+    leftover = scored.agg(
+        (F.lit(ALLOC_SEATS) - F.sum("base")).alias("_left")
+    )
+    ranked = scored.crossJoin(F.broadcast(leftover)).withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(F.col("rem").desc(), F.col("c_nationkey").asc())
+        ),
+    )
+    return ranked.select(
+        "c_nationkey",
+        "n_cust",
+        (
+            F.col("base") + F.when(F.col("rk") <= F.col("_left"), 1).otherwise(0)
+        ).alias("seats"),
+    )
+
+
+_LRA_ORACLE = f"""
+    WITH per AS (
+        SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+        GROUP BY c_nationkey
+    ), t AS (
+        SELECT SUM(n_cust) AS w FROM per
+    ), scored AS (
+        SELECT c_nationkey, n_cust,
+               CAST((n_cust * {ALLOC_SEATS}) // w AS BIGINT) AS base,
+               CAST((n_cust * {ALLOC_SEATS}) % w AS BIGINT) AS rem
+        FROM per CROSS JOIN t
+    ), lo AS (
+        SELECT {ALLOC_SEATS} - SUM(base) AS leftover FROM scored
+    )
+    SELECT c_nationkey, n_cust,
+           CAST(base + CASE WHEN ROW_NUMBER() OVER (
+                    ORDER BY rem DESC, c_nationkey ASC) <= leftover
+                THEN 1 ELSE 0 END AS BIGINT) AS seats
+    FROM scored CROSS JOIN lo
+"""
+
+
 QUERIES = {
+    "largest_remainder_alloc": q_largest_remainder_alloc,
     "histogram_quantiles": q_histogram_quantiles,
     "join_cardinality_report": q_join_cardinality_report,
     "table_checksum": q_table_checksum,
@@ -1180,5 +1250,6 @@ QUERIES = {
 }
 
 # defined below the ORACLES literal, so registered by assignment
+ORACLES["largest_remainder_alloc"] = _LRA_ORACLE
 ORACLES["histogram_quantiles"] = _HQ_ORACLE
 ORACLES["join_cardinality_report"] = _JOIN_CARD_ORACLE

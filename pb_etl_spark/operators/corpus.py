@@ -700,7 +700,75 @@ def q_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPS_K = 100  # systematic sample pointers
+
+
+def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling: lay
+    ``PPS_K`` equally-spaced pointers along the corpus's cumulative
+    n_chars axis (deterministic mid-step start ``u = step div 2``) and
+    keep every document a pointer lands in — the exact-k,
+    weight-proportional sampler (big docs can take several pointers:
+    ``n_hits`` ≥ 2) that complements the Bernoulli-style
+    ``weighted_hash_sample``/``mixture_resample`` keeps. Classic PPS
+    from survey statistics / particle-filter resampling, and the shape a
+    token-budgeted corpus draw needs ("give me exactly K slots spread
+    by size").
+
+    Everything is int64: the cumulative axis comes from
+    ``global_running_sum`` (range partition + per-partition window +
+    driver prefix-sum — no single-partition global window), and a doc's
+    pointer count is a difference of two integer divisions, so the
+    selected SET is engine-exact (no float comparison anywhere; the
+    all-args-nonnegative ``+ step`` shift keeps truncating and flooring
+    division identical). The 1-row corpus total rides a broadcast
+    crossJoin (maxabs_normalize pattern)."""
+    doc = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    cum = global_running_sum(spark, doc, ["doc_id"], "n_chars")
+    tot = doc.agg(F.sum("n_chars").alias("_w"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("step", F.expr(f"_w div {PPS_K}L"))
+        .withColumn("u", F.expr("step div 2"))
+        .withColumn(
+            "n_hits",
+            F.expr(
+                "((cum - u - 1 + step) div step)"
+                " - ((cum - n_chars - u - 1 + step) div step)"
+            ),
+        )
+        .filter(F.col("n_hits") >= 1)
+        .select("doc_id", "source", "n_chars", "cum", "n_hits")
+    )
+
+
+_PPS_ORACLE = f"""
+    WITH c AS (
+        SELECT doc_id, source, n_chars,
+               CAST(SUM(n_chars) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM documents
+    ), t AS (
+        SELECT CAST(SUM(n_chars) AS BIGINT) AS w FROM documents
+    ), p AS (
+        SELECT w // {PPS_K} AS step, (w // {PPS_K}) // 2 AS u FROM t
+    )
+    SELECT doc_id, source, n_chars, cum,
+           CAST(((cum - u - 1 + step) // step)
+                - ((cum - n_chars - u - 1 + step) // step) AS BIGINT)
+               AS n_hits
+    FROM c CROSS JOIN p
+    WHERE ((cum - u - 1 + step) // step)
+          - ((cum - n_chars - u - 1 + step) // step) >= 1
+"""
+
+
 QUERIES = {
+    "pps_systematic_sample": q_pps_systematic_sample,
     "feature_hashing": q_feature_hashing,
     "bigram_loglik": q_bigram_loglik,
     "weighted_hash_sample": q_weighted_hash_sample,
@@ -723,6 +791,7 @@ QUERIES = {
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES: dict[str, str] = {
+    "pps_systematic_sample": _PPS_ORACLE,
     "bigram_loglik": f"""
         WITH tok AS (
             SELECT doc_id,

@@ -238,14 +238,52 @@ def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status rollup computed FROM an XML round-trip of orders —
+    ``to_xml(named_struct(...))`` then ``from_xml`` with an explicit
+    schema (Spark 4's built-in XML codec, the last leg of the value-codec
+    matrix next to ``json_roundtrip``/``orc_roundtrip_agg``). The DuckDB
+    oracle aggregates the parquet original directly, so a hash match
+    proves the XML encode/decode is lossless for every carried field.
+
+    Scale shape: the round-trip is per-row whole-stage codegen (no
+    shuffle added beyond the final rollup's); money rides the cents
+    integer grid through the XML text so re-parse is exact, and the
+    aggregate shuffles only (status, partial sums)."""
+    o = read_table(spark, sf_dir, "orders")
+    xml = o.selectExpr(
+        "to_xml(named_struct("
+        "'k', o_orderkey, 's', o_orderstatus, "
+        "'c', CAST(ROUND(o_totalprice * 100) AS BIGINT))) AS x"
+    )
+    back = xml.selectExpr(
+        "from_xml(x, 'k BIGINT, s STRING, c BIGINT') AS r"
+    ).select("r.k", "r.s", "r.c")
+    return back.groupBy(F.col("s").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("c").alias("revenue_cents"),
+        F.max("k").alias("max_orderkey"),
+    )
+
+
 QUERIES = {
     "partition_pruned_scan": q_partition_pruned_scan,
     "dynamic_partition_pruning": q_dynamic_partition_pruning,
     "zorder_key": q_zorder_key,
     "orc_roundtrip_agg": q_orc_roundtrip_agg,
+    "xml_roundtrip_agg": q_xml_roundtrip_agg,
 }
 
 ORACLES: dict[str, str] = {
+    "xml_roundtrip_agg": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
+               MAX(o_orderkey) AS max_orderkey
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
     "orc_roundtrip_agg": """
         SELECT o_orderstatus,
                COUNT(*) AS n_orders,

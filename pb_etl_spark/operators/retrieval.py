@@ -52,6 +52,39 @@ BM25_TOPK = 10
 SPAN_W = 10  # tokens per duplicate-detection span
 
 
+def _scan_width(spark: SparkSession, df: DataFrame) -> int:
+    """Job-free estimate of how many partitions ``df``'s file scan yields.
+
+    ADVICE r07: ``df.rdd.getNumPartitions()`` is only job-free while the
+    plan is a bare scan+project — under AQE, ``DataFrame.rdd`` executes
+    intermediate query stages whenever the plan contains an exchange, so
+    any future upstream transformation would silently turn the guard into
+    a construction-time Spark job. Derive the width from the scan's file
+    listing instead: per file, ``ceil(len / maxPartitionBytes)`` splits
+    (parquet is splittable; mirrors FilePartition packing closely enough
+    for a narrower-than-cluster test), summed. ``inputFiles()`` reads the
+    analyzed plan's already-materialized file index — no job, any plan.
+    Falls back to the file count if the Hadoop FS probe fails.
+    """
+    files = df.inputFiles()
+    if not files:
+        return 1
+    try:
+        jvm = spark._jvm
+        jconf = spark._jsc.hadoopConfiguration()
+        max_bytes = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+        width = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(jconf)
+            width += max(1, math.ceil(fs.getFileStatus(p).getLen() / max_bytes))
+        return width
+    except Exception:  # noqa: BLE001 — estimate only; never fail the plan
+        return len(files)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents by BM25 for a fixed 3-term query. See module
     docstring for the bounded-statistic broadcast shape."""
@@ -880,13 +913,14 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The bucket decision (ln + two bound lookups per row) is the heavy
     # map work, and the fixture's single-row-group parquet scans as ONE
     # task — rebalance the 8-byte cents column across cores first, but
-    # ONLY when the scan is narrower than the cluster (plan-build-time
-    # check, no job): at real scale the fact arrives in thousands of
-    # partitions and an unconditional repartition would shuffle the
-    # whole fact for nothing (unlike word_shingles' small-doc-table
-    # case, this input IS the fact).
+    # ONLY when the scan is narrower than the cluster (job-free
+    # plan-build-time check via the file listing, see _scan_width): at
+    # real scale the fact arrives in thousands of partitions and an
+    # unconditional repartition would shuffle the whole fact for nothing
+    # (unlike word_shingles' small-doc-table case, this input IS the
+    # fact).
     par = spark.sparkContext.defaultParallelism
-    if li.rdd.getNumPartitions() < par:
+    if _scan_width(spark, li) < par:
         li = li.repartition(par)
     hist = li.groupBy(dd_bucket_expr(F.col("cents")).alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
@@ -947,8 +981,50 @@ def _dd_oracle() -> str:
     """
 
 
+def q_bitmap_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via Spark's bitmap aggregate
+    family — the EXACT member of the mergeable-cardinality shelf
+    (``hll_mergeable_counts`` trades exactness for fixed size; bitmaps
+    stay exact at ~1 bit per live id within a 32k bucket).
+
+    Shape proves the rollup contract end-to-end: per (event_type, day,
+    bucket) partials from one scan (``bitmap_construct_agg`` over
+    ``bitmap_bit_position``), then days merge with ``bitmap_or_agg`` —
+    the idempotent OR means re-merging a replayed day cannot double
+    count, the property a nightly 100 TB ingest needs — and the final
+    count is the sum of per-bucket ``bitmap_count``. Every stage is a
+    keyed grouped agg (map-side combinable); state per group is the
+    4 KiB bucket bitmap, never a row list. The DuckDB oracle is the
+    direct COUNT(DISTINCT user_id), so the hash match proves the
+    partial→merge→count algebra exact."""
+    ev = read_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(ts AS DATE) AS d",
+        "bitmap_bucket_number(user_id) AS b",
+        "bitmap_bit_position(user_id) AS p",
+    )
+    daily = ev.groupBy("event_type", "d", "b").agg(
+        F.expr("bitmap_construct_agg(p)").alias("bm")
+    )
+    merged = daily.groupBy("event_type", "b").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("bucket_cnt")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum("bucket_cnt").alias("n_distinct_users")
+    )
+
+
+_BITMAP_ORACLE = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_distinct_users
+    FROM events
+    GROUP BY event_type
+"""
+
+
 QUERIES = {
     "ddsketch_quantiles": q_ddsketch_quantiles,
+    "bitmap_distinct_counts": q_bitmap_distinct_counts,
     "cms_token_counts": q_cms_token_counts,
     "bloom_doc_filter": q_bloom_doc_filter,
     "bm25_topk": q_bm25_topk,
@@ -960,6 +1036,7 @@ QUERIES = {
 
 ORACLES: dict[str, str] = {
     "ddsketch_quantiles": _dd_oracle(),
+    "bitmap_distinct_counts": _BITMAP_ORACLE,
     "cms_token_counts": _CMS_ORACLE,
     "bloom_doc_filter": _BLOOM_ORACLE,
     "bm25_topk": _BM25_ORACLE,

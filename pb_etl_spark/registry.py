@@ -47,94 +47,76 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Order matters: the driver's correctness harness verifies the FIRST ~50
 # registry entries (registry insertion order) each round. Cumulative
-# r01-r06: 238 unique names checked, 223 green latest-status; the only
-# reds were 11 oracle-typing rows (un-cast SUM -> DuckDB HUGEINT ->
-# pandas float64 vs Spark int64; Spark values verified correct).
-# The round-7 window executes the r05/r06 verdict directive verbatim:
-#   1. slots 0-10: the 11 red rows, each carrying a round-7
-#      CAST(... AS BIGINT) oracle fix — re-checked first so the fix is
-#      driver-confirmed this round.
-#   2. slots 11-12: mode_per_group / oov_rate — staged at slots 51-52
-#      in r05/r06 but the driver stops at 50, so still never checked.
-#   3. slot 13: map_funcs — r06-green but its code AND oracle changed
-#      this round (reserved '__all' key filtered on both engines).
-#   4. slots 14-57: the 44 remaining never-checked names in the
-#      pre-staged verification order — scalar battery, agg shapes,
-#      subquery battery, vectors/layout remainder, text/stats
-#      remainder, final stragglers (hll_mergeable_counts is rows-only,
-#      no oracle by design). 11 + 1 + 46 = 58: a ~50 window leaves ~8
-#      for the r08 head; after that every registered query has been
-#      driver-checked at least once.
+# r01-r07: 276 of 283 names checked at least once, zero latest-status
+# reds (CORRECTNESS_r07 = 50/50 green, including the 11 former
+# oracle-typing rows). The round-8 window:
+#   1. slots 0-7: the 8 names never driver-checked — the r07 rotation's
+#      overflow, pre-staged for this head. After this round every
+#      registered query has been driver-checked at least once.
+#   2. slots 8-12: the 5 round-8 additions (new code + new oracles) —
+#      xml round-trip codec, exact bitmap-cardinality rollup,
+#      largest-remainder apportionment, asymmetric shingle containment,
+#      PPS systematic sampling.
+#   3. slots 13+: freshness rotation — the 37 stalest names (last
+#      checked in round 1; the remaining 3 r01 names lead the r09
+#      head). Nothing here changed; this re-pins old greens on current
+#      code.
 _PRIORITY = [
-    # -- slots 0-10: the 11 r05/r06 reds, oracles CAST to BIGINT r07 --
-    "item_item_cosine",
-    "rfm_segments",
-    "orc_roundtrip_agg",
-    "k_anonymity_report",
-    "sql_table_udf_agg",
-    "parameterized_sql_agg",
-    "training_set_assembly",
-    "gini_concentration",
-    "supplier_reliability",
-    "new_vs_returning_daily",
-    "roc_curve_points",
-    # -- slots 11-12: r05 additions staged beyond the r06 window edge --
-    "mode_per_group",
-    "oov_rate",
-    # -- slot 13: changed code+oracle this round ('__all' reserved-key
-    # filter on both engines), so re-checked despite being r06-green --
-    "map_funcs",
-    # -- slots 14+: the 44 remaining never-checked names --
-    "kmv_distinct_sketch",
-    # scalar battery
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
-    "regex_funcs",
-    "hash_funcs",
-    "bitwise_funcs",
-    "null_handling",
-    "try_funcs",
-    "array_funcs",
-    "struct_funcs",
-    "case_bucketing",
-    # agg shapes
-    "cube_agg",
-    "grouping_sets",
-    "pivot_agg",
-    "bool_aggs",
-    "stats_aggs",
-    "percentiles",
-    "min_max_by",
-    # subquery battery
-    "scalar_subquery",
-    "exists_correlated",
-    "not_exists_correlated",
-    "in_subquery",
-    "null_safe_join",
-    # vectors / layout remainder
-    "matryoshka_knn",
-    "centroid_assign",
-    "pq_codes",
-    "dim_stats",
-    "feature_hashing",
-    "zorder_key",
-    "snapshot_diff",
-    "partial_agg_merge",
-    # text / stats remainder
-    "bigram_loglik",
-    "repetition_ratio",
-    "vocab_topk",
-    "bpe_token_count",
+    # -- slots 0-7: the last 8 never-checked names --
     "zscore_normalize",
     "value_outliers",
     "price_histogram",
     "per_source_regression",
-    # final stragglers
     "media_frame_sample",
     "window_distribution",
     "event_path_topk",
     "hll_mergeable_counts",
+    # -- slots 8-12: round-8 additions --
+    "xml_roundtrip_agg",
+    "bitmap_distinct_counts",
+    "largest_remainder_alloc",
+    "shingle_containment_pairs",
+    "pps_systematic_sample",
+    # -- slots 13+: stalest (r01-checked) names, oldest debt first --
+    "text_stats",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "tfidf_top_terms",
+    "scan_project",
+    "filter_pushdown",
+    "left_join",
+    "full_outer_join",
+    "stratified_sample",
+    "semi_join",
+    "anti_join",
+    "star_join_revenue",
+    "global_aggregates",
+    "backtest_rates",
+    "maxabs_normalize",
+    "groupby_agg",
+    "distinct_agg",
+    "conditional_agg",
+    "having_groups",
+    "rollup_agg",
+    "sort_limit",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_delta",
+    "set_intersect",
+    "set_except",
+    "union_distinct",
+    "set_intersect_all",
+    "set_except_all",
+    "trailing_rows_avg",
+    "higher_order_funcs",
+    "json_roundtrip",
+    "unpivot_measures",
+    "collect_agg",
+    "window_range_frame",
+    # r09 head: stream_tumbling_window, stream_session_window,
+    # stream_sliding_window (the remaining r01 names), then the r02 set
 ]
 
 _MODULES = [

@@ -307,6 +307,38 @@ def test_entity_resolution_construction_is_job_free(spark):
     assert base.equals(explicit)
 
 
+def test_ddsketch_construction_is_job_free(spark):
+    """ADVICE r07: building q_ddsketch_quantiles must not run a Spark job.
+    The narrower-than-cluster repartition guard derives the scan width
+    from the file listing (_scan_width), never from DataFrame.rdd — under
+    AQE the latter executes intermediate query stages whenever the plan
+    holds an exchange. Mirrors the entity_resolution construction test."""
+    from pb_etl_spark.operators.retrieval import _scan_width, q_ddsketch_quantiles
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    df = q_ddsketch_quantiles(spark, SF_DIR)
+    new_jobs = set(tracker.getJobIdsForGroup(None)) - before
+    for j in new_jobs:
+        # only Spark's own single-task parquet schema-inference reads are
+        # inherent to spark.read.parquet; any shuffle job means the guard
+        # regressed to a plan-executing probe
+        stages = tracker.getJobInfo(j).stageIds
+        assert len(stages) == 1, f"construction ran a shuffle job {j}"
+        si = tracker.getStageInfo(stages[0])
+        assert "parquet" in si.name and si.numTasks == 1, si.name
+    assert df.columns == ["q", "bucket", "est_price", "n_rows"]
+    # the estimate itself: the sf0.001 single-file fixture is narrower
+    # than any multi-core cluster, and the fallback path (file count)
+    # agrees with the footer path at one file
+    from pb_etl_spark.catalog import read_table
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    w = _scan_width(spark, li)
+    assert 1 <= w <= len(li.inputFiles()) + 8
+    assert _scan_width(spark, li.limit(0).select(F.lit(1).alias("x"))) >= 1
+
+
 def test_ab_test_accounting(spark, events):
     from pb_etl_spark.operators.timeseries import q_ab_test_zscore
 

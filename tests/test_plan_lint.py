@@ -81,6 +81,10 @@ BNLJ_WHITELIST = {
     "roc_curve_points",  # |thresholds|-row (11) broadcast sweep — the
     #   deliberate ×|thresholds| explode of the classifier eval
     "roc_auc",  # same sweep + 1-row (P, N) totals crossJoin
+    "largest_remainder_alloc",  # 1-row total + 1-row leftover crossJoins
+    #   onto the ≤|nations| allocation table
+    "pps_systematic_sample",  # 1-row corpus-total crossJoin feeding the
+    #   pointer arithmetic (plus global_running_sum's offset map)
 }
 
 
@@ -114,6 +118,11 @@ GLOBAL_WINDOW_WHITELIST = {
     #   customer; the SinglePartition exchange is the 1-row summary agg
     "roc_auc",  # lead window over the 11-row threshold frame — bounded
     #   by construction
+    "largest_remainder_alloc",  # remainder rank over the ≤|nations|
+    #   (25-row) allocation aggregate — bounded by construction
+    "pps_systematic_sample",  # false positive: the cumsum window is
+    #   KEYED on pid (global_running_sum); the SinglePartition exchange
+    #   is the 1-row corpus-total aggregate
 }
 
 

@@ -59,11 +59,6 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-#: dtype kinds where the driver's rendered-value hash is typing-sensitive:
-#: int64 123 vs float64 123.0 hash-differ there, so they must FAIL here.
-_NUMERIC_KINDS = "iufb"
-
-
 def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     """Exact rendered-dtype check over the raw (pre-canon) frames.
 
@@ -73,12 +68,27 @@ def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     twin's old float-coercing compare() was blind to. Compare the rendered
     pandas dtypes, not declared schemas: NULL-bearing int columns become
     float64 on BOTH engines (try_funcs, pit_join) and legitimately pass.
+
+    ADVICE r07: EVERY rendered-dtype inequality fails, not just
+    numeric-involved ones — a datetime64 column against object-string
+    dates renders differently under the driver hash too. The one
+    documented exemption is datetime64 resolution (ns vs us, same tz):
+    ``str()`` renders both identically, so the driver hash cannot see the
+    unit and neither should the twin (DuckDB fetchdf emits [us], Spark
+    toPandas [ns]).
     """
     probs = []
     for c in sorted(sdf.columns):
-        ka, kb = sdf[c].dtype.kind, odf[c].dtype.kind
-        if (ka in _NUMERIC_KINDS or kb in _NUMERIC_KINDS) and sdf[c].dtype != odf[c].dtype:
-            probs.append(f"dtype mismatch in col {c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+        da, db = sdf[c].dtype, odf[c].dtype
+        if da == db:
+            continue
+        if (
+            da.kind == "M"
+            and db.kind == "M"
+            and getattr(da, "tz", None) == getattr(db, "tz", None)
+        ):
+            continue  # unit-only datetime difference: identical rendering
+        probs.append(f"dtype mismatch in col {c}: spark={da} oracle={db}")
     return probs
 
 
