@@ -381,8 +381,12 @@ def global_positions(
 
 
 def global_running_sum(
-    spark: SparkSession, df: DataFrame, order_cols: list[str], value_col: str
-) -> DataFrame:
+    spark: SparkSession,
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    with_total: bool = False,
+):
     """Running total of ``value_col`` over the total order ``order_cols``
     WITHOUT a single-partition global window — ``global_positions``'s
     sibling for weighted cumsums (token budgets, byte offsets).
@@ -393,7 +397,12 @@ def global_running_sum(
     cumulative-sum window. Every stage is cluster-parallel. The cumsum
     is INCLUSIVE (``cum`` includes the current row). ``value_col`` must
     be integral (the driver prefix-sum and the windowed sum must agree
-    exactly; float addition would make them order-sensitive)."""
+    exactly; float addition would make them order-sensitive).
+
+    ``with_total=True`` returns ``(frame, grand_total)`` — the driver
+    prefix-sum already computed the corpus total, so consumers that
+    need it (pps_systematic_sample's step size) must NOT pay a second
+    full scan + 1-row crossJoin to rederive it."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keyed = df.repartitionByRange(nparts, *order_cols).persist()
     totals = {
@@ -414,7 +423,7 @@ def global_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
+    out = (
         keyed.withColumn("pid", F.spark_partition_id())
         .withColumn(
             "cum",
@@ -423,6 +432,7 @@ def global_running_sum(
         )
         .drop("pid")
     )
+    return (out, int(acc)) if with_total else out
 
 
 def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,27 +728,29 @@ def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is int64: the cumulative axis comes from
     ``global_running_sum`` (range partition + per-partition window +
     driver prefix-sum — no single-partition global window), and a doc's
-    pointer count is a difference of two integer divisions, so the
-    selected SET is engine-exact (no float comparison anywhere; the
-    all-args-nonnegative ``+ step`` shift keeps truncating and flooring
-    division identical). The 1-row corpus total rides a broadcast
-    crossJoin (maxabs_normalize pattern)."""
+    pointer count is a difference of two CAPPED integer divisions
+    ``f(x) = min(K, (x - u - 1 + step) div step)``, so the selected SET
+    is engine-exact (no float anywhere; all-nonnegative args keep
+    truncating and flooring division identical) and Σ n_hits telescopes
+    to ``f(W) - f(0) = K`` exactly whenever W ≥ K — WITHOUT the cap,
+    W mod (K·step) > u would overcount (e.g. W=1050, K=100: pointer
+    #100 at u+100·step=1005 < W). Degenerate corpora (W < K) clamp
+    step to 1 and yield W hits. The step constants come from the total
+    ``global_running_sum`` already prefix-summed on the driver — NOT a
+    second scan + 1-row crossJoin — so they are plan literals the
+    row-wise pointer arithmetic folds over."""
     doc = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    cum = global_running_sum(spark, doc, ["doc_id"], "n_chars")
-    tot = doc.agg(F.sum("n_chars").alias("_w"))
+    cum, total = global_running_sum(
+        spark, doc, ["doc_id"], "n_chars", with_total=True
+    )
+    step = max(1, total // PPS_K)
+    u = step // 2
+    f_hi = f"least({PPS_K}L, (cum - {u}L - 1 + {step}L) div {step}L)"
+    f_lo = f"least({PPS_K}L, (cum - n_chars - {u}L - 1 + {step}L) div {step}L)"
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .withColumn("step", F.expr(f"_w div {PPS_K}L"))
-        .withColumn("u", F.expr("step div 2"))
-        .withColumn(
-            "n_hits",
-            F.expr(
-                "((cum - u - 1 + step) div step)"
-                " - ((cum - n_chars - u - 1 + step) div step)"
-            ),
-        )
+        cum.withColumn("n_hits", F.expr(f"({f_hi}) - ({f_lo})"))
         .filter(F.col("n_hits") >= 1)
         .select("doc_id", "source", "n_chars", "cum", "n_hits")
     )
@@ -755,15 +767,17 @@ _PPS_ORACLE = f"""
     ), t AS (
         SELECT CAST(SUM(n_chars) AS BIGINT) AS w FROM documents
     ), p AS (
-        SELECT w // {PPS_K} AS step, (w // {PPS_K}) // 2 AS u FROM t
+        SELECT GREATEST(1, w // {PPS_K}) AS step,
+               GREATEST(1, w // {PPS_K}) // 2 AS u
+        FROM t
     )
     SELECT doc_id, source, n_chars, cum,
-           CAST(((cum - u - 1 + step) // step)
-                - ((cum - n_chars - u - 1 + step) // step) AS BIGINT)
-               AS n_hits
+           CAST(LEAST({PPS_K}, (cum - u - 1 + step) // step)
+                - LEAST({PPS_K}, (cum - n_chars - u - 1 + step) // step)
+                AS BIGINT) AS n_hits
     FROM c CROSS JOIN p
-    WHERE ((cum - u - 1 + step) // step)
-          - ((cum - n_chars - u - 1 + step) // step) >= 1
+    WHERE LEAST({PPS_K}, (cum - u - 1 + step) // step)
+          - LEAST({PPS_K}, (cum - n_chars - u - 1 + step) // step) >= 1
 """
 
 

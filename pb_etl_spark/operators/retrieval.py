@@ -64,7 +64,16 @@ def _scan_width(spark: SparkSession, df: DataFrame) -> int:
     (parquet is splittable; mirrors FilePartition packing closely enough
     for a narrower-than-cluster test), summed. ``inputFiles()`` reads the
     analyzed plan's already-materialized file index — no job, any plan.
-    Falls back to the file count if the Hadoop FS probe fails.
+    The split size mirrors FilePartition's actual formula — ``min(
+    maxPartitionBytes, max(openCostInBytes, (Σlen + n·openCost) /
+    defaultParallelism))`` — NOT bare maxPartitionBytes: on a cluster
+    with more cores than 128 MB chunks Spark shrinks the split to fill
+    the cores, so dividing by maxPartitionBytes alone would UNDERCOUNT
+    the real width and re-introduce the spurious full-fact repartition
+    this guard exists to avoid (e.g. 10×200 MB files on 32 cores scan
+    as ~32 partitions, not 20). Falls back to the file count — with a
+    visible warning, so a Spark-internals rename can't silently degrade
+    the guard — if the conf/FS probe fails.
     """
     files = df.inputFiles()
     if not files:
@@ -72,16 +81,28 @@ def _scan_width(spark: SparkSession, df: DataFrame) -> int:
     try:
         jvm = spark._jvm
         jconf = spark._jsc.hadoopConfiguration()
-        max_bytes = int(
-            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
-        )
-        width = 0
+        sql_conf = spark._jsparkSession.sessionState().conf()
+        max_bytes = int(sql_conf.filesMaxPartitionBytes())
+        open_cost = int(sql_conf.filesOpenCostInBytes())
+        sizes = []
         for f in files:
             p = jvm.org.apache.hadoop.fs.Path(f)
             fs = p.getFileSystem(jconf)
-            width += max(1, math.ceil(fs.getFileStatus(p).getLen() / max_bytes))
-        return width
-    except Exception:  # noqa: BLE001 — estimate only; never fail the plan
+            sizes.append(int(fs.getFileStatus(p).getLen()))
+        total_padded = sum(sizes) + len(sizes) * open_cost
+        bytes_per_core = total_padded / max(
+            1, spark.sparkContext.defaultParallelism
+        )
+        split = max(1, min(max_bytes, max(open_cost, int(bytes_per_core))))
+        return sum(max(1, math.ceil(s / split)) for s in sizes)
+    except Exception as e:  # noqa: BLE001 — estimate only; never fail the plan
+        import warnings
+
+        warnings.warn(
+            f"_scan_width probe failed ({e!r}); falling back to file count",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return len(files)
 
 

@@ -83,8 +83,9 @@ BNLJ_WHITELIST = {
     "roc_auc",  # same sweep + 1-row (P, N) totals crossJoin
     "largest_remainder_alloc",  # 1-row total + 1-row leftover crossJoins
     #   onto the ≤|nations| allocation table
-    "pps_systematic_sample",  # 1-row corpus-total crossJoin feeding the
-    #   pointer arithmetic (plus global_running_sum's offset map)
+    # (pps_systematic_sample: its step/u constants now come from the
+    #  total global_running_sum already prefix-summed on the driver, so
+    #  the 1-row crossJoin leg is gone from the plan)
 }
 
 
@@ -120,9 +121,6 @@ GLOBAL_WINDOW_WHITELIST = {
     #   by construction
     "largest_remainder_alloc",  # remainder rank over the ≤|nations|
     #   (25-row) allocation aggregate — bounded by construction
-    "pps_systematic_sample",  # false positive: the cumsum window is
-    #   KEYED on pid (global_running_sum); the SinglePartition exchange
-    #   is the 1-row corpus-total aggregate
 }
 
 

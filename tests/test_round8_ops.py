@@ -152,3 +152,28 @@ def test_pps_systematic_sample_places_exactly_k_pointers(spark):
     )
     step = total // PPS_K
     assert (out["n_hits"] <= out["n_chars"] // step + 1).all()
+
+
+def test_pps_pointer_cap_prevents_overcount(spark, tmp_path):
+    """Regression (round-8 review): with W = 1050 and K = 100, step = 10
+    and u = 5, the UNCAPPED division difference counts pointer #100 at
+    u + 100·step = 1005 < W — 105 hits. The LEAST(K, ·) cap must keep
+    the telescoped total at exactly K."""
+    import pandas as pd
+
+    from pb_etl_spark.operators.corpus import PPS_K, q_pps_systematic_sample
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(105),
+            "text": ["x" for _ in range(105)],
+            "lang": ["en"] * 105,
+            "source": ["s"] * 105,
+            "n_chars": [10] * 105,  # W = 1050 = K*step + 50 > K*step
+        }
+    )
+    spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = q_pps_systematic_sample(spark, str(tmp_path)).toPandas()
+    assert int(out["n_hits"].sum()) == PPS_K

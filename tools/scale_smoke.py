@@ -60,6 +60,12 @@ SMOKE = [
     "theil_sen_trend",
     "interval_coverage",
     "abc_classification",
+    # round-8 additions: the one-sided-prefix shingle self-join +
+    # array-intersect verify, the bitmap partial→merge cascade, and the
+    # global_running_sum pointer sampler
+    "shingle_containment_pairs",
+    "bitmap_distinct_counts",
+    "pps_systematic_sample",
 ]
 
 
@@ -70,6 +76,12 @@ def main() -> None:
     k = float(sys.argv[2]) if len(sys.argv) > 2 else float(
         big.rstrip("/").rsplit("sf", 1)[1]
     ) / 0.1
+    only = set(sys.argv[3:])  # optional name subset: BIG_DIR K NAME...
+    smoke = [n for n in SMOKE if not only or n in only]
+    unknown = only - set(SMOKE)
+    if unknown:
+        print(f"names not in SMOKE: {sorted(unknown)}", file=sys.stderr)
+        raise SystemExit(2)
     spark = get_spark("scale-smoke", master="local[32]", shuffle_partitions=32)
     queries = all_queries()
     spark.read.parquet(f"{base}/region.parquet").count()  # JVM warmup
@@ -83,7 +95,7 @@ def main() -> None:
         return t
 
     rows = {}
-    for name in SMOKE:
+    for name in smoke:
         fn = queries[name]
         t_base = best_of(fn, base)
         t_big = best_of(fn, big)
