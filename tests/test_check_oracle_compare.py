@@ -69,3 +69,36 @@ def test_exactly_equal_floats_align_and_pass():
     a = pd.DataFrame({"x": np.array([0.1 + 0.2, 0.3], dtype="float64")})
     b = pd.DataFrame({"x": np.array([0.3, 0.1 + 0.2], dtype="float64")})
     assert compare("t", a, b) == []
+
+def test_datetime_vs_object_string_is_red():
+    # ADVICE r07: non-numeric rendered-dtype divergence (datetime64 vs
+    # object strings) renders differently under the driver hash
+    # ("2024-01-01 00:00:00" vs "2024-01-01") — must be red even when
+    # the date values coincide.
+    spark = pd.DataFrame({"d": pd.to_datetime(["2024-01-01", "2024-01-02"])})
+    oracle = pd.DataFrame({"d": ["2024-01-01", "2024-01-02"]})
+    assert any("dtype mismatch" in p for p in compare("t", spark, oracle))
+
+
+def test_datetime_resolution_difference_is_green():
+    # Spark.toPandas emits datetime64[ns], DuckDB.fetchdf datetime64[us];
+    # str() renders both identically, so the driver hash cannot see the
+    # unit — the documented exemption.
+    spark = pd.DataFrame(
+        {"d": pd.to_datetime(["2024-01-01 01:02:03"]).astype("datetime64[ns]")}
+    )
+    oracle = pd.DataFrame(
+        {"d": pd.to_datetime(["2024-01-01 01:02:03"]).astype("datetime64[us]")}
+    )
+    assert dtype_mismatches(spark, oracle) == []
+    assert compare("t", spark, oracle) == []
+
+
+def test_tz_aware_vs_naive_datetime_is_red():
+    # same kind 'M' but one side carries a timezone: renders with an
+    # offset suffix -> driver red, so the twin must flag it.
+    spark = pd.DataFrame(
+        {"d": pd.to_datetime(["2024-01-01"]).tz_localize("UTC")}
+    )
+    oracle = pd.DataFrame({"d": pd.to_datetime(["2024-01-01"])})
+    assert dtype_mismatches(spark, oracle)

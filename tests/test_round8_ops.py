@@ -136,6 +136,33 @@ def test_shingle_containment_prefix_filter_is_lossless(spark):
     assert (got["inter"] * 5 >= got["n_src"] * 4).all()
 
 
+def test_scan_width_tracks_sparks_actual_scan_partitioning(spark, tmp_path):
+    """_scan_width mirrors FilePartition's split formula; on a bare scan
+    (where DataFrame.rdd IS safe to consult) the estimate must agree with
+    Spark's actual partitioning within packing slack — exact on the
+    single-file fixture, within 2× on a hand-built multi-file layout."""
+    import pandas as pd
+
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.retrieval import _scan_width
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    actual = li.rdd.getNumPartitions()
+    est = _scan_width(spark, li)
+    assert est == actual == 1  # single small file → one split, both ways
+
+    d = tmp_path / "multi"
+    d.mkdir()
+    for i in range(6):
+        pd.DataFrame({"x": range(1000), "f": [i] * 1000}).to_parquet(
+            d / f"part-{i}.parquet"
+        )
+    df = spark.read.parquet(str(d))
+    actual = df.rdd.getNumPartitions()
+    est = _scan_width(spark, df)
+    assert actual / 2 <= est <= actual * 2, (est, actual)
+
+
 def test_pps_systematic_sample_places_exactly_k_pointers(spark):
     from pb_etl_spark.catalog import read_table
     from pb_etl_spark.operators.corpus import PPS_K, q_pps_systematic_sample
