@@ -1162,9 +1162,17 @@ def q_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     then all allocation math lives on the one-row-per-nation aggregate;
     the 1-row totals frame rides a broadcast crossJoin (the
     maxabs_normalize pattern) and the remainder rank is a window over
-    the ≤|nations| aggregate — bounded by construction."""
+    the ≤|nations| aggregate — bounded by construction. The ≤|nations|
+    aggregate is swap-persisted: the totals, leftover, and final legs
+    all consume it, and without the persist each leg re-runs the full
+    fact scan + count (plan audit showed 4 customer scans)."""
+    from pb_etl_spark.operators.affinity import _swap_persist
+
     cust = read_table(spark, sf_dir, "customer")
-    per = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    per = _swap_persist(
+        "largest_remainder_alloc.per",
+        cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust")),
+    )
     totals = per.agg(F.sum("n_cust").alias("_t"))
     scored = per.crossJoin(F.broadcast(totals)).select(
         "c_nationkey",
