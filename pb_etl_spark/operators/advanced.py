@@ -1166,7 +1166,7 @@ def q_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is swap-persisted: the totals, leftover, and final legs
     all consume it, and without the persist each leg re-runs the full
     fact scan + count (plan audit showed 4 customer scans)."""
-    from pb_etl_spark.operators.affinity import _swap_persist
+    from pb_etl_spark.cache import swap_persist as _swap_persist
 
     cust = read_table(spark, sf_dir, "customer")
     per = _swap_persist(

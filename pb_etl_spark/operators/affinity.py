@@ -40,20 +40,9 @@ from pyspark.sql import functions as F
 
 from pb_etl_spark.catalog import read_table
 
-# one live cache per query: each invocation unpersists the PREVIOUS
-# invocation's persisted frame (its action has completed by the time a
-# new plan is built), so repeated driver/bench runs keep exactly one
-# cached copy instead of accumulating O(invocations)
-_CACHE_SWAP: dict[str, object] = {}
-
-
-def _swap_persist(key: str, df):
-    prev = _CACHE_SWAP.pop(key, None)
-    if prev is not None:
-        prev.unpersist()
-    out = df.persist()
-    _CACHE_SWAP[key] = out
-    return out
+# one live cache per query — shared engine discipline, see
+# pb_etl_spark/cache.py (promoted there once three modules consumed it)
+from pb_etl_spark.cache import swap_persist as _swap_persist
 
 # association-rule knobs: brand-level items, 1% minimum support
 # (integer cross-multiplied in both engines — no double threshold compare)

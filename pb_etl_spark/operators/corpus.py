@@ -385,8 +385,7 @@ def global_running_sum(
     df: DataFrame,
     order_cols: list[str],
     value_col: str,
-    with_total: bool = False,
-):
+) -> tuple[DataFrame, int]:
     """Running total of ``value_col`` over the total order ``order_cols``
     WITHOUT a single-partition global window — ``global_positions``'s
     sibling for weighted cumsums (token budgets, byte offsets).
@@ -399,10 +398,10 @@ def global_running_sum(
     be integral (the driver prefix-sum and the windowed sum must agree
     exactly; float addition would make them order-sensitive).
 
-    ``with_total=True`` returns ``(frame, grand_total)`` — the driver
-    prefix-sum already computed the corpus total, so consumers that
-    need it (pps_systematic_sample's step size) must NOT pay a second
-    full scan + 1-row crossJoin to rederive it."""
+    Returns ``(frame, grand_total)`` like its sibling
+    ``global_positions`` — the driver prefix-sum already computed the
+    corpus total, so consumers that need it (pps step size, ABC class
+    bounds) must NOT pay a second scan/aggregate job to rederive it."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keyed = df.repartitionByRange(nparts, *order_cols).persist()
     totals = {
@@ -432,7 +431,7 @@ def global_running_sum(
         )
         .drop("pid")
     )
-    return (out, int(acc)) if with_total else out
+    return out, int(acc)
 
 
 def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,9 +741,7 @@ def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    cum, total = global_running_sum(
-        spark, doc, ["doc_id"], "n_chars", with_total=True
-    )
+    cum, total = global_running_sum(spark, doc, ["doc_id"], "n_chars")
     step = max(1, total // PPS_K)
     u = step // 2
     f_hi = f"least({PPS_K}L, (cum - {u}L - 1 + {step}L) div {step}L)"

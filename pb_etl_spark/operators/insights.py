@@ -539,10 +539,12 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = rev.select(
         "l_partkey", "revenue_cc", (-F.col("revenue_cc")).alias("neg_rev")
     )
-    cum = global_running_sum(
+    # the grand total comes back from global_running_sum's own driver
+    # prefix-sum — rederiving it with cum.agg(...).collect() paid one
+    # extra job over the persisted keyed frame per invocation (r08 review)
+    cum, tot = global_running_sum(
         spark, ordered, ["neg_rev", "l_partkey"], "revenue_cc"
     )
-    tot = cum.agg(F.sum("revenue_cc")).collect()[0][0]
     a_bound, b_bound = (3 * tot) // 5, (9 * tot) // 10  # exact, Python bigint
     classed = cum.select(
         "revenue_cc",

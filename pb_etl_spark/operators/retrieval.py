@@ -94,7 +94,17 @@ def _scan_width(spark: SparkSession, df: DataFrame) -> int:
             1, spark.sparkContext.defaultParallelism
         )
         split = max(1, min(max_bytes, max(open_cost, int(bytes_per_core))))
-        return sum(max(1, math.ceil(s / split)) for s in sizes)
+        # two bounds on FilePartition's greedy bin packing: the per-file
+        # split sum ignores packing (many tiny files would each count as
+        # a partition Spark actually merges), the padded-total quotient
+        # ignores file boundaries (two 100 MB files can't share a 128 MB
+        # split). The actual count sits between them; take the packed
+        # (lower) bound — for the narrower-than-cluster guard a slight
+        # undercount errs toward the cheap repartition, never toward an
+        # under-parallel heavy map stage (r08 review).
+        per_file = sum(max(1, math.ceil(s / split)) for s in sizes)
+        packed = math.ceil(total_padded / split)
+        return min(per_file, packed)
     except Exception as e:  # noqa: BLE001 — estimate only; never fail the plan
         import warnings
 

@@ -464,7 +464,7 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sig"),
     )
-    c = global_running_sum(spark, d, ["sk", "doc_id"], "n_tok")
+    c, _ = global_running_sum(spark, d, ["sk", "doc_id"], "n_tok")
     sharded = c.withColumn(
         "shard_id", F.expr(f"(cum - n_tok) div {SHARD_BUDGET}")
     )

@@ -182,7 +182,8 @@ def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = ["variant", "first_ts", "user_id"]
     pos_df, _ = global_positions(spark, base, order)
-    cum_df = global_running_sum(spark, base, order, "x").select(
+    cum_base, _ = global_running_sum(spark, base, order, "x")
+    cum_df = cum_base.select(
         F.col("variant").alias("v3"),
         F.col("first_ts").alias("ft3"),
         F.col("user_id").alias("u3"),
