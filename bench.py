@@ -123,12 +123,13 @@ HEADLINE = [
     "abc_classification",
     # round-8 new operators, tracked before the driver ever times them:
     # the one-sided-prefix shingle self-join, the bitmap partial→merge
-    # cascade, the global_running_sum pointer sampler, and the per-row
-    # XML codec pass
+    # cascade, the global_running_sum pointer sampler, the per-row
+    # XML codec pass, and the (bounded-math) apportionment rollup
     "shingle_containment_pairs",
     "bitmap_distinct_counts",
     "pps_systematic_sample",
     "xml_roundtrip_agg",
+    "largest_remainder_alloc",
 ]
 
 

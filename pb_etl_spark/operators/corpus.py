@@ -351,7 +351,18 @@ def global_positions(
     keyed frame is persisted so the sampled range boundaries are
     identical across the counts job and the position job. Returns
     (frame + pos, total_rows). ``order_cols`` must be a total order
-    (include a tiebreak column)."""
+    (include a tiebreak column).
+
+    DELIBERATELY NOT cache.swap_persist (r08 review adjudication): the
+    offset map is a plan LITERAL keyed to THIS persisted frame's sampled
+    boundaries — evicting the cache before the consuming action would
+    recompute the range exchange with RESAMPLED boundaries under the
+    stale literals and silently corrupt positions. A call-site swap key
+    cannot be safe: segment_migration builds TWO same-key quintiles
+    (early/late, identical order cols) into one joined query, so the
+    second construction would evict the first mid-build. The bare
+    persist is MEMORY_AND_DISK (never dropped in-session), and the
+    leak is one bounded frame per invocation, reclaimed at session end."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keyed = df.repartitionByRange(nparts, *order_cols).persist()
     counts = {
@@ -401,7 +412,10 @@ def global_running_sum(
     Returns ``(frame, grand_total)`` like its sibling
     ``global_positions`` — the driver prefix-sum already computed the
     corpus total, so consumers that need it (pps step size, ABC class
-    bounds) must NOT pay a second scan/aggregate job to rederive it."""
+    bounds) must NOT pay a second scan/aggregate job to rederive it.
+    The bare persist (not swap_persist) is deliberate — same
+    boundary-literal coupling as ``global_positions``, see its
+    docstring."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keyed = df.repartitionByRange(nparts, *order_cols).persist()
     totals = {

@@ -84,11 +84,28 @@ def _scan_width(spark: SparkSession, df: DataFrame) -> int:
         sql_conf = spark._jsparkSession.sessionState().conf()
         max_bytes = int(sql_conf.filesMaxPartitionBytes())
         open_cost = int(sql_conf.filesOpenCostInBytes())
-        sizes = []
+        # ONE listStatus per parent directory, not one getFileStatus per
+        # file: a 100 TB table has 10⁴-10⁶ files and per-file HEADs would
+        # stall plan construction for minutes on object stores; directory
+        # listings batch ~1000 entries per RPC (r08 review)
+        wanted = set(files)
+        by_dir: dict[str, list[str]] = {}
         for f in files:
-            p = jvm.org.apache.hadoop.fs.Path(f)
+            by_dir.setdefault(f.rsplit("/", 1)[0], []).append(f)
+        sizes = []
+        for d in by_dir:
+            p = jvm.org.apache.hadoop.fs.Path(d)
             fs = p.getFileSystem(jconf)
-            sizes.append(int(fs.getFileStatus(p).getLen()))
+            for st in fs.listStatus(p):
+                uri = st.getPath().toUri().toString()
+                if uri in wanted or st.getPath().toString() in wanted:
+                    sizes.append(int(st.getLen()))
+        if len(sizes) != len(files):  # listing/URI-form mismatch: re-probe
+            sizes = []
+            for f in files:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                fs = p.getFileSystem(jconf)
+                sizes.append(int(fs.getFileStatus(p).getLen()))
         total_padded = sum(sizes) + len(sizes) * open_cost
         bytes_per_core = total_padded / max(
             1, spark.sparkContext.defaultParallelism
