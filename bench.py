@@ -130,6 +130,7 @@ HEADLINE = [
     "pps_systematic_sample",
     "xml_roundtrip_agg",
     "largest_remainder_alloc",
+    "weighted_median_by_group",
 ]
 
 

@@ -1145,6 +1145,76 @@ def q_parameterized_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group WEIGHTED median: the price (in cents) at which
+    half the shipped QUANTITY of each return flag sits at or below —
+    the robust location statistic behind quantity-weighted price
+    monitoring (an unweighted median over line rows would let many
+    tiny lines outvote a few bulk lines). No built-in aggregate
+    expresses it in either engine, so it is the window-algebra test
+    case: per group, order by (value, tiebreak), running weight cumsum,
+    pick the FIRST value whose cumulative weight reaches half the
+    group total (the lower weighted median — an integer rule with no
+    0.5-quantile interpolation to diverge on).
+
+    All int64: cents values, integer quantities, and the half test is
+    the cross-multiplied ``2·cum ≥ total`` (no division). Scale shape:
+    one keyed window pass (partition by flag, the shuffle any exact
+    per-group order statistic needs) + a broadcast-sized per-group
+    total joined back; at 100 TB the same plan holds because state per
+    group is one running sum, never a row buffer."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("cents", "qty")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = li.withColumn("cw", F.sum("qty").over(w))
+    tot = li.groupBy("l_returnflag").agg(F.sum("qty").alias("tw"))
+    hit = (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("cents").alias("wmedian_cents"))
+    )
+    return hit.join(tot, "l_returnflag").select(
+        "l_returnflag", "wmedian_cents", F.col("tw").alias("total_qty")
+    )
+
+
+_WMEDIAN_ORACLE = """
+    WITH src AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ), cum AS (
+        SELECT l_returnflag, cents, qty,
+               SUM(qty) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY cents, qty
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw
+        FROM src
+    ), tot AS (
+        SELECT l_returnflag, CAST(SUM(qty) AS BIGINT) AS tw
+        FROM src GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           CAST(MIN(c.cents) AS BIGINT) AS wmedian_cents,
+           CAST(MIN(t.tw) AS BIGINT) AS total_qty
+    FROM cum c JOIN tot t USING (l_returnflag)
+    WHERE c.cw * 2 >= t.tw
+    GROUP BY c.l_returnflag
+"""
+
+
 ALLOC_SEATS = 10_000  # integer budget distributed by largest remainder
 
 
@@ -1223,6 +1293,7 @@ _LRA_ORACLE = f"""
 
 
 QUERIES = {
+    "weighted_median_by_group": q_weighted_median_by_group,
     "largest_remainder_alloc": q_largest_remainder_alloc,
     "histogram_quantiles": q_histogram_quantiles,
     "join_cardinality_report": q_join_cardinality_report,
@@ -1258,6 +1329,7 @@ QUERIES = {
 }
 
 # defined below the ORACLES literal, so registered by assignment
+ORACLES["weighted_median_by_group"] = _WMEDIAN_ORACLE
 ORACLES["largest_remainder_alloc"] = _LRA_ORACLE
 ORACLES["histogram_quantiles"] = _HQ_ORACLE
 ORACLES["join_cardinality_report"] = _JOIN_CARD_ORACLE

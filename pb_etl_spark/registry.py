@@ -53,12 +53,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   1. slots 0-7: the 8 names never driver-checked — the r07 rotation's
 #      overflow, pre-staged for this head. After this round every
 #      registered query has been driver-checked at least once.
-#   2. slots 8-12: the 5 round-8 additions (new code + new oracles) —
+#   2. slots 8-13: the 6 round-8 additions (new code + new oracles) —
 #      xml round-trip codec, exact bitmap-cardinality rollup,
 #      largest-remainder apportionment, asymmetric shingle containment,
-#      PPS systematic sampling.
-#   3. slots 13+: freshness rotation — the 37 stalest names (last
-#      checked in round 1; the remaining 3 r01 names lead the r09
+#      PPS systematic sampling, exact per-group weighted median.
+#   3. slots 14+: freshness rotation — the 36 stalest names (last
+#      checked in round 1; the remaining 4 r01 names lead the r09
 #      head). Nothing here changed; this re-pins old greens on current
 #      code.
 _PRIORITY = [
@@ -71,12 +71,13 @@ _PRIORITY = [
     "window_distribution",
     "event_path_topk",
     "hll_mergeable_counts",
-    # -- slots 8-12: round-8 additions --
+    # -- slots 8-13: round-8 additions --
     "xml_roundtrip_agg",
     "bitmap_distinct_counts",
     "largest_remainder_alloc",
     "shingle_containment_pairs",
     "pps_systematic_sample",
+    "weighted_median_by_group",
     # -- slots 13+: stalest (r01-checked) names, oldest debt first --
     "text_stats",
     "text_quality",
@@ -114,9 +115,9 @@ _PRIORITY = [
     "json_roundtrip",
     "unpivot_measures",
     "collect_agg",
-    "window_range_frame",
-    # r09 head: stream_tumbling_window, stream_session_window,
-    # stream_sliding_window (the remaining r01 names), then the r02 set
+    # r09 head: window_range_frame, stream_tumbling_window,
+    # stream_session_window, stream_sliding_window (the remaining r01
+    # names), then the r02 set
 ]
 
 _MODULES = [

@@ -163,6 +163,35 @@ def test_scan_width_tracks_sparks_actual_scan_partitioning(spark, tmp_path):
     assert actual / 2 <= est <= actual * 2, (est, actual)
 
 
+def test_weighted_median_is_the_minimal_half_weight_value(spark):
+    """The lower weighted median: smallest cents value v with
+    Σ qty[cents ≤ v] ≥ half the group total — checked row-by-row in
+    pandas against the operator's output."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.advanced import q_weighted_median_by_group
+
+    out = q_weighted_median_by_group(spark, SF_DIR).toPandas()
+    li = (
+        read_table(spark, SF_DIR, "lineitem")
+        .selectExpr(
+            "l_returnflag",
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents",
+            "CAST(l_quantity AS BIGINT) AS qty",
+        )
+        .toPandas()
+    )
+    for _, row in out.iterrows():
+        g = li[li["l_returnflag"] == row["l_returnflag"]]
+        tw = int(g["qty"].sum())
+        assert tw == row["total_qty"]
+        v = int(row["wmedian_cents"])
+        at_or_below = int(g.loc[g["cents"] <= v, "qty"].sum())
+        assert 2 * at_or_below >= tw
+        # minimality: everything strictly below v covers < half
+        below = int(g.loc[g["cents"] < v, "qty"].sum())
+        assert 2 * below < tw
+
+
 def test_pps_systematic_sample_places_exactly_k_pointers(spark):
     from pb_etl_spark.catalog import read_table
     from pb_etl_spark.operators.corpus import PPS_K, q_pps_systematic_sample
