@@ -66,6 +66,7 @@ SMOKE = [
     "shingle_containment_pairs",
     "bitmap_distinct_counts",
     "pps_systematic_sample",
+    "weighted_median_by_group",
 ]
 
 
