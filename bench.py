@@ -131,6 +131,11 @@ HEADLINE = [
     "xml_roundtrip_agg",
     "largest_remainder_alloc",
     "weighted_median_by_group",
+    # round-9 new operators: the grouped_running_sum primitive's two
+    # faces — the full-fact per-priority cumsum and the compacted
+    # grouped exact-quantile family
+    "grouped_running_revenue",
+    "grouped_quantiles_exact",
 ]
 
 

@@ -1159,10 +1159,17 @@ def q_weighted_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All int64: cents values, integer quantities, and the half test is
     the cross-multiplied ``2·cum ≥ total`` (no division). Scale shape:
-    one keyed window pass (partition by flag, the shuffle any exact
-    per-group order statistic needs) + a broadcast-sized per-group
-    total joined back; at 100 TB the same plan holds because state per
-    group is one running sum, never a row buffer."""
+    the fact is FIRST compacted with a map-side-combinable
+    ``groupBy(flag, cents).agg(sum(qty))`` — the qualifying-cents set is
+    invariant under this compaction because the per-(flag, cents) LAST
+    running-weight row dominates every partial row at the same cents —
+    so the keyed cumsum window only ever sorts |groups|·|distinct cents|
+    rows (bounded by the price grid, ≪ fact). Without the compaction the
+    3-value partition key would funnel the entire fact into 3 single-task
+    sorts at 100 TB; with it, the heavy lifting is a shuffle-combined
+    aggregate and the window input stays broadcast-sized. The per-group
+    total rides the same compacted frame (one extra grouped sum, carried
+    through the hit aggregate — no second fact scan, no re-join)."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
@@ -1170,21 +1177,27 @@ def q_weighted_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as W
 
+    from pb_etl_spark.cache import swap_persist as _swap_persist
+
+    compact = _swap_persist(
+        "weighted_median_compact",
+        li.groupBy("l_returnflag", "cents").agg(F.sum("qty").alias("qty")),
+    )
     w = (
         W.partitionBy("l_returnflag")
-        .orderBy("cents", "qty")
+        .orderBy("cents")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = li.withColumn("cw", F.sum("qty").over(w))
-    tot = li.groupBy("l_returnflag").agg(F.sum("qty").alias("tw"))
-    hit = (
+    cum = compact.withColumn("cw", F.sum("qty").over(w))
+    tot = compact.groupBy("l_returnflag").agg(F.sum("qty").alias("tw"))
+    return (
         cum.join(F.broadcast(tot), "l_returnflag")
         .filter(F.col("cw") * 2 >= F.col("tw"))
         .groupBy("l_returnflag")
-        .agg(F.min("cents").alias("wmedian_cents"))
-    )
-    return hit.join(tot, "l_returnflag").select(
-        "l_returnflag", "wmedian_cents", F.col("tw").alias("total_qty")
+        .agg(
+            F.min("cents").alias("wmedian_cents"),
+            F.min("tw").alias("total_qty"),
+        )
     )
 
 
@@ -1212,6 +1225,92 @@ _WMEDIAN_ORACLE = """
     FROM cum c JOIN tot t USING (l_returnflag)
     WHERE c.cw * 2 >= t.tw
     GROUP BY c.l_returnflag
+"""
+
+
+# Exact grouped-quantile fractions (label, numerator, denominator):
+# integer cross-multiplication 'cum·den ≥ num·total' picks the lower
+# weighted quantile with zero float interpolation to diverge on.
+QUANTILE_FRACS = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+
+
+def q_grouped_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group WEIGHTED quantile family (p25/p50/p75/p90):
+    generalizes ``weighted_median_by_group`` from the single 1/2
+    fraction to an arbitrary fraction list — the distribution-summary
+    primitive behind per-source corpus length/quality profiles where
+    sketches (``ddsketch_quantiles``) are not allowed to drift.
+
+    Same scale discipline as the median: compact the fact per (group,
+    value) first — map-side-combinable, output bounded by
+    |groups|·|value grid| ≪ fact — then run ``grouped_running_sum``
+    (range partition + driver prefix-sum offsets, corpus.py) over the
+    compacted frame so even the cumsum avoids per-group single-task
+    sorts. Each quantile is then the minimal value whose inclusive
+    cumulative weight satisfies the integer rule ``cum·den ≥ num·gtot``;
+    one explode over a 4-element literal array fans the compacted rows
+    out per fraction — no extra scan, no join. All int64."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    from pb_etl_spark.operators.corpus import grouped_running_sum
+
+    compact = li.groupBy("l_returnflag", "cents").agg(
+        F.sum("qty").alias("qty")
+    )
+    rs, _totals = grouped_running_sum(
+        spark, compact, ["l_returnflag"], ["cents"], "qty"
+    )
+    fracs = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("quantile"),
+                F.lit(num).cast("long").alias("num"),
+                F.lit(den).cast("long").alias("den"),
+            )
+            for lbl, num, den in QUANTILE_FRACS
+        ]
+    )
+    return (
+        rs.select(
+            "l_returnflag", "cents", "cum", "gtot", F.explode(fracs).alias("q")
+        )
+        .filter(F.col("cum") * F.col("q.den") >= F.col("q.num") * F.col("gtot"))
+        .groupBy("l_returnflag", F.col("q.quantile").alias("quantile"))
+        .agg(F.min("cents").alias("q_cents"))
+    )
+
+
+_GQE_ORACLE = f"""
+    WITH src AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ), compact AS (
+        SELECT l_returnflag, cents, CAST(SUM(qty) AS BIGINT) AS qty
+        FROM src GROUP BY l_returnflag, cents
+    ), cum AS (
+        SELECT l_returnflag, cents,
+               CAST(SUM(qty) OVER (
+                   PARTITION BY l_returnflag ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cw,
+               CAST(SUM(qty) OVER (
+                   PARTITION BY l_returnflag
+               ) AS BIGINT) AS tw
+        FROM compact
+    ), fr(quantile, num, den) AS (VALUES {", ".join(
+        f"('{lbl}', CAST({num} AS BIGINT), CAST({den} AS BIGINT))"
+        for lbl, num, den in QUANTILE_FRACS
+    )})
+    SELECT c.l_returnflag, fr.quantile,
+           CAST(MIN(c.cents) AS BIGINT) AS q_cents
+    FROM cum c CROSS JOIN fr
+    WHERE c.cw * fr.den >= fr.num * c.tw
+    GROUP BY c.l_returnflag, fr.quantile
 """
 
 
@@ -1294,6 +1393,7 @@ _LRA_ORACLE = f"""
 
 QUERIES = {
     "weighted_median_by_group": q_weighted_median_by_group,
+    "grouped_quantiles_exact": q_grouped_quantiles_exact,
     "largest_remainder_alloc": q_largest_remainder_alloc,
     "histogram_quantiles": q_histogram_quantiles,
     "join_cardinality_report": q_join_cardinality_report,
@@ -1330,6 +1430,7 @@ QUERIES = {
 
 # defined below the ORACLES literal, so registered by assignment
 ORACLES["weighted_median_by_group"] = _WMEDIAN_ORACLE
+ORACLES["grouped_quantiles_exact"] = _GQE_ORACLE
 ORACLES["largest_remainder_alloc"] = _LRA_ORACLE
 ORACLES["histogram_quantiles"] = _HQ_ORACLE
 ORACLES["join_cardinality_report"] = _JOIN_CARD_ORACLE

@@ -448,6 +448,97 @@ def global_running_sum(
     return out, int(acc)
 
 
+_GRS_SEP = "\x1f"  # unit separator: never appears in group-key casts
+
+
+def grouped_running_sum(
+    spark: SparkSession,
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> tuple[DataFrame, dict[tuple, int]]:
+    """PER-GROUP running total of ``value_col`` over ``order_cols``
+    WITHOUT a per-group window shuffle — the keyed sibling of
+    ``global_running_sum`` for LOW-cardinality group keys, where
+    ``Window.partitionBy(group)`` would funnel each group's entire data
+    into a single sort task (the scale-killer shape the r08 verdict
+    flagged on ``weighted_median_by_group``).
+
+    Shape: range-partition on ``(group_cols, order_cols)`` — rows of one
+    group span a contiguous pid range and every partition holds at most
+    a few groups — total ``value_col`` per ``(pid, group)`` (a bounded
+    collect: ≤ |partitions| + |groups| rows by contiguity), prefix-sum
+    per group over pid order on the driver, then add each
+    ``(pid, group)`` offset to a per-``(pid, group)`` cumulative window.
+    Parallelism is |partitions| regardless of |groups|. The output
+    carries two new columns: ``cum`` (INCLUSIVE running sum within the
+    row's group) and ``gtot`` (the group's grand total, a plan literal —
+    consumers must not re-aggregate the fact to rederive it).
+
+    Constraints mirror the sibling: ``value_col`` integral (driver
+    prefix-sum and windowed sum must agree exactly), ``order_cols`` a
+    total order WITHIN each group, and group/order columns non-null
+    (keys are string-cast into the offset-map literal). The bare persist
+    is deliberate — the offset map is a plan literal tied to THIS
+    persisted frame's sampled range boundaries; see
+    ``global_positions``'s adjudication note.
+
+    Returns ``(frame, {group_tuple: total})``.
+    """
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keyed = df.repartitionByRange(nparts, *group_cols, *order_cols).persist()
+    rows = (
+        keyed.groupBy(F.spark_partition_id().alias("pid"), *group_cols)
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )
+    by_group: dict[tuple, list] = {}
+    for r in rows:
+        by_group.setdefault(tuple(str(r[c]) for c in group_cols), []).append(
+            (r["pid"], int(r["s"]))
+        )
+    offsets: dict[str, int] = {}
+    totals: dict[tuple, int] = {}
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, s in sorted(lst):
+            offsets[_GRS_SEP.join((str(pid), *g))] = acc
+            acc += s
+        totals[g] = acc
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    tot_map = F.create_map(
+        *[
+            F.lit(v)
+            for g, t in totals.items()
+            for v in (_GRS_SEP.join(g), t)
+        ]
+    )
+    gkey = F.concat_ws(
+        _GRS_SEP, *[F.col(c).cast("string") for c in group_cols]
+    )
+    w = (
+        W.partitionBy("pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = (
+        keyed.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "cum",
+            F.sum(value_col).over(w).cast("long")
+            + off_map[
+                F.concat_ws(_GRS_SEP, F.col("pid").cast("string"), gkey)
+            ].cast("long"),
+        )
+        .withColumn("gtot", tot_map[gkey].cast("long"))
+        .drop("pid")
+    )
+    return out, totals
+
+
 def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle: assign every document its position
     in a pseudo-random permutation — ORDER BY md5(salt || doc_id). The
@@ -792,7 +883,61 @@ _PPS_ORACLE = f"""
 """
 
 
+def q_grouped_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority running revenue: every order's cumulative booked
+    cents within its order priority, in (date, key) arrival order, plus
+    the priority's grand total — the running-balance / budget-burn-down
+    primitive over a LOW-cardinality group key (5 priorities).
+
+    The deliberate point of this query is the scale shape: a plain
+    ``Window.partitionBy(o_orderpriority)`` would hash the entire orders
+    fact into 5 partitions and sort each inside ONE task — at 100 TB,
+    five ~20 TB single-task sorts. ``grouped_running_sum`` instead
+    range-partitions on (priority, date, key), computes per-(partition,
+    group) subtotals with one bounded collect, and stitches global
+    per-group cumsums from per-partition windows + driver prefix-sum
+    offsets, so parallelism stays |partitions| no matter how few groups
+    exist. ``gtot`` rides the same plan literal — no second fact scan.
+    All int64 on the cents grid; (date, key) is a total order within
+    every group, so the cumsum is deterministic and hash-checkable."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rs, _totals = grouped_running_sum(
+        spark, o, ["o_orderpriority"], ["o_orderdate", "o_orderkey"], "cents"
+    )
+    return rs.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("cum").alias("cum_cents"),
+        F.col("gtot").alias("tot_cents"),
+    )
+
+
+_GRR_ORACLE = """
+    WITH src AS (
+        SELECT o_orderkey, o_orderpriority, o_orderdate,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CAST(SUM(cents) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_cents,
+           CAST(SUM(cents) OVER (
+               PARTITION BY o_orderpriority
+           ) AS BIGINT) AS tot_cents
+    FROM src
+"""
+
+
 QUERIES = {
+    "grouped_running_revenue": q_grouped_running_revenue,
     "pps_systematic_sample": q_pps_systematic_sample,
     "feature_hashing": q_feature_hashing,
     "bigram_loglik": q_bigram_loglik,
@@ -816,6 +961,7 @@ QUERIES = {
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES: dict[str, str] = {
+    "grouped_running_revenue": _GRR_ORACLE,
     "pps_systematic_sample": _PPS_ORACLE,
     "bigram_loglik": f"""
         WITH tok AS (

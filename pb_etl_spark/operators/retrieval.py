@@ -51,6 +51,11 @@ BM25_TOPK = 10
 
 SPAN_W = 10  # tokens per duplicate-detection span
 
+# _scan_width's URI-mismatch re-probe is one getFileStatus RPC per file;
+# past this many files that costs more than the guard saves, so it
+# degrades to the warned file-count estimate instead (ADVICE r08).
+_REPROBE_MAX = 256
+
 
 def _scan_width(spark: SparkSession, df: DataFrame) -> int:
     """Job-free estimate of how many partitions ``df``'s file scan yields.
@@ -101,6 +106,17 @@ def _scan_width(spark: SparkSession, df: DataFrame) -> int:
                 if uri in wanted or st.getPath().toString() in wanted:
                     sizes.append(int(st.getLen()))
         if len(sizes) != len(files):  # listing/URI-form mismatch: re-probe
+            # The per-file getFileStatus fallback is exactly the
+            # per-file-HEAD pattern the batching above exists to avoid, so
+            # it is BOUNDED: past _REPROBE_MAX files the mismatch case
+            # degrades to the warned file-count estimate instead of
+            # stalling plan construction on 10⁴-10⁶ RPCs (ADVICE r08).
+            if len(files) > _REPROBE_MAX:
+                raise RuntimeError(
+                    f"listStatus matched {len(sizes)}/{len(files)} files and "
+                    f"the set is too large ({len(files)} > {_REPROBE_MAX}) "
+                    "for a per-file re-probe"
+                )
             sizes = []
             for f in files:
                 p = jvm.org.apache.hadoop.fs.Path(f)

@@ -47,77 +47,82 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Order matters: the driver's correctness harness verifies the FIRST ~50
 # registry entries (registry insertion order) each round. Cumulative
-# r01-r07: 276 of 283 names checked at least once, zero latest-status
-# reds (CORRECTNESS_r07 = 50/50 green, including the 11 former
-# oracle-typing rows). The round-8 window:
-#   1. slots 0-7: the 8 names never driver-checked — the r07 rotation's
-#      overflow, pre-staged for this head. After this round every
-#      registered query has been driver-checked at least once.
-#   2. slots 8-13: the 6 round-8 additions (new code + new oracles) —
-#      xml round-trip codec, exact bitmap-cardinality rollup,
-#      largest-remainder apportionment, asymmetric shingle containment,
-#      PPS systematic sampling, exact per-group weighted median.
-#   3. slots 14+: freshness rotation — the 36 stalest names (last
-#      checked in round 1; the remaining 4 r01 names lead the r09
-#      head). Nothing here changed; this re-pins old greens on current
-#      code.
+# r01-r08: every registered name checked at least once, zero
+# latest-status hash-fails (CORRECTNESS_r08 = 48/50 green + 2 deliberate
+# `err: no_oracle` rows). The round-9 window:
+#   1. slot 0: weighted_median_by_group — code CHANGED this round (the
+#      r08 verdict's scale fix: pre-compaction before the keyed window),
+#      so its green must be re-pinned on the new plan.
+#   2. slots 1-2: the round-9 additions (grouped_running_sum infra) —
+#      exact grouped weighted quantiles, per-priority running revenue.
+#   3. slots 3-6: the last 4 r01-checked names (the streaming execution
+#      path has not been driver-re-checked since round 1).
+#   4. slots 7-49: 43 of the 46 oracle-backed r02-stale names,
+#      alphabetical. Nothing here changed; this re-pins old greens on
+#      current code.
+# Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
+# approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
+# oracle-less sketch/RNG names whose driver check can only report
+# `err: no_oracle`; their hash-checked deterministic twins
+# (kmv_distinct_sketch / bitmap_distinct_counts, ddsketch_quantiles,
+# stratified_hash_sample) carry the correctness evidence instead.
+# r10 head: the 3 r02 overflow names (tpch_q8_market_share,
+# tumbling_window, window_ranking), then the r03 set.
 _PRIORITY = [
-    # -- slots 0-7: the last 8 never-checked names --
-    "zscore_normalize",
-    "value_outliers",
-    "price_histogram",
-    "per_source_regression",
-    "media_frame_sample",
-    "window_distribution",
-    "event_path_topk",
-    "hll_mergeable_counts",
-    # -- slots 8-13: round-8 additions --
-    "xml_roundtrip_agg",
-    "bitmap_distinct_counts",
-    "largest_remainder_alloc",
-    "shingle_containment_pairs",
-    "pps_systematic_sample",
+    # -- slot 0: changed code (r08-verdict scale fix) --
     "weighted_median_by_group",
-    # -- slots 13+: stalest (r01-checked) names, oldest debt first --
-    "text_stats",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "tfidf_top_terms",
-    "scan_project",
-    "filter_pushdown",
-    "left_join",
-    "full_outer_join",
-    "stratified_sample",
-    "semi_join",
-    "anti_join",
-    "star_join_revenue",
-    "global_aggregates",
-    "backtest_rates",
-    "maxabs_normalize",
-    "groupby_agg",
-    "distinct_agg",
-    "conditional_agg",
-    "having_groups",
-    "rollup_agg",
-    "sort_limit",
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_lag_delta",
-    "set_intersect",
-    "set_except",
-    "union_distinct",
-    "set_intersect_all",
-    "set_except_all",
-    "trailing_rows_avg",
-    "higher_order_funcs",
-    "json_roundtrip",
-    "unpivot_measures",
-    "collect_agg",
-    # r09 head: window_range_frame, stream_tumbling_window,
-    # stream_session_window, stream_sliding_window (the remaining r01
-    # names), then the r02 set
+    # -- slots 1-2: round-9 additions --
+    "grouped_quantiles_exact",
+    "grouped_running_revenue",
+    # -- slots 3-6: the last r01-checked names --
+    "window_range_frame",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "stream_sliding_window",
+    # -- slots 7-49: r02-stale names (43 of 46; 3 overflow to r10) --
+    "asof_join",
+    "bucketed_join",
+    "cohort_retention",
+    "dedup_clusters",
+    "dedup_keep_latest",
+    "dedup_representatives",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "embedding_norms",
+    "explode_history",
+    "interval_funcs",
+    "json_extract_agg",
+    "knn_cosine",
+    "media_decode",
+    "minhash_near_dup_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "partition_pruned_scan",
+    "python_datasource",
+    "range_join",
+    "session_window",
+    "sessionize_lag",
+    "simhash_fingerprints",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "sliding_window",
+    "stratified_hash_sample",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_foreach_upsert",
+    "stream_python_datasource",
+    "stream_stream_join",
+    "stream_user_stats_tws",
+    "stream_user_totals",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
+    "tpch_q1_pricing",
+    "tpch_q21_waiting_supplier",
+    "tpch_q3_shipping",
+    "tpch_q4_priority",
+    "tpch_q5_region_volume",
+    "tpch_q6_revenue",
+    "tpch_q7_nation_volume",
 ]
 
 _MODULES = [

@@ -1,0 +1,200 @@
+"""Semantic invariants for the round-9 additions: the keyed
+``grouped_running_sum`` primitive (low-cardinality-group cumsums with
+|partitions| parallelism), the exact grouped-quantile family built on
+it, the re-shaped ``weighted_median_by_group`` (pre-compaction before
+the keyed window), and the bounded ``_scan_width`` re-probe — the
+properties the oracle hash can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tests.conftest import SF_DIR
+
+
+def _plain_window_cumsum(df, group_cols, order_cols, value_col):
+    """The semantically-equivalent single-task-per-group reference."""
+    w = (
+        W.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy(*group_cols)
+    return df.withColumn("cum", F.sum(value_col).over(w).cast("long")).withColumn(
+        "gtot", F.sum(value_col).over(wt).cast("long")
+    )
+
+
+def test_grouped_running_sum_matches_keyed_window(spark):
+    """Frame-equality against the plain keyed window on the orders
+    fact — every row's inclusive cumsum and group total must agree."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.corpus import grouped_running_sum
+
+    o = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    got, totals = grouped_running_sum(
+        spark, o, ["o_orderpriority"], ["o_orderdate", "o_orderkey"], "cents"
+    )
+    want = _plain_window_cumsum(
+        o, ["o_orderpriority"], ["o_orderdate", "o_orderkey"], "cents"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the returned totals dict is the same grand total per group
+    exact = {
+        (r["o_orderpriority"],): r["t"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.sum("cents").alias("t"))
+        .collect()
+    }
+    assert totals == exact
+
+
+def test_grouped_running_sum_is_partition_count_invariant(spark):
+    """The driver prefix-sum stitching must give identical results under
+    a different range-partition width (different pid boundaries)."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.corpus import grouped_running_sum
+
+    o = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        narrow, _ = grouped_running_sum(
+            spark, o, ["o_orderpriority"], ["o_orderkey"], "cents"
+        )
+        narrow_rows = narrow.collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    wide, _ = grouped_running_sum(
+        spark, o, ["o_orderpriority"], ["o_orderkey"], "cents"
+    )
+    assert sorted(map(tuple, narrow_rows)) == sorted(map(tuple, wide.collect()))
+
+
+def test_grouped_running_sum_parallelism_is_not_group_bound(spark):
+    """The whole point of the primitive: the cumsum must NOT hash the
+    fact onto the |groups|-value key. No exchange in the plan may
+    hashpartition on the group column alone, and the keyed window must
+    ride the range partitioning (pid + group key)."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.corpus import grouped_running_sum
+
+    o = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    got, _ = grouped_running_sum(
+        spark, o, ["o_orderpriority"], ["o_orderkey"], "cents"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(o_orderpriority" in plan, plan
+    for line in plan.splitlines():
+        if "hashpartitioning(o_orderpriority" in line and "pid" not in line:
+            pytest.fail(f"group-keyed hash exchange in plan: {line.strip()}")
+
+
+def test_weighted_median_window_consumes_compacted_frame(spark):
+    """The r08 verdict's fix contract: the keyed cumsum window must sit
+    ABOVE the (flag, cents) compaction aggregate, so the per-group sort
+    input is the bounded price grid, never the raw fact."""
+    from pb_etl_spark.operators.advanced import q_weighted_median_by_group
+
+    out = q_weighted_median_by_group(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win = plan.find("Window")
+    assert win != -1, plan
+    below = plan[win:]
+    assert "HashAggregate" in below and "cents" in below.split("HashAggregate")[1], (
+        "window input is not the (flag, cents) compaction:\n" + plan
+    )
+
+
+def test_grouped_quantiles_p50_equals_weighted_median(spark):
+    """The family must degenerate to the already-proven member: the p50
+    row per group IS the weighted median."""
+    from pb_etl_spark.operators.advanced import (
+        q_grouped_quantiles_exact,
+        q_weighted_median_by_group,
+    )
+
+    p50 = {
+        r["l_returnflag"]: r["q_cents"]
+        for r in q_grouped_quantiles_exact(spark, SF_DIR)
+        .filter(F.col("quantile") == "p50")
+        .collect()
+    }
+    med = {
+        r["l_returnflag"]: r["wmedian_cents"]
+        for r in q_weighted_median_by_group(spark, SF_DIR).collect()
+    }
+    assert p50 == med
+
+
+def test_grouped_quantiles_are_monotone_and_minimal(spark):
+    """p25 ≤ p50 ≤ p75 ≤ p90 per group, and each quantile value is
+    MINIMAL: the next-lower distinct cents must fail the integer rule."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.advanced import (
+        QUANTILE_FRACS,
+        q_grouped_quantiles_exact,
+    )
+
+    rows = q_grouped_quantiles_exact(spark, SF_DIR).collect()
+    by_flag: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], {})[r["quantile"]] = r["q_cents"]
+    for flag, qs in by_flag.items():
+        assert qs["p25"] <= qs["p50"] <= qs["p75"] <= qs["p90"], (flag, qs)
+
+    li = (
+        read_table(spark, SF_DIR, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .toPandas()
+    )
+    for flag, qs in by_flag.items():
+        grp = li[li["l_returnflag"] == flag]
+        total = int(grp["qty"].sum())
+        for lbl, num, den in QUANTILE_FRACS:
+            v = qs[lbl]
+            mass_incl = int(grp.loc[grp["cents"] <= v, "qty"].sum())
+            assert mass_incl * den >= num * total, (flag, lbl)
+            lower = grp.loc[grp["cents"] < v, "cents"]
+            if len(lower):
+                mass_below = int(grp.loc[grp["cents"] <= lower.max(), "qty"].sum())
+                assert mass_below * den < num * total, (flag, lbl)
+
+
+def test_scan_width_reprobe_is_bounded(spark, tmp_path, monkeypatch):
+    """When the listStatus URI forms mismatch and the file set is large,
+    _scan_width must degrade to the warned file-count estimate instead
+    of issuing one getFileStatus RPC per file (ADVICE r08)."""
+    from pb_etl_spark.operators import retrieval
+
+    p = tmp_path / "t"
+    spark.range(10).write.parquet(str(p))
+    df = spark.read.parquet(str(p))
+    real = df.inputFiles()
+    phantom_dir = tmp_path / "elsewhere"
+    phantom_dir.mkdir()
+    fake = list(real) + [f"file:{phantom_dir}/missing.parquet"]
+    monkeypatch.setattr(type(df), "inputFiles", lambda self: fake)
+    monkeypatch.setattr(retrieval, "_REPROBE_MAX", 0)
+    with pytest.warns(RuntimeWarning, match="re-probe"):
+        assert retrieval._scan_width(spark, df) == len(fake)

@@ -67,6 +67,10 @@ SMOKE = [
     "bitmap_distinct_counts",
     "pps_systematic_sample",
     "weighted_median_by_group",
+    # round-9 additions: the grouped_running_sum primitive (range
+    # partition + per-(pid, group) offsets), full-fact and compacted
+    "grouped_running_revenue",
+    "grouped_quantiles_exact",
 ]
 
 
