@@ -476,9 +476,10 @@ def grouped_running_sum(
     row's group) and ``gtot`` (the group's grand total, a plan literal —
     consumers must not re-aggregate the fact to rederive it).
 
-    Constraints mirror the sibling: ``value_col`` integral (driver
-    prefix-sum and windowed sum must agree exactly), ``order_cols`` a
-    total order WITHIN each group, and group/order columns non-null
+    Constraints mirror the sibling: ``value_col`` integral and non-null
+    (driver prefix-sum and windowed sum must agree exactly),
+    ``order_cols`` a total order WITHIN each group, group/order columns
+    non-null
     (keys are string-cast into the offset-map literal). The bare persist
     is deliberate — the offset map is a plan literal tied to THIS
     persisted frame's sampled range boundaries; see

@@ -181,6 +181,41 @@ def test_grouped_quantiles_are_monotone_and_minimal(spark):
                 assert mass_below * den < num * total, (flag, lbl)
 
 
+def test_grouped_running_sum_multi_column_groups(spark):
+    """The offset/total map keys are composite (string-cast, \\x1f-joined):
+    a two-column group key must stitch exactly like the single-column
+    case — frame-equal to the plain keyed window, totals keyed by the
+    full tuple."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.corpus import grouped_running_sum
+
+    o = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    got, totals = grouped_running_sum(
+        spark,
+        o,
+        ["o_orderpriority", "o_orderstatus"],
+        ["o_orderkey"],
+        "cents",
+    )
+    want = _plain_window_cumsum(
+        o, ["o_orderpriority", "o_orderstatus"], ["o_orderkey"], "cents"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    exact = {
+        (r["o_orderpriority"], r["o_orderstatus"]): r["t"]
+        for r in o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.sum("cents").alias("t"))
+        .collect()
+    }
+    assert totals == exact
+
+
 def test_scan_width_reprobe_is_bounded(spark, tmp_path, monkeypatch):
     """When the listStatus URI forms mismatch and the file set is large,
     _scan_width must degrade to the warned file-count estimate instead
