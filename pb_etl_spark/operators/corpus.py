@@ -67,18 +67,29 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous sequence packing: assign docs (in doc_id order, per
     source) to fixed token-budget packs. ``pack_id`` = which training
     sequence this doc lands in when the per-source stream is concatenated
-    and split every PACK_BUDGET tokens (greedy, no doc splitting)."""
+    and split every PACK_BUDGET tokens (greedy, no doc splitting).
+
+    Scale shape (re-shaped r09): the per-source token cumsum rides
+    ``grouped_running_sum`` — range partition on (source, doc_id) +
+    per-(pid, source) driver prefix-sum offsets — NOT a
+    ``Window.partitionBy(source)``, which would funnel each source's
+    entire corpus into a single sort task (|sources| is small by
+    construction; at 100 TB that is a handful of ~10 TB single-task
+    sorts). Parallelism stays |partitions|."""
     doc = read_table(spark, sf_dir, "documents")
-    n_tok = F.size(_tokens()).cast("long")
-    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    base = doc.select(
+        "doc_id", "source", F.size(_tokens()).cast("long").alias("n_tokens")
     )
-    cum = F.sum(n_tok).over(w)
-    return doc.select(
+    rs, _totals = grouped_running_sum(
+        spark, base, ["source"], ["doc_id"], "n_tokens"
+    )
+    return rs.select(
         "doc_id",
         "source",
-        n_tok.alias("n_tokens"),
-        F.floor((cum - n_tok) / PACK_BUDGET).cast("long").alias("pack_id"),
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("long")
+        .alias("pack_id"),
     )
 
 
@@ -114,8 +125,15 @@ def q_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_p_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nucleus-style data selection: per language, keep the
     highest-diversity docs until they account for TOP_P of that
-    language's total characters. Per-language totals via grouped agg +
-    join (broadcast-sized), cumulative via one ordered window pass."""
+    language's total characters.
+
+    Scale shape (re-shaped r09): the per-language char cumsum in
+    quality-descending order rides ``grouped_running_sum`` (descending
+    order expressed as a negated sort key — the helper's order columns
+    are ascending by contract), so the handful of language groups never
+    collapse into single-task window sorts; the per-language total
+    arrives as the helper's ``gtot`` plan literal, replacing the former
+    grouped-agg + broadcast-join leg (one fewer fact aggregation)."""
     doc = read_table(spark, sf_dir, "documents")
     toks = _tokens()
     scored = doc.select(
@@ -123,14 +141,13 @@ def q_top_p_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("quality"),
+    ).withColumn("neg_q", -F.col("quality"))
+    rs, _totals = grouped_running_sum(
+        spark, scored, ["lang"], ["neg_q", "doc_id"], "n_chars"
     )
-    totals = scored.groupBy("lang").agg(F.sum("n_chars").alias("lang_chars"))
-    w = W.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
-    cum = F.sum("n_chars").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
     return (
-        scored.join(F.broadcast(totals), "lang")  # bounded: one row per language
-        .withColumn("cum_chars", cum.cast("long"))
-        .filter(F.col("cum_chars") <= TOP_P * F.col("lang_chars"))
+        rs.withColumn("cum_chars", F.col("cum"))
+        .filter(F.col("cum_chars") <= TOP_P * F.col("gtot"))
         .select("lang", "doc_id", "quality", "cum_chars")
     )
 

@@ -295,25 +295,33 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution (the batch-effect correction of bioinformatics,
     applied here to make per-source corpus stats comparable).
 
-    Everything is INTEGER: within-source ranks are keyed windows
-    (partitioned by source), pooled positions come from the
-    distributed ``global_positions`` primitive (no single-partition
-    window), and the mapping join is an equi-join on the computed
-    position — linear, grid-exact, no floats anywhere."""
-    from pyspark.sql.window import Window as W
-
-    from pb_etl_spark.operators.corpus import global_positions
+    Everything is INTEGER: within-source ranks come from
+    ``grouped_running_sum`` over a constant-1 weight (re-shaped r09 —
+    the former ``Window.partitionBy(source)`` row_number would sort each
+    source's entire corpus in ONE task; the keyed helper keeps
+    |partitions| parallelism and its ``gtot`` literal IS the per-source
+    count, dropping the second full-frame count window), pooled
+    positions come from the distributed ``global_positions`` primitive
+    (no single-partition window), and the mapping join is an equi-join
+    on the computed position — linear, grid-exact, no floats anywhere."""
+    from pb_etl_spark.operators.corpus import global_positions, grouped_running_sum
 
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = d.select(
+    rs, _totals = grouped_running_sum(
+        spark,
+        d.withColumn("one", F.lit(1).cast("long")),
+        ["source"],
+        ["n_chars", "doc_id"],
+        "one",
+    )
+    ranked = rs.select(
         "doc_id",
         "source",
         "n_chars",
-        F.row_number().over(w).cast("long").alias("r"),
-        F.count(F.lit(1)).over(W.partitionBy("source")).cast("long").alias("ns"),
+        F.col("cum").alias("r"),
+        F.col("gtot").alias("ns"),
     )
     pooled, n_total = global_positions(spark, d, ["n_chars", "doc_id"])
     pooled = pooled.select(

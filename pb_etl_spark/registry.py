@@ -55,9 +55,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      so its green must be re-pinned on the new plan.
 #   2. slots 1-2: the round-9 additions (grouped_running_sum infra) —
 #      exact grouped weighted quantiles, per-priority running revenue.
-#   3. slots 3-6: the last 4 r01-checked names (the streaming execution
+#   3. slots 3-5: seq_packing / top_p_quality_sample /
+#      quantile_normalize — code CHANGED this round (low-cardinality
+#      keyed windows migrated onto grouped_running_sum).
+#   4. slots 6-9: the last 4 r01-checked names (the streaming execution
 #      path has not been driver-re-checked since round 1).
-#   4. slots 7-49: 43 of the 46 oracle-backed r02-stale names,
+#   5. slots 10-49: 40 of the 46 oracle-backed r02-stale names,
 #      alphabetical. Nothing here changed; this re-pins old greens on
 #      current code.
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
@@ -66,7 +69,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # `err: no_oracle`; their hash-checked deterministic twins
 # (kmv_distinct_sketch / bitmap_distinct_counts, ddsketch_quantiles,
 # stratified_hash_sample) carry the correctness evidence instead.
-# r10 head: the 3 r02 overflow names (tpch_q8_market_share,
+# r10 head: the 6 r02 overflow names (tpch_q5_region_volume,
+# tpch_q6_revenue, tpch_q7_nation_volume, tpch_q8_market_share,
 # tumbling_window, window_ranking), then the r03 set.
 _PRIORITY = [
     # -- slot 0: changed code (r08-verdict scale fix) --
@@ -74,12 +78,16 @@ _PRIORITY = [
     # -- slots 1-2: round-9 additions --
     "grouped_quantiles_exact",
     "grouped_running_revenue",
-    # -- slots 3-6: the last r01-checked names --
+    # -- slots 3-5: changed code (keyed windows -> grouped_running_sum) --
+    "seq_packing",
+    "top_p_quality_sample",
+    "quantile_normalize",
+    # -- slots 6-9: the last r01-checked names --
     "window_range_frame",
     "stream_tumbling_window",
     "stream_session_window",
     "stream_sliding_window",
-    # -- slots 7-49: r02-stale names (43 of 46; 3 overflow to r10) --
+    # -- slots 10-49: r02-stale names (40 of 46; 6 overflow to r10) --
     "asof_join",
     "bucketed_join",
     "cohort_retention",
@@ -120,9 +128,6 @@ _PRIORITY = [
     "tpch_q21_waiting_supplier",
     "tpch_q3_shipping",
     "tpch_q4_priority",
-    "tpch_q5_region_volume",
-    "tpch_q6_revenue",
-    "tpch_q7_nation_volume",
 ]
 
 _MODULES = [

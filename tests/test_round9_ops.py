@@ -216,6 +216,29 @@ def test_grouped_running_sum_multi_column_groups(spark):
     assert totals == exact
 
 
+def test_migrated_queries_have_no_group_keyed_window_exchange(spark):
+    """The three r09 migrations (seq_packing, top_p_quality_sample,
+    quantile_normalize) must no longer hash the documents fact onto
+    their low-cardinality group column for the cumsum/rank window — the
+    only group-keyed hash exchange allowed is the pid-salted one
+    grouped_running_sum builds."""
+    from pb_etl_spark.operators.corpus import (
+        q_seq_packing,
+        q_top_p_quality_sample,
+    )
+    from pb_etl_spark.operators.reshape import q_quantile_normalize
+
+    for fn, key in [
+        (q_seq_packing, "source"),
+        (q_top_p_quality_sample, "lang"),
+        (q_quantile_normalize, "source"),
+    ]:
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if f"hashpartitioning({key}" in line and "pid" not in line:
+                pytest.fail(f"{fn.__name__}: group-keyed exchange: {line.strip()}")
+
+
 def test_scan_width_reprobe_is_bounded(spark, tmp_path, monkeypatch):
     """When the listStatus URI forms mismatch and the file set is large,
     _scan_width must degrade to the warned file-count estimate instead

@@ -68,9 +68,14 @@ SMOKE = [
     "pps_systematic_sample",
     "weighted_median_by_group",
     # round-9 additions: the grouped_running_sum primitive (range
-    # partition + per-(pid, group) offsets), full-fact and compacted
+    # partition + per-(pid, group) offsets), full-fact and compacted,
+    # plus the three queries migrated onto it off low-cardinality
+    # keyed windows
     "grouped_running_revenue",
     "grouped_quantiles_exact",
+    "seq_packing",
+    "top_p_quality_sample",
+    "quantile_normalize",
 ]
 
 
