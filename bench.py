@@ -131,11 +131,12 @@ HEADLINE = [
     "xml_roundtrip_agg",
     "largest_remainder_alloc",
     "weighted_median_by_group",
-    # round-9 new operators: the grouped_running_sum primitive's two
-    # faces — the full-fact per-priority cumsum and the compacted
-    # grouped exact-quantile family
+    # round-9 new operators: the grouped_running_sum primitive's three
+    # faces — the full-fact per-priority cumsum, the compacted grouped
+    # exact-quantile family, and the exact-quota stratified split
     "grouped_running_revenue",
     "grouped_quantiles_exact",
+    "exact_stratified_split",
 ]
 
 

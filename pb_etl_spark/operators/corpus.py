@@ -733,6 +733,69 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact split quotas in tenths: train/val/test = 8/1/1. Each stratum
+# gets EXACTLY floor(n·8/10) train and floor(n/10) val docs (test takes
+# the remainder), not an expected fraction.
+SPLIT_TENTHS = (("train", 8), ("val", 1), ("test", 1))
+
+
+def q_exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified train/val/test split: within every source,
+    order docs by a deterministic md5 permutation and cut at integer
+    quotas — train gets EXACTLY ``floor(n·8/10)`` docs per source, val
+    ``floor(n/10)``, test the remainder. The eval-set assembly primitive
+    where Bernoulli samplers (``stratified_hash_sample``) are wrong by
+    ±√n per stratum and ``kfold_assign``'s hash-mod folds only hit
+    quotas in expectation; exactness means a 100-doc source yields a
+    10-doc val set, never 7 or 13. Deterministic across engines, runs,
+    and partitionings (hash order + integer DIV — re-running a failed
+    stage re-deals the SAME split).
+
+    Scale shape: per-source positions come from ``grouped_running_sum``
+    over a constant-1 weight (range partition + per-(pid, source)
+    offsets — no low-cardinality window sort), quotas are row-local
+    int64 ``DIV`` arithmetic on the helper's ``gtot`` literal — no
+    second scan, no join, no driver math."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("h", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    rs, _totals = grouped_running_sum(spark, d, ["source"], ["h", "doc_id"], "one")
+    train_n = F.expr("gtot * 8 DIV 10")
+    val_n = F.expr("gtot DIV 10")
+    return rs.select(
+        "doc_id",
+        "source",
+        F.col("cum").alias("pos"),
+        F.when(F.col("cum") <= train_n, "train")
+        .when(F.col("cum") <= train_n + val_n, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_ESS_ORACLE = """
+    WITH k AS (
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+               ) AS BIGINT) AS pos,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM k
+    )
+    SELECT doc_id, source, pos,
+           CASE WHEN pos <= n * 8 // 10 THEN 'train'
+                WHEN pos <= n * 8 // 10 + n // 10 THEN 'val'
+                ELSE 'test' END AS split
+    FROM c
+"""
+
+
 N_HASH_BUCKETS = 64  # feature-hashing dimensionality
 
 
@@ -955,6 +1018,7 @@ _GRR_ORACLE = """
 
 
 QUERIES = {
+    "exact_stratified_split": q_exact_stratified_split,
     "grouped_running_revenue": q_grouped_running_revenue,
     "pps_systematic_sample": q_pps_systematic_sample,
     "feature_hashing": q_feature_hashing,
@@ -979,6 +1043,7 @@ QUERIES = {
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES: dict[str, str] = {
+    "exact_stratified_split": _ESS_ORACLE,
     "grouped_running_revenue": _GRR_ORACLE,
     "pps_systematic_sample": _PPS_ORACLE,
     "bigram_loglik": f"""

@@ -216,6 +216,29 @@ def test_grouped_running_sum_multi_column_groups(spark):
     assert totals == exact
 
 
+def test_exact_stratified_split_hits_quotas_exactly(spark):
+    """Per source: |train| == floor(n·8/10), |val| == floor(n/10),
+    |test| == the remainder; the three parts partition the source
+    (disjoint and complete). Bernoulli samplers only do this in
+    expectation — exactness is the op's contract."""
+    from pb_etl_spark.operators.corpus import q_exact_stratified_split
+
+    rows = q_exact_stratified_split(spark, SF_DIR).collect()
+    by_src: dict[str, dict[str, int]] = {}
+    seen = set()
+    for r in rows:
+        assert (r["source"], r["pos"]) not in seen
+        seen.add((r["source"], r["pos"]))
+        counts = by_src.setdefault(r["source"], {"train": 0, "val": 0, "test": 0})
+        counts[r["split"]] += 1
+    assert by_src, "no sources"
+    for src, c in by_src.items():
+        n = c["train"] + c["val"] + c["test"]
+        assert c["train"] == n * 8 // 10, (src, c)
+        assert c["val"] == n // 10, (src, c)
+        assert c["test"] == n - n * 8 // 10 - n // 10, (src, c)
+
+
 def test_migrated_queries_have_no_group_keyed_window_exchange(spark):
     """The three r09 migrations (seq_packing, top_p_quality_sample,
     quantile_normalize) must no longer hash the documents fact onto

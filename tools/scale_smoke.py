@@ -73,6 +73,7 @@ SMOKE = [
     # keyed windows
     "grouped_running_revenue",
     "grouped_quantiles_exact",
+    "exact_stratified_split",
     "seq_packing",
     "top_p_quality_sample",
     "quantile_normalize",
