@@ -72,20 +72,66 @@ def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking/distribution window battery: rank, dense_rank, ntile,
     percent_rank, cume_dist, first_value, nth_value over a deterministic
-    (unique-key) ordering."""
-    o = read_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    return o.select(
+    (unique-key) ordering.
+
+    Scale shape (re-shaped r09): the former
+    ``Window.partitionBy(o_orderstatus)`` sorted the whole orders fact
+    inside 3 single-task windows. The ordering tuple (price desc, key)
+    is UNIQUE, so every battery member is a closed-form function of the
+    per-group position ``pos`` and group size ``n`` from
+    ``grouped_running_sum`` (constant-1 cumsum, |partitions|-parallel):
+    rank = dense_rank = pos (no peers), percent_rank = (pos−1)/(n−1),
+    cume_dist = pos/n, and ntile(k) is the standard
+    ceil-first-remainder split — first ``n mod k`` buckets hold
+    ``n div k + 1`` rows. first_value/nth_value(2) over the cumulative
+    frame are the group's top-2 prices — a rank ≤ 2 top-k window
+    (WindowGroupLimit keeps its sort input bounded) pivoted to a
+    3-row frame and broadcast back; nth_value(2) is NULL on the pos=1
+    row because its cumulative frame holds one row."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    from pb_etl_spark.operators.corpus import grouped_running_sum
+
+    base = o.withColumn("neg_p", -F.col("o_totalprice")).withColumn(
+        "one", F.lit(1).cast("long")
+    )
+    rs, _totals = grouped_running_sum(
+        spark, base, ["o_orderstatus"], ["neg_p", "o_orderkey"], "one"
+    )
+    pos, n = F.col("cum"), F.col("gtot")
+    q, r = F.expr("gtot DIV 4"), F.expr("gtot % 4")
+    quartile = (
+        F.when(pos <= r * (q + 1), F.expr("(cum - 1) DIV (gtot DIV 4 + 1) + 1"))
+        .otherwise(
+            r + F.expr("(cum - gtot % 4 * (gtot DIV 4 + 1) - 1) DIV (gtot DIV 4)") + 1
+        )
+        .cast("long")
+    )
+    topw = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    top2 = (
+        o.withColumn("r2", F.row_number().over(topw))
+        .filter(F.col("r2") <= 2)  # WindowGroupLimit: bounded sort input
+        .groupBy("o_orderstatus")
+        .agg(
+            F.max(F.when(F.col("r2") == 1, F.col("o_totalprice"))).alias("p1"),
+            F.max(F.when(F.col("r2") == 2, F.col("o_totalprice"))).alias("p2"),
+        )
+    )
+    return rs.join(F.broadcast(top2), "o_orderstatus").select(
         "o_orderkey",
         "o_orderstatus",
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-        F.round(F.first_value("o_totalprice").over(wf), 2).alias("max_in_status"),
-        F.round(F.nth_value("o_totalprice", 2).over(wf), 2).alias("second_price"),
+        pos.alias("rnk"),
+        pos.alias("drnk"),
+        quartile.alias("quartile"),
+        F.round(
+            F.when(n > 1, (pos - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+        ).alias("pct_rank"),
+        F.round(pos / n, 6).alias("cdist"),
+        F.round(F.col("p1"), 2).alias("max_in_status"),
+        F.round(F.when(pos >= 2, F.col("p2")), 2).alias("second_price"),
     )
 
 

@@ -56,24 +56,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   2. slots 1-3: the round-9 additions (grouped_running_sum infra) —
 #      exact grouped weighted quantiles, per-priority running revenue,
 #      exact-count stratified split.
-#   3. slots 4-6: seq_packing / top_p_quality_sample /
-#      quantile_normalize — code CHANGED this round (low-cardinality
-#      keyed windows migrated onto grouped_running_sum).
-#   4. slots 7-10: the last 4 r01-checked names (the streaming execution
+#   3. slots 4-7: seq_packing / top_p_quality_sample /
+#      quantile_normalize / window_ranking — code CHANGED this round
+#      (low-cardinality keyed windows migrated onto
+#      grouped_running_sum; window_ranking was also r02-stale).
+#   4. slots 8-11: the last 4 r01-checked names (the streaming execution
 #      path has not been driver-re-checked since round 1).
-#   5. slots 11-49: 39 of the 46 oracle-backed r02-stale names,
-#      alphabetical. Nothing here changed; this re-pins old greens on
-#      current code.
+#   5. slots 12-49: 38 of the 45 remaining oracle-backed r02-stale
+#      names, alphabetical. Nothing here changed; this re-pins old
+#      greens on current code.
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
 # oracle-less sketch/RNG names whose driver check can only report
 # `err: no_oracle`; their hash-checked deterministic twins
 # (kmv_distinct_sketch / bitmap_distinct_counts, ddsketch_quantiles,
 # stratified_hash_sample) carry the correctness evidence instead.
-# r10 head: the 7 r02 overflow names (tpch_q4_priority,
-# tpch_q5_region_volume, tpch_q6_revenue, tpch_q7_nation_volume,
-# tpch_q8_market_share, tumbling_window, window_ranking), then the
-# r03 set.
+# r10 head: the 7 r02 overflow names (tpch_q3_shipping,
+# tpch_q4_priority, tpch_q5_region_volume, tpch_q6_revenue,
+# tpch_q7_nation_volume, tpch_q8_market_share, tumbling_window), then
+# the r03 set.
 _PRIORITY = [
     # -- slot 0: changed code (r08-verdict scale fix) --
     "weighted_median_by_group",
@@ -81,16 +82,17 @@ _PRIORITY = [
     "grouped_quantiles_exact",
     "grouped_running_revenue",
     "exact_stratified_split",
-    # -- slots 3-5: changed code (keyed windows -> grouped_running_sum) --
+    # -- slots 4-7: changed code (keyed windows -> grouped_running_sum) --
     "seq_packing",
     "top_p_quality_sample",
     "quantile_normalize",
-    # -- slots 6-9: the last r01-checked names --
+    "window_ranking",
+    # -- slots 8-11: the last r01-checked names --
     "window_range_frame",
     "stream_tumbling_window",
     "stream_session_window",
     "stream_sliding_window",
-    # -- slots 11-49: r02-stale names (39 of 46; 7 overflow to r10) --
+    # -- slots 12-49: r02-stale names (38 of 45; 7 overflow to r10) --
     "asof_join",
     "bucketed_join",
     "cohort_retention",
@@ -129,7 +131,6 @@ _PRIORITY = [
     "tpch_q18_large_orders",
     "tpch_q1_pricing",
     "tpch_q21_waiting_supplier",
-    "tpch_q3_shipping",
 ]
 
 _MODULES = [

@@ -124,6 +124,58 @@ GLOBAL_WINDOW_WHITELIST = {
 }
 
 
+# Window nodes whose FIRST partition expression is a known
+# low-cardinality fixture column (the weighted-median flaw class, fixed
+# round 9): an UNBOUNDED cumsum/rank there sorts each group's entire
+# fact in one task no matter the cluster size. Allowed ONLY when the
+# window's input is bounded by construction — a post-aggregation frame,
+# or a rank ≤ k filter Spark bounds via WindowGroupLimit pushdown.
+# Fact-sized per-group cumsums must use corpus.grouped_running_sum.
+LOWCARD_WINDOW_COLS = (
+    "source",
+    "lang",
+    "true_lang",
+    "guess_lang",
+    "l_returnflag",
+    "l_linestatus",
+    "o_orderpriority",
+    "o_orderstatus",
+    "event_type",
+    "weekday",
+    "cohort",
+    "r_name",
+    "n_name",
+)
+LOWCARD_WINDOW_WHITELIST = {
+    "chi2_independence",  # row/col windows over the ≤r·c cell frame
+    "cohort_ltv",  # cumsum over the ≤|cohorts|·|ages| aggregate
+    "kmv_distinct_sketch",  # rank ≤ k per source — WindowGroupLimit
+    #   bounds the per-group sort input to k rows per map partition
+    "kmv_jaccard_sources",  # rank over the |sources|·k sketch rows
+    "lang_id_confusion",  # share window over the ≤|langs|² cell frame
+    "theil_sen_trend",  # median-rank window over the ≤|days|²-per-type
+    #   daily-pair slope frame (days are bounded by the fixture epoch)
+    "topk_hash_sample",  # rank ≤ K per source — WindowGroupLimit
+    "weighted_median_by_group",  # cumsum over the (flag, cents)
+    #   COMPACTED frame — bounded by the price grid (r09 re-shape)
+    "window_ranking",  # rank ≤ 2 top-price leg — WindowGroupLimit; the
+    #   full-fact battery itself rides grouped_running_sum (r09)
+}
+_LOWCARD_RE = None
+
+
+def _lowcard_window_hit(plan: str) -> str | None:
+    import re
+
+    global _LOWCARD_RE
+    if _LOWCARD_RE is None:
+        _LOWCARD_RE = re.compile(
+            r"windowspecdefinition\((" + "|".join(LOWCARD_WINDOW_COLS) + r")#"
+        )
+    m = _LOWCARD_RE.search(plan)
+    return m.group(1) if m else None
+
+
 def _batch_queries():
     from pb_etl_spark.registry import all_queries
 
@@ -149,6 +201,9 @@ def test_no_scale_antipatterns_in_any_registered_plan(spark):
             and name not in GLOBAL_WINDOW_WHITELIST
         ):
             hits.append("SinglePartitionExchange+Window(unwhitelisted)")
+        lowcard = _lowcard_window_hit(plan)
+        if lowcard and name not in LOWCARD_WINDOW_WHITELIST:
+            hits.append(f"LowCardinalityWindow({lowcard}, unwhitelisted)")
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
@@ -177,3 +232,17 @@ def test_bnlj_whitelist_is_not_stale(spark):
         plan = queries[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         if "BroadcastNestedLoopJoin" not in plan:
             pytest.fail(f"{name} no longer uses BNLJ — remove it from the whitelist")
+
+
+def test_lowcard_window_whitelist_is_not_stale(spark):
+    """Every whitelisted low-cardinality-window query must still exist
+    and still exercise the pattern, or the exemption silently rots."""
+    queries = _batch_queries()
+    for name in LOWCARD_WINDOW_WHITELIST:
+        assert name in queries, f"whitelisted query {name} no longer registered"
+        plan = queries[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if _lowcard_window_hit(plan) is None:
+            pytest.fail(
+                f"{name} no longer windows over a low-cardinality key — "
+                "remove it from LOWCARD_WINDOW_WHITELIST"
+            )

@@ -77,6 +77,7 @@ SMOKE = [
     "seq_packing",
     "top_p_quality_sample",
     "quantile_normalize",
+    "window_ranking",
 ]
 
 
