@@ -1145,6 +1145,21 @@ def q_parameterized_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _flag_cents_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (flag, cents)-grid compaction for the weighted order
+    statistics: one map-side-combinable pass collapses the lineitem fact
+    to Σqty per (l_returnflag, price-cents) — the bounded frame both
+    ``q_weighted_median_by_group`` and ``q_grouped_quantiles_exact``
+    run their keyed cumsum over (one definition, so the grid can never
+    silently diverge between the p50 member and the family)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return li.groupBy("l_returnflag", "cents").agg(F.sum("qty").alias("qty"))
+
+
 def q_weighted_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group WEIGHTED median: the price (in cents) at which
     half the shipped QUANTITY of each return flag sits at or below —
@@ -1163,40 +1178,26 @@ def q_weighted_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``groupBy(flag, cents).agg(sum(qty))`` — the qualifying-cents set is
     invariant under this compaction because the per-(flag, cents) LAST
     running-weight row dominates every partial row at the same cents —
-    so the keyed cumsum window only ever sorts |groups|·|distinct cents|
-    rows (bounded by the price grid, ≪ fact). Without the compaction the
-    3-value partition key would funnel the entire fact into 3 single-task
-    sorts at 100 TB; with it, the heavy lifting is a shuffle-combined
-    aggregate and the window input stays broadcast-sized. The per-group
-    total rides the same compacted frame (one extra grouped sum, carried
-    through the hit aggregate — no second fact scan, no re-join)."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-        F.col("l_quantity").cast("long").alias("qty"),
-    )
-    from pyspark.sql.window import Window as W
+    so the cumsum input is bounded by the price grid
+    (|groups|·|distinct cents| rows ≪ fact). Without the compaction the
+    3-value key would funnel the entire fact into 3 single-task sorts at
+    100 TB. The cumsum itself rides ``grouped_running_sum`` — the exact
+    machinery ``grouped_quantiles_exact`` uses over the SAME shared
+    compaction (this query IS the family's p50 member, pytest-pinned) —
+    and its ``gtot`` literal carries the per-group total, so there is no
+    second aggregation, no broadcast join, and no keyed window left in
+    the plan."""
+    from pb_etl_spark.operators.corpus import grouped_running_sum
 
-    from pb_etl_spark.cache import swap_persist as _swap_persist
-
-    compact = _swap_persist(
-        "weighted_median_compact",
-        li.groupBy("l_returnflag", "cents").agg(F.sum("qty").alias("qty")),
+    rs, _totals = grouped_running_sum(
+        spark, _flag_cents_compact(spark, sf_dir), ["l_returnflag"], ["cents"], "qty"
     )
-    w = (
-        W.partitionBy("l_returnflag")
-        .orderBy("cents")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    cum = compact.withColumn("cw", F.sum("qty").over(w))
-    tot = compact.groupBy("l_returnflag").agg(F.sum("qty").alias("tw"))
     return (
-        cum.join(F.broadcast(tot), "l_returnflag")
-        .filter(F.col("cw") * 2 >= F.col("tw"))
+        rs.filter(F.col("cum") * 2 >= F.col("gtot"))
         .groupBy("l_returnflag")
         .agg(
             F.min("cents").alias("wmedian_cents"),
-            F.min("tw").alias("total_qty"),
+            F.min("gtot").alias("total_qty"),
         )
     )
 
@@ -1250,18 +1251,10 @@ def q_grouped_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative weight satisfies the integer rule ``cum·den ≥ num·gtot``;
     one explode over a 4-element literal array fans the compacted rows
     out per fraction — no extra scan, no join. All int64."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-        F.col("l_quantity").cast("long").alias("qty"),
-    )
     from pb_etl_spark.operators.corpus import grouped_running_sum
 
-    compact = li.groupBy("l_returnflag", "cents").agg(
-        F.sum("qty").alias("qty")
-    )
     rs, _totals = grouped_running_sum(
-        spark, compact, ["l_returnflag"], ["cents"], "qty"
+        spark, _flag_cents_compact(spark, sf_dir), ["l_returnflag"], ["cents"], "qty"
     )
     fracs = F.array(
         *[

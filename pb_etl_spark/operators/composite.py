@@ -84,10 +84,11 @@ def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist = pos/n, and ntile(k) is the standard
     ceil-first-remainder split — first ``n mod k`` buckets hold
     ``n div k + 1`` rows. first_value/nth_value(2) over the cumulative
-    frame are the group's top-2 prices — a rank ≤ 2 top-k window
-    (WindowGroupLimit keeps its sort input bounded) pivoted to a
-    3-row frame and broadcast back; nth_value(2) is NULL on the pos=1
-    row because its cumulative frame holds one row."""
+    frame are the group's top-2 prices — already encoded in the SAME
+    keyed positions (the pos ≤ 2 rows), so they are pivoted straight
+    off the cumsum output into a 3-row frame and broadcast back, no
+    second fact scan and no window at all; nth_value(2) is NULL on the
+    pos=1 row because its cumulative frame holds one row."""
     o = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -108,16 +109,12 @@ def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
     )
-    topw = W.partitionBy("o_orderstatus").orderBy(
-        F.col("o_totalprice").desc(), "o_orderkey"
-    )
     top2 = (
-        o.withColumn("r2", F.row_number().over(topw))
-        .filter(F.col("r2") <= 2)  # WindowGroupLimit: bounded sort input
+        rs.filter(F.col("cum") <= 2)
         .groupBy("o_orderstatus")
         .agg(
-            F.max(F.when(F.col("r2") == 1, F.col("o_totalprice"))).alias("p1"),
-            F.max(F.when(F.col("r2") == 2, F.col("o_totalprice"))).alias("p2"),
+            F.max(F.when(F.col("cum") == 1, F.col("o_totalprice"))).alias("p1"),
+            F.max(F.when(F.col("cum") == 2, F.col("o_totalprice"))).alias("p2"),
         )
     )
     return rs.join(F.broadcast(top2), "o_orderstatus").select(

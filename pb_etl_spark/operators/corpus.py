@@ -141,7 +141,16 @@ def q_top_p_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("quality"),
-    ).withColumn("neg_q", -F.col("quality"))
+    ).withColumn(
+        # NULL quality must sort LAST, as it did under the original
+        # `quality DESC` (Spark DESC = NULLS LAST, matching DuckDB's
+        # default) — a plain negation would flip it to NULLS FIRST
+        # under the helper's ascending order and shift every later
+        # doc's cum_chars; +inf keeps the tail position and satisfies
+        # the helper's non-null order-column contract.
+        "neg_q",
+        F.coalesce(-F.col("quality"), F.lit(float("inf"))),
+    )
     rs, _totals = grouped_running_sum(
         spark, scored, ["lang"], ["neg_q", "doc_id"], "n_chars"
     )
@@ -496,14 +505,38 @@ def grouped_running_sum(
     Constraints mirror the sibling: ``value_col`` integral and non-null
     (driver prefix-sum and windowed sum must agree exactly),
     ``order_cols`` a total order WITHIN each group, group/order columns
-    non-null
-    (keys are string-cast into the offset-map literal). The bare persist
-    is deliberate — the offset map is a plan literal tied to THIS
-    persisted frame's sampled range boundaries; see
+    non-null. Group columns must be string / integer / date typed — the
+    offset-map literal is keyed by Python ``str()`` on the driver and
+    ``cast('string')`` on executors, and only those types render
+    identically on both sides (booleans: 'True' vs 'true'; doubles:
+    repr vs Java formatting) — ENFORCED below, as are the non-null
+    contract and separator-free keys (the collect sees every distinct
+    group value, so the validation is complete, not sampled). The bare
+    persist is deliberate — the offset map is a plan literal tied to
+    THIS persisted frame's sampled range boundaries; see
     ``global_positions``'s adjudication note.
 
-    Returns ``(frame, {group_tuple: total})``.
+    Returns ``(frame, {group_tuple: total})`` — totals keyed by the
+    groups' ORIGINAL values.
     """
+    from pyspark.sql import types as T
+
+    _KEY_TYPES = (
+        T.StringType,
+        T.LongType,
+        T.IntegerType,
+        T.ShortType,
+        T.ByteType,
+        T.DateType,
+    )
+    for c in group_cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, _KEY_TYPES):
+            raise TypeError(
+                f"grouped_running_sum group column {c!r} has type {dt}; "
+                "only string/integer/date keys render identically under "
+                "driver str() and executor cast('string')"
+            )
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keyed = df.repartitionByRange(nparts, *group_cols, *order_cols).persist()
     rows = (
@@ -513,15 +546,26 @@ def grouped_running_sum(
     )
     by_group: dict[tuple, list] = {}
     for r in rows:
-        by_group.setdefault(tuple(str(r[c]) for c in group_cols), []).append(
-            (r["pid"], int(r["s"]))
-        )
+        raw = tuple(r[c] for c in group_cols)
+        for c, v in zip(group_cols, raw):
+            if v is None:
+                raise ValueError(
+                    f"grouped_running_sum group column {c!r} contains NULL "
+                    "(non-null contract)"
+                )
+            if _GRS_SEP in str(v):
+                raise ValueError(
+                    f"grouped_running_sum group column {c!r} value {v!r} "
+                    "contains the reserved \\x1f key separator"
+                )
+        by_group.setdefault(raw, []).append((r["pid"], int(r["s"])))
     offsets: dict[str, int] = {}
     totals: dict[tuple, int] = {}
     for g, lst in by_group.items():
         acc = 0
+        gs = tuple(str(v) for v in g)
         for pid, s in sorted(lst):
-            offsets[_GRS_SEP.join((str(pid), *g))] = acc
+            offsets[_GRS_SEP.join((str(pid), *gs))] = acc
             acc += s
         totals[g] = acc
     off_map = F.create_map(
@@ -531,7 +575,7 @@ def grouped_running_sum(
         *[
             F.lit(v)
             for g, t in totals.items()
-            for v in (_GRS_SEP.join(g), t)
+            for v in (_GRS_SEP.join(str(x) for x in g), t)
         ]
     )
     gkey = F.concat_ws(
@@ -735,8 +779,25 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Exact split quotas in tenths: train/val/test = 8/1/1. Each stratum
 # gets EXACTLY floor(n·8/10) train and floor(n/10) val docs (test takes
-# the remainder), not an expected fraction.
+# the remainder), not an expected fraction. Both the Spark expressions
+# and the DuckDB oracle are DERIVED from this tuple (per-class floor
+# quotas, cut points = partial sums — deliberately NOT cumulative
+# floor(n·9/10), which differs from floor(n·8/10)+floor(n/10) when the
+# remainders interact).
 SPLIT_TENTHS = (("train", 8), ("val", 1), ("test", 1))
+_SPLIT_DEN = sum(w for _, w in SPLIT_TENTHS)
+
+
+def _split_cuts(total_col: str, intdiv: str) -> list[tuple[str, str]]:
+    """(label, cut-SQL) for all but the last class: cut_i = Σ_{j≤i}
+    floor(total·w_j/den), rendered with the engine's integer-division
+    operator (`DIV` for Spark, `//` for DuckDB)."""
+    terms: list[str] = []
+    cuts: list[tuple[str, str]] = []
+    for label, w in SPLIT_TENTHS[:-1]:
+        terms.append(f"{total_col} * {w} {intdiv} {_SPLIT_DEN}")
+        cuts.append((label, " + ".join(terms)))
+    return cuts
 
 
 def q_exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -763,20 +824,31 @@ def q_exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("one", F.lit(1).cast("long"))
     )
     rs, _totals = grouped_running_sum(spark, d, ["source"], ["h", "doc_id"], "one")
-    train_n = F.expr("gtot * 8 DIV 10")
-    val_n = F.expr("gtot DIV 10")
+    split_col = None
+    for label, cut in _split_cuts("gtot", "DIV"):
+        cond = F.col("cum") <= F.expr(cut)
+        split_col = (
+            F.when(cond, label) if split_col is None else split_col.when(cond, label)
+        )
+    split_col = split_col.otherwise(SPLIT_TENTHS[-1][0])
     return rs.select(
         "doc_id",
         "source",
         F.col("cum").alias("pos"),
-        F.when(F.col("cum") <= train_n, "train")
-        .when(F.col("cum") <= train_n + val_n, "val")
-        .otherwise("test")
-        .alias("split"),
+        split_col.alias("split"),
     )
 
 
-_ESS_ORACLE = """
+_ESS_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN pos <= {cut} THEN '{label}'"
+        for label, cut in _split_cuts("n", "//")
+    )
+    + f" ELSE '{SPLIT_TENTHS[-1][0]}' END"
+)
+
+_ESS_ORACLE = f"""
     WITH k AS (
         SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents
@@ -789,9 +861,7 @@ _ESS_ORACLE = """
         FROM k
     )
     SELECT doc_id, source, pos,
-           CASE WHEN pos <= n * 8 // 10 THEN 'train'
-                WHEN pos <= n * 8 // 10 + n // 10 THEN 'val'
-                ELSE 'test' END AS split
+           {_ESS_CASE} AS split
     FROM c
 """
 

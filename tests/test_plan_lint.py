@@ -156,10 +156,6 @@ LOWCARD_WINDOW_WHITELIST = {
     "theil_sen_trend",  # median-rank window over the ≤|days|²-per-type
     #   daily-pair slope frame (days are bounded by the fixture epoch)
     "topk_hash_sample",  # rank ≤ K per source — WindowGroupLimit
-    "weighted_median_by_group",  # cumsum over the (flag, cents)
-    #   COMPACTED frame — bounded by the price grid (r09 re-shape)
-    "window_ranking",  # rank ≤ 2 top-price leg — WindowGroupLimit; the
-    #   full-fact battery itself rides grouped_running_sum (r09)
 }
 _LOWCARD_RE = None
 

@@ -216,6 +216,28 @@ def test_grouped_running_sum_multi_column_groups(spark):
     assert totals == exact
 
 
+def test_grouped_running_sum_rejects_unsafe_group_keys(spark):
+    """The offset map is keyed by driver str() vs executor
+    cast('string'); types where those disagree (doubles, booleans),
+    NULL group values, and values containing the reserved separator
+    must be rejected loudly instead of silently nulling cum/gtot."""
+    from pb_etl_spark.operators.corpus import grouped_running_sum
+
+    bad_type = spark.createDataFrame([(1.5, 1, 1)], "g double, o long, v long")
+    with pytest.raises(TypeError, match="only string/integer/date"):
+        grouped_running_sum(spark, bad_type, ["g"], ["o"], "v")
+    null_key = spark.createDataFrame(
+        [(None, 1, 1)], "g string, o long, v long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        grouped_running_sum(spark, null_key, ["g"], ["o"], "v")
+    sep_key = spark.createDataFrame(
+        [("a\x1fb", 1, 1)], "g string, o long, v long"
+    )
+    with pytest.raises(ValueError, match="separator"):
+        grouped_running_sum(spark, sep_key, ["g"], ["o"], "v")
+
+
 def test_exact_stratified_split_hits_quotas_exactly(spark):
     """Per source: |train| == floor(n·8/10), |val| == floor(n/10),
     |test| == the remainder; the three parts partition the source
