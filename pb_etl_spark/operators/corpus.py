@@ -545,20 +545,27 @@ def grouped_running_sum(
         .collect()
     )
     by_group: dict[tuple, list] = {}
-    for r in rows:
-        raw = tuple(r[c] for c in group_cols)
-        for c, v in zip(group_cols, raw):
-            if v is None:
-                raise ValueError(
-                    f"grouped_running_sum group column {c!r} contains NULL "
-                    "(non-null contract)"
-                )
-            if _GRS_SEP in str(v):
-                raise ValueError(
-                    f"grouped_running_sum group column {c!r} value {v!r} "
-                    "contains the reserved \\x1f key separator"
-                )
-        by_group.setdefault(raw, []).append((r["pid"], int(r["s"])))
+    try:
+        for r in rows:
+            raw = tuple(r[c] for c in group_cols)
+            for c, v in zip(group_cols, raw):
+                if v is None:
+                    raise ValueError(
+                        f"grouped_running_sum group column {c!r} contains "
+                        "NULL (non-null contract)"
+                    )
+                if _GRS_SEP in str(v):
+                    raise ValueError(
+                        f"grouped_running_sum group column {c!r} value {v!r} "
+                        "contains the reserved \\x1f key separator"
+                    )
+            by_group.setdefault(raw, []).append((r["pid"], int(r["s"])))
+    except ValueError:
+        # the cache only earns its keep on the success path (offset
+        # literals tied to these boundaries); a contract violation must
+        # not leak a fully-materialized copy of the input per retry
+        keyed.unpersist()
+        raise
     offsets: dict[str, int] = {}
     totals: dict[tuple, int] = {}
     for g, lst in by_group.items():

@@ -234,8 +234,15 @@ def test_grouped_running_sum_rejects_unsafe_group_keys(spark):
     sep_key = spark.createDataFrame(
         [("a\x1fb", 1, 1)], "g string, o long, v long"
     )
+    n_cached_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     with pytest.raises(ValueError, match="separator"):
         grouped_running_sum(spark, sep_key, ["g"], ["o"], "v")
+    with pytest.raises(ValueError, match="NULL"):
+        grouped_running_sum(spark, null_key, ["g"], ["o"], "v")
+    # the rejecting paths must unpersist the materialized range-partition
+    # cache — a leak would cost one fully-cached input copy per retry
+    n_cached_after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert n_cached_after == n_cached_before
 
 
 def test_exact_stratified_split_hits_quotas_exactly(spark):
