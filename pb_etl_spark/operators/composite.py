@@ -101,14 +101,16 @@ def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base, ["o_orderstatus"], ["neg_p", "o_orderkey"], "one"
     )
     pos, n = F.col("cum"), F.col("gtot")
-    q, r = F.expr("gtot DIV 4"), F.expr("gtot % 4")
-    quartile = (
-        F.when(pos <= r * (q + 1), F.expr("(cum - 1) DIV (gtot DIV 4 + 1) + 1"))
-        .otherwise(
-            r + F.expr("(cum - gtot % 4 * (gtot DIV 4 + 1) - 1) DIV (gtot DIV 4)") + 1
-        )
-        .cast("long")
-    )
+    # ntile(k) closed form over pos/n: the first n%k buckets hold
+    # n DIV k + 1 rows, the rest n DIV k — one SQL expression so the
+    # quota arithmetic reads in a single piece (k = 4)
+    quartile = F.expr(
+        "CASE WHEN cum <= (gtot % 4) * (gtot DIV 4 + 1)"
+        "     THEN (cum - 1) DIV (gtot DIV 4 + 1) + 1"
+        "     ELSE gtot % 4"
+        "          + (cum - (gtot % 4) * (gtot DIV 4 + 1) - 1) DIV (gtot DIV 4)"
+        "          + 1 END"
+    ).cast("long")
     top2 = (
         rs.filter(F.col("cum") <= 2)
         .groupBy("o_orderstatus")

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
@@ -154,10 +155,8 @@ def q_top_p_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rs, _totals = grouped_running_sum(
         spark, scored, ["lang"], ["neg_q", "doc_id"], "n_chars"
     )
-    return (
-        rs.withColumn("cum_chars", F.col("cum"))
-        .filter(F.col("cum_chars") <= TOP_P * F.col("gtot"))
-        .select("lang", "doc_id", "quality", "cum_chars")
+    return rs.filter(F.col("cum") <= TOP_P * F.col("gtot")).select(
+        "lang", "doc_id", "quality", F.col("cum").alias("cum_chars")
     )
 
 
@@ -476,6 +475,18 @@ def global_running_sum(
 
 _GRS_SEP = "\x1f"  # unit separator: never appears in group-key casts
 
+# grouped_running_sum group-key types whose driver-side str() and
+# executor-side cast('string') render identically (booleans and floats
+# do not: 'True' vs 'true', repr vs Java formatting)
+_GRS_KEY_TYPES = (
+    T.StringType,
+    T.LongType,
+    T.IntegerType,
+    T.ShortType,
+    T.ByteType,
+    T.DateType,
+)
+
 
 def grouped_running_sum(
     spark: SparkSession,
@@ -519,19 +530,9 @@ def grouped_running_sum(
     Returns ``(frame, {group_tuple: total})`` — totals keyed by the
     groups' ORIGINAL values.
     """
-    from pyspark.sql import types as T
-
-    _KEY_TYPES = (
-        T.StringType,
-        T.LongType,
-        T.IntegerType,
-        T.ShortType,
-        T.ByteType,
-        T.DateType,
-    )
     for c in group_cols:
         dt = df.schema[c].dataType
-        if not isinstance(dt, _KEY_TYPES):
+        if not isinstance(dt, _GRS_KEY_TYPES):
             raise TypeError(
                 f"grouped_running_sum group column {c!r} has type {dt}; "
                 "only string/integer/date keys render identically under "

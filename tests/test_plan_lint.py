@@ -157,17 +157,14 @@ LOWCARD_WINDOW_WHITELIST = {
     #   daily-pair slope frame (days are bounded by the fixture epoch)
     "topk_hash_sample",  # rank ≤ K per source — WindowGroupLimit
 }
-_LOWCARD_RE = None
+import re  # noqa: E402 — used only by the lowcard-window rule below
+
+_LOWCARD_RE = re.compile(
+    r"windowspecdefinition\((" + "|".join(LOWCARD_WINDOW_COLS) + r")#"
+)
 
 
 def _lowcard_window_hit(plan: str) -> str | None:
-    import re
-
-    global _LOWCARD_RE
-    if _LOWCARD_RE is None:
-        _LOWCARD_RE = re.compile(
-            r"windowspecdefinition\((" + "|".join(LOWCARD_WINDOW_COLS) + r")#"
-        )
     m = _LOWCARD_RE.search(plan)
     return m.group(1) if m else None
 
