@@ -190,3 +190,51 @@ def test_interval_overlap_bucket_join_matches_brute_force(
                     (lo[0], hi[0], min(lo[2], hi[2]) - max(lo[1], hi[1]))
                 )
     assert got == sorted(brute)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=9),
+)
+@settings(**SETTINGS)
+def test_grouped_running_sum_equals_python_model(spark, rows, nparts):
+    """grouped_running_sum (range partition + per-(pid, group) offsets)
+    must equal the per-group inclusive prefix sum computed in plain
+    Python over the (order, id) total order — for arbitrary group
+    mixes, duplicate order keys, negative values, and ANY partition
+    count (the driver prefix-sum stitching is the thing under test)."""
+    from pb_etl_spark.operators.corpus import grouped_running_sum
+
+    # unique id tiebreak makes (o, i) a total order within each group
+    data = [(g, o, i, v) for i, (g, o, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, o long, i long, v long")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+        out, totals = grouped_running_sum(spark, df, ["g"], ["o", "i"], "v")
+        got = {(r["g"], r["i"]): (r["cum"], r["gtot"]) for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    model: dict[str, list] = {}
+    for g, o, i, v in data:
+        model.setdefault(g, []).append((o, i, v))
+    want = {}
+    want_totals = {}
+    for g, items in model.items():
+        acc = 0
+        for o, i, v in sorted(items):
+            acc += v
+            want[(g, i)] = acc
+        want_totals[(g,)] = acc
+    assert {k: c for k, (c, _) in got.items()} == want
+    assert totals == want_totals
+    for (g, _), (_, gt) in got.items():
+        assert gt == want_totals[(g,)]
