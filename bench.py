@@ -137,6 +137,7 @@ HEADLINE = [
     "grouped_running_revenue",
     "grouped_quantiles_exact",
     "exact_stratified_split",
+    "gini_by_group",
 ]
 
 

@@ -298,6 +298,79 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-NATION revenue-concentration: the Gini coefficient of
+    customer lifetime spend within each market — the keyed sibling of
+    ``q_gini_concentration`` for per-segment fairness / whale audits
+    ("is APAC revenue more concentrated than EMEA's?").
+
+    Same rank formula G = (2·Σ pos·x − (n+1)·Σx) / (n·Σx) over spend
+    sorted ascending WITHIN the nation, but positions come from
+    ``grouped_running_sum`` over a constant-1 weight (range partition +
+    per-(pid, nation) driver offsets) — a ``Window.partitionBy(nation)``
+    row_number would sort every nation's customers in one task, the
+    |nations|-value-key shape the plan lint bans. Spend compaction is a
+    map-side-combinable groupBy; the Gini sums are one grouped pass over
+    the positioned frame. Integer until the final division (Σ pos·cents
+    is exact in double below ~2^53 — at larger scales swap the cents
+    grid for dollars, the ``q_gini_concentration`` caveat)."""
+    from pb_etl_spark.operators.corpus import grouped_running_sum
+
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_nationkey", "cents", F.col("o_custkey").alias("c"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    pos_df, _totals = grouped_running_sum(
+        spark, spend, ["c_nationkey"], ["cents", "c"], "one"
+    )
+    rep = pos_df.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("cum") * F.col("cents")).alias("pos_cents"),
+    )
+    n = F.col("n_customers")
+    total_d = F.col("total_cents").cast("double")
+    gini = (2.0 * F.col("pos_cents") - (n + 1) * total_d) / (n * total_d)
+    return rep.select(
+        "c_nationkey",
+        "n_customers",
+        "total_cents",
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+_GINI_GROUP_ORACLE = """
+    WITH spend AS (
+        SELECT o.o_custkey AS c, cu.c_nationkey AS nk,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+        GROUP BY o.o_custkey, cu.c_nationkey
+    ), ranked AS (
+        SELECT nk, cents,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY nk ORDER BY cents, c
+               ) AS BIGINT) AS pos
+        FROM spend
+    )
+    SELECT nk AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           ROUND(
+               (2.0 * SUM(pos * cents)
+                   - (COUNT(*) + 1) * CAST(SUM(cents) AS DOUBLE))
+               / (COUNT(*) * CAST(SUM(cents) AS DOUBLE)), 6) AS gini
+    FROM ranked GROUP BY nk
+"""
+
+
 def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration report: the Gini coefficient of customer
     lifetime spend plus top-1% / top-10% revenue shares — the
@@ -644,6 +717,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "target_encoding": q_target_encoding,
     "gini_concentration": q_gini_concentration,
+    "gini_by_group": q_gini_by_group,
     "cohort_ltv": q_cohort_ltv,
     "order_cycle_time": q_order_cycle_time,
     "supplier_reliability": q_supplier_reliability,
@@ -797,6 +871,7 @@ ORACLES: dict[str, str] = {
                    AS cum_ltv_per_customer
         FROM cum c JOIN sizes s ON c.cohort = s.cohort
     """,
+    "gini_by_group": _GINI_GROUP_ORACLE,
     "gini_concentration": """
         WITH spend AS (
             SELECT o_custkey AS c,

@@ -53,16 +53,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   1. slot 0: weighted_median_by_group — code CHANGED this round (the
 #      r08 verdict's scale fix: pre-compaction before the keyed window),
 #      so its green must be re-pinned on the new plan.
-#   2. slots 1-3: the round-9 additions (grouped_running_sum infra) —
+#   2. slots 1-4: the round-9 additions (grouped_running_sum infra) —
 #      exact grouped weighted quantiles, per-priority running revenue,
-#      exact-count stratified split.
-#   3. slots 4-7: seq_packing / top_p_quality_sample /
+#      exact-count stratified split, per-nation Gini.
+#   3. slots 5-8: seq_packing / top_p_quality_sample /
 #      quantile_normalize / window_ranking — code CHANGED this round
 #      (low-cardinality keyed windows migrated onto
 #      grouped_running_sum; window_ranking was also r02-stale).
-#   4. slots 8-11: the last 4 r01-checked names (the streaming execution
+#   4. slots 9-12: the last 4 r01-checked names (the streaming execution
 #      path has not been driver-re-checked since round 1).
-#   5. slots 12-49: 38 of the 45 remaining oracle-backed r02-stale
+#   5. slots 13-49: 37 of the 45 remaining oracle-backed r02-stale
 #      names, alphabetical. Nothing here changed; this re-pins old
 #      greens on current code.
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
@@ -71,17 +71,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # `err: no_oracle`; their hash-checked deterministic twins
 # (kmv_distinct_sketch / bitmap_distinct_counts, ddsketch_quantiles,
 # stratified_hash_sample) carry the correctness evidence instead.
-# r10 head: the 7 r02 overflow names (tpch_q3_shipping,
-# tpch_q4_priority, tpch_q5_region_volume, tpch_q6_revenue,
-# tpch_q7_nation_volume, tpch_q8_market_share, tumbling_window), then
-# the r03 set.
+# r10 head: the 8 r02 overflow names (tpch_q21_waiting_supplier,
+# tpch_q3_shipping, tpch_q4_priority, tpch_q5_region_volume,
+# tpch_q6_revenue, tpch_q7_nation_volume, tpch_q8_market_share,
+# tumbling_window), then the r03 set.
 _PRIORITY = [
     # -- slot 0: changed code (r08-verdict scale fix) --
     "weighted_median_by_group",
-    # -- slots 1-3: round-9 additions --
+    # -- slots 1-4: round-9 additions --
     "grouped_quantiles_exact",
     "grouped_running_revenue",
     "exact_stratified_split",
+    "gini_by_group",
     # -- slots 4-7: changed code (keyed windows -> grouped_running_sum) --
     "seq_packing",
     "top_p_quality_sample",
@@ -92,7 +93,7 @@ _PRIORITY = [
     "stream_tumbling_window",
     "stream_session_window",
     "stream_sliding_window",
-    # -- slots 12-49: r02-stale names (38 of 45; 7 overflow to r10) --
+    # -- slots 13-49: r02-stale names (37 of 45; 8 overflow to r10) --
     "asof_join",
     "bucketed_join",
     "cohort_retention",
@@ -130,7 +131,6 @@ _PRIORITY = [
     "tpch_q10_returns",
     "tpch_q18_large_orders",
     "tpch_q1_pricing",
-    "tpch_q21_waiting_supplier",
 ]
 
 _MODULES = [

@@ -268,6 +268,39 @@ def test_exact_stratified_split_hits_quotas_exactly(spark):
         assert c["test"] == n - n * 8 // 10 - n // 10, (src, c)
 
 
+def test_gini_by_group_matches_pandas_model_and_bounds(spark):
+    """Per-nation Gini must equal the rank-formula computed directly in
+    pandas over the same spend table, and every coefficient must sit in
+    [0, 1) (0 = perfectly equal, →1 = one whale takes all)."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.affinity import q_gini_by_group
+
+    got = {
+        r["c_nationkey"]: (r["n_customers"], r["total_cents"], r["gini"])
+        for r in q_gini_by_group(spark, SF_DIR).collect()
+    }
+    orders = (
+        read_table(spark, SF_DIR, "orders")
+        .selectExpr("o_custkey", "CAST(ROUND(o_totalprice * 100) AS LONG) AS cents")
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+        .toPandas()
+    )
+    cust = (
+        read_table(spark, SF_DIR, "customer")
+        .select("c_custkey", "c_nationkey")
+        .toPandas()
+    )
+    spend = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    for nk, grp in spend.groupby("c_nationkey"):
+        xs = sorted(zip(grp["cents"], grp["o_custkey"]))
+        n, total = len(xs), int(grp["cents"].sum())
+        pos_cents = sum((i + 1) * c for i, (c, _) in enumerate(xs))
+        want = round((2.0 * pos_cents - (n + 1) * float(total)) / (n * float(total)), 6)
+        assert got[nk] == (n, total, want), nk
+        assert 0.0 <= got[nk][2] < 1.0, nk
+
+
 def test_migrated_queries_have_no_group_keyed_window_exchange(spark):
     """The three r09 migrations (seq_packing, top_p_quality_sample,
     quantile_normalize) must no longer hash the documents fact onto

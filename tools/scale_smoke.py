@@ -74,6 +74,7 @@ SMOKE = [
     "grouped_running_revenue",
     "grouped_quantiles_exact",
     "exact_stratified_split",
+    "gini_by_group",
     "seq_packing",
     "top_p_quality_sample",
     "quantile_normalize",
