@@ -131,13 +131,19 @@ HEADLINE = [
     "xml_roundtrip_agg",
     "largest_remainder_alloc",
     "weighted_median_by_group",
-    # round-9 new operators: the grouped_running_sum primitive's three
+    # round-9 new operators: the grouped_running_sum primitive's four
     # faces — the full-fact per-priority cumsum, the compacted grouped
-    # exact-quantile family, and the exact-quota stratified split
+    # exact-quantile family, the exact-quota stratified split, and the
+    # per-nation Gini over constant-1 positions
     "grouped_running_revenue",
     "grouped_quantiles_exact",
     "exact_stratified_split",
     "gini_by_group",
+    # round-10 new operators: the exact-K weighted sampler (one
+    # TakeOrderedAndProject pass, no fact shuffle) and the compacted
+    # two-sample KS + Mann-Whitney drift tests
+    "priority_sample_topk",
+    "ks_mann_whitney",
 ]
 
 

@@ -311,9 +311,11 @@ def q_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number would sort every nation's customers in one task, the
     |nations|-value-key shape the plan lint bans. Spend compaction is a
     map-side-combinable groupBy; the Gini sums are one grouped pass over
-    the positioned frame. Integer until the final division (Σ pos·cents
-    is exact in double below ~2^53 — at larger scales swap the cents
-    grid for dollars, the ``q_gini_concentration`` caveat)."""
+    the positioned frame. Σ pos·cents is accumulated EXACTLY in
+    decimal(38,0) (pos·cents can pass int64 at scale), and the cast to
+    double for the final division raise_errors past 2^53 instead of
+    silently drifting — at that point recompute on a dollars grid (the
+    ``q_gini_concentration`` caveat, now enforced, not just noted)."""
     from pb_etl_spark.operators.corpus import grouped_running_sum
 
     orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -333,11 +335,28 @@ def q_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = pos_df.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("total_cents"),
-        F.sum(F.col("cum") * F.col("cents")).alias("pos_cents"),
+        F.sum(
+            F.col("cum").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).alias("pos_cents"),
     )
     n = F.col("n_customers")
     total_d = F.col("total_cents").cast("double")
-    gini = (2.0 * F.col("pos_cents") - (n + 1) * total_d) / (n * total_d)
+    # pos_cents >= total_cents always (pos >= 1), so this single guard
+    # also covers total_cents; when/otherwise evaluates lazily, so the
+    # raise_error only fires past the exact-double threshold
+    pos_d = F.when(
+        F.col("pos_cents") < F.lit(2**53).cast("decimal(38,0)"),
+        F.col("pos_cents").cast("double"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "gini_by_group: sum(pos*cents) >= 2^53 — double gini "
+                "would drift silently; recompute on a dollars grid"
+            )
+        ).cast("double")
+    )
+    gini = (2.0 * pos_d - (n + 1) * total_d) / (n * total_d)
     return rep.select(
         "c_nationkey",
         "n_customers",

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
+from pb_etl_spark.cache import swap_persist
 from pb_etl_spark.catalog import read_table
 from pb_etl_spark.operators.text import STOPWORDS
 
@@ -560,11 +561,17 @@ def grouped_running_sum(
                         f"grouped_running_sum group column {c!r} value {v!r} "
                         "contains the reserved \\x1f key separator"
                     )
+            if r["s"] is None:
+                raise ValueError(
+                    f"grouped_running_sum value column {value_col!r} is "
+                    f"all-NULL for group {raw!r} (non-null contract)"
+                )
             by_group.setdefault(raw, []).append((r["pid"], int(r["s"])))
-    except ValueError:
+    except Exception:
         # the cache only earns its keep on the success path (offset
-        # literals tied to these boundaries); a contract violation must
-        # not leak a fully-materialized copy of the input per retry
+        # literals tied to these boundaries); ANY failure past persist —
+        # contract violation, unexpected type, whatever — must not leak
+        # a fully-materialized copy of the input per retry
         keyed.unpersist()
         raise
     offsets: dict[str, int] = {}
@@ -589,21 +596,40 @@ def grouped_running_sum(
     gkey = F.concat_ws(
         _GRS_SEP, *[F.col(c).cast("string") for c in group_cols]
     )
+
+    def _require(lookup, key_expr, which):
+        # A map miss (cache eviction + range-boundary resample between
+        # the collect job and the output job) must fail LOUDLY — a bare
+        # NULL cum/gtot would silently drop rows through downstream
+        # filters like cum*2 >= gtot. Coalesce short-circuits, so
+        # raise_error only evaluates on an actual miss.
+        return F.coalesce(
+            lookup.cast("long"),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"grouped_running_sum {which}-map miss (range "
+                        "boundary drift?) for key "
+                    ),
+                    key_expr,
+                )
+            ).cast("long"),
+        )
+
     w = (
         W.partitionBy("pid", *group_cols)
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    pkey = F.concat_ws(_GRS_SEP, F.col("pid").cast("string"), gkey)
     out = (
         keyed.withColumn("pid", F.spark_partition_id())
         .withColumn(
             "cum",
             F.sum(value_col).over(w).cast("long")
-            + off_map[
-                F.concat_ws(_GRS_SEP, F.col("pid").cast("string"), gkey)
-            ].cast("long"),
+            + _require(off_map[pkey], pkey, "offset"),
         )
-        .withColumn("gtot", tot_map[gkey].cast("long"))
+        .withColumn("gtot", _require(tot_map[gkey], gkey, "total"))
         .drop("pid")
     )
     return out, totals
@@ -746,6 +772,81 @@ def q_topk_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.round("u_raw", 6).alias("u"),
             F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+PRIORITY_K = 150  # exact sample size (documents table ≥ 500 at every SF)
+
+
+def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-K weighted sampling WITHOUT replacement via priority
+    sampling (Duffield–Lund–Thorup, JACM 2007): each doc gets priority
+    w/u with w = token count and u an md5-derived uniform; the sample is
+    the top-K priorities and every kept doc carries its Horvitz–Thompson
+    adjusted weight max(w, τ), τ = the (K+1)-th priority — the estimator
+    that makes Σ est_w over ANY subset unbiased for that subset's true
+    token mass. The missing face of the sampling family: Bernoulli
+    (`weighted_hash_sample`) has random size, PPS systematic
+    (`pps_systematic_sample`) needs a global cumsum pass; priority
+    sampling is exact-K in ONE top-K pass with no shuffle of the fact.
+
+    Cross-engine exactness: u = (m+1)/2^32 from the first 8 md5 hex
+    digits, so priority = w·2^32/(m+1) divides one exact integer-valued
+    double by another (w < 2^21 keeps w·2^32 under 2^53) — IEEE division
+    is correctly rounded, hence bit-identical in Spark and DuckDB; no
+    pow/ln anywhere (those are NOT correctly rounded cross-engine).
+
+    Scale shape: TakeOrderedAndProject(K+1) — per-partition partial
+    top-K then a single K+1-row merge, no global sort, no window. The
+    threshold row is found by a 1-row MIN(struct(priority, -doc_id))
+    aggregate over the cached K+1 frame (BNLJ-whitelisted 1-row
+    crossJoin), and the kept K rows are the ones strictly above it under
+    the same total order the sort used — deterministic even under
+    priority ties. A corpus smaller than K+1 keeps everything with
+    est_w = w (τ = 0)."""
+    doc = read_table(spark, sf_dir, "documents")
+    m1 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    )
+    w_tok = F.size(_tokens()).cast("long")
+    d = doc.select(
+        "doc_id",
+        w_tok.alias("n_tok"),
+        (
+            w_tok.cast("double") * F.lit(float(1 << 32)) / m1.cast("double")
+        ).alias("priority"),
+    )
+    top = swap_persist(
+        "priority_sample_topk.top",
+        d.orderBy(F.col("priority").desc(), F.col("doc_id").asc()).limit(
+            PRIORITY_K + 1
+        ),
+    )
+    last_struct = F.struct(
+        F.col("priority").alias("p"), (-F.col("doc_id")).alias("nid")
+    )
+    bound = top.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.min(last_struct).alias("last"),
+    )
+    tau = F.when(
+        F.col("n_top") == PRIORITY_K + 1, F.col("last.p")
+    ).otherwise(F.lit(0.0))
+    return (
+        top.crossJoin(F.broadcast(bound))
+        .filter(
+            (F.col("n_top") < PRIORITY_K + 1) | (last_struct > F.col("last"))
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round("priority", 6).alias("priority"),
+            F.round(
+                F.greatest(F.col("n_tok").cast("double"), tau), 6
+            ).alias("est_w"),
         )
     )
 
@@ -1115,6 +1216,7 @@ QUERIES = {
     "dataset_card": q_dataset_card,
     "kfold_assign": q_kfold_assign,
     "topk_hash_sample": q_topk_hash_sample,
+    "priority_sample_topk": q_priority_sample_topk,
     "negative_sampling": q_negative_sampling,
 }
 
@@ -1153,6 +1255,35 @@ ORACLES: dict[str, str] = {
         CROSS JOIN nv
         WHERE b.doc_id < {PPL_DOCS}
         GROUP BY b.doc_id
+    """,
+    "priority_sample_topk": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) + 1 AS m1
+            FROM documents
+        ), p AS (
+            SELECT doc_id, n_tok,
+                   CAST(n_tok AS DOUBLE) * 4294967296.0 / CAST(m1 AS DOUBLE)
+                       AS priority
+            FROM d
+        ), r AS (
+            SELECT doc_id, n_tok, priority,
+                   ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC)
+                       AS rn,
+                   COUNT(*) OVER () AS n_all
+            FROM p
+        ), tau AS (
+            SELECT CASE WHEN MAX(n_all) >= {PRIORITY_K + 1}
+                        THEN MAX(CASE WHEN rn = {PRIORITY_K + 1}
+                                      THEN priority END)
+                        ELSE 0.0 END AS t
+            FROM r
+        )
+        SELECT doc_id, n_tok, ROUND(priority, 6) AS priority,
+               ROUND(GREATEST(CAST(n_tok AS DOUBLE), t), 6) AS est_w
+        FROM r, tau WHERE rn <= {PRIORITY_K}
     """,
     "weighted_hash_sample": """
         WITH s AS (

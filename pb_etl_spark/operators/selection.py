@@ -53,6 +53,7 @@ from pyspark.sql.window import Window as W
 from pb_etl_spark.catalog import read_table
 from pb_etl_spark.operators.corpus import (
     SHUFFLE_SALT,
+    _tokens,
     global_running_sum,
     shuffle_key,
 )
@@ -725,6 +726,162 @@ _CHI2_ORACLE = """
 """
 
 
+def q_ks_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample distribution-drift tests over a NUMERIC column — the
+    fourth member of the monitoring family (vocab_drift: categorical G²,
+    psi_drift: binned numeric, chi2: categorical association): the exact
+    Kolmogorov–Smirnov statistic and the exact Mann–Whitney U (with
+    midrank tie handling and tie-corrected normal z) between the token-
+    count distributions of English vs non-English documents. KS answers
+    "did the SHAPE shift anywhere", MWU "did one side stochastically
+    dominate" — the pre-retrain gates for a corpus refresh.
+
+    Exactness: both statistics are functions of the per-distinct-value
+    counts alone. KS: D = max_v |cum_a·n_b − cum_b·n_a| / (n_a·n_b) with
+    an EXACT integer numerator (emitted as ``ks_d_num``). MWU: doubled
+    midranks keep Σranks integer — s2 = Σ_v cnt_a·(2·cum_before + t + 1)
+    = 2·R_a — and the tie term Σ(t³−t) is integer. All three integers
+    accumulate in decimal(38,0) (products can pass int64 at scale) and
+    convert to double behind a 2^53 raise_error guard, so the float leg
+    (only correctly-rounded IEEE ops: + − × ÷ sqrt, never pow/ln) is
+    bit-identical cross-engine or fails loudly — the `gini_by_group`
+    discipline.
+
+    Scale shape: one grouped compaction of the fact to ≤|distinct
+    values| rows (map-side combinable — the frame is bounded by the
+    value domain, ~90 distinct lengths here); the cumulative window and
+    every downstream term run on that bounded frame (global-window
+    whitelisted, `histogram_quantiles` precedent); totals ride a 1-row
+    broadcast crossJoin; both legs reuse the same shuffle exchange."""
+    doc = read_table(spark, sf_dir, "documents")
+    d = doc.select(
+        F.size(_tokens()).cast("long").alias("v"),
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_a"),
+    )
+    cells = d.groupBy("v").agg(
+        F.sum("is_a").alias("cnt_a"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("cnt_b"),
+    )
+    totals = cells.agg(F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b"))
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = cells.crossJoin(F.broadcast(totals)).select(
+        "cnt_a",
+        "cnt_b",
+        "n_a",
+        "n_b",
+        F.sum("cnt_a").over(w_cum).alias("cum_a"),
+        F.sum("cnt_b").over(w_cum).alias("cum_b"),
+    )
+
+    def dec(c, p=18):
+        return F.col(c).cast(f"decimal({p},0)")
+
+    t_all = F.col("cnt_a") + F.col("cnt_b")
+    td = t_all.cast("decimal(12,0)")
+    terms = cum.select(
+        "n_a",
+        "n_b",
+        F.abs(dec("cum_a") * dec("n_b") - dec("cum_b") * dec("n_a")).alias(
+            "d_num"
+        ),
+        (
+            dec("cnt_a")
+            * (
+                2 * (F.col("cum_a") + F.col("cum_b") - t_all) + t_all + 1
+            ).cast("decimal(18,0)")
+        ).alias("s2_term"),
+        (td * td * td - td).alias("tie_term"),
+    )
+    agg = terms.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("d_num").alias("d_num"),
+        F.sum("s2_term").alias("s2"),
+        F.sum("tie_term").alias("ties"),
+    )
+    lim = F.lit(2**53).cast("decimal(38,0)")
+
+    def exact_double(name, label):
+        return F.when(F.col(name) < lim, F.col(name).cast("double")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"ks_mann_whitney: {label} >= 2^53 — double statistics "
+                    "would drift silently; rescale or bucket values first"
+                )
+            ).cast("double")
+        )
+
+    n_a_d = F.col("n_a").cast("double")
+    n_b_d = F.col("n_b").cast("double")
+    n_d = (F.col("n_a") + F.col("n_b")).cast("double")
+    d_num_d = exact_double("d_num", "KS numerator")
+    s2_d = exact_double("s2", "doubled rank sum")
+    ties_d = exact_double("ties", "tie correction")
+    u1 = (s2_d - n_a_d * (n_a_d + 1)) / 2.0
+    mu = n_a_d * n_b_d / 2.0
+    sig2 = n_a_d * n_b_d / 12.0 * ((n_d + 1.0) - ties_d / (n_d * (n_d - 1.0)))
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.col("d_num").cast("long").alias("ks_d_num"),
+        F.round(d_num_d / (n_a_d * n_b_d), 9).alias("ks_d"),
+        u1.alias("mw_u1"),
+        F.round((u1 - mu) / F.sqrt(sig2), 6).alias("mw_z"),
+    )
+
+
+_KS_MWU_ORACLE = """
+    WITH d AS (
+        SELECT len(string_split(text, ' ')) AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a
+        FROM documents
+    ), cells AS (
+        SELECT v, CAST(SUM(is_a) AS BIGINT) AS cnt_a,
+               CAST(SUM(1 - is_a) AS BIGINT) AS cnt_b
+        FROM d GROUP BY v
+    ), tot AS (
+        SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+               CAST(SUM(cnt_b) AS BIGINT) AS n_b
+        FROM cells
+    ), cum AS (
+        SELECT cnt_a, cnt_b, n_a, n_b,
+               CAST(SUM(cnt_a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+               CAST(SUM(cnt_b) OVER (ORDER BY v) AS BIGINT) AS cum_b
+        FROM cells, tot
+    ), agg AS (
+        SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+               MAX(ABS(cum_a * n_b - cum_b * n_a)) AS d_num,
+               SUM(cnt_a * (2 * (cum_a + cum_b - cnt_a - cnt_b)
+                            + (cnt_a + cnt_b) + 1)) AS s2,
+               SUM((cnt_a + cnt_b) * (cnt_a + cnt_b) * (cnt_a + cnt_b)
+                   - (cnt_a + cnt_b)) AS ties
+        FROM cum
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(d_num AS BIGINT) AS ks_d_num,
+           ROUND(CAST(d_num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9) AS ks_d,
+           (CAST(s2 AS DOUBLE)
+            - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0
+               AS mw_u1,
+           ROUND(
+               ((CAST(s2 AS DOUBLE)
+                 - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0
+                - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+               / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                      * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                         - CAST(ties AS DOUBLE)
+                           / (CAST(n_a + n_b AS DOUBLE)
+                              * (CAST(n_a + n_b AS DOUBLE) - 1.0)))),
+               6) AS mw_z
+    FROM agg
+"""
+
+
 QUERIES = {
     "ols2_per_group": q_ols2_per_group,
     "dsir_weights": q_dsir_weights,
@@ -732,6 +889,7 @@ QUERIES = {
     "shard_manifest": q_shard_manifest,
     "psi_drift": q_psi_drift,
     "chi2_independence": q_chi2_independence,
+    "ks_mann_whitney": q_ks_mann_whitney,
 }
 
 ORACLES: dict[str, str] = {
@@ -741,4 +899,5 @@ ORACLES: dict[str, str] = {
     "shard_manifest": _SHARD_ORACLE,
     "psi_drift": _PSI_ORACLE,
     "chi2_independence": _CHI2_ORACLE,
+    "ks_mann_whitney": _KS_MWU_ORACLE,
 }

@@ -47,90 +47,90 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Order matters: the driver's correctness harness verifies the FIRST ~50
 # registry entries (registry insertion order) each round. Cumulative
-# r01-r08: every registered name checked at least once, zero
-# latest-status hash-fails (CORRECTNESS_r08 = 48/50 green + 2 deliberate
-# `err: no_oracle` rows). The round-9 window:
-#   1. slot 0: weighted_median_by_group — code CHANGED this round (the
-#      r08 verdict's scale fix: pre-compaction before the keyed window),
-#      so its green must be re-pinned on the new plan.
-#   2. slots 1-4: the round-9 additions (grouped_running_sum infra) —
-#      exact grouped weighted quantiles, per-priority running revenue,
-#      exact-count stratified split, per-nation Gini.
-#   3. slots 5-8: seq_packing / top_p_quality_sample /
-#      quantile_normalize / window_ranking — code CHANGED this round
-#      (low-cardinality keyed windows migrated onto
-#      grouped_running_sum; window_ranking was also r02-stale).
-#   4. slots 9-12: the last 4 r01-checked names (the streaming execution
-#      path has not been driver-re-checked since round 1).
-#   5. slots 13-49: 37 of the 45 remaining oracle-backed r02-stale
-#      names, alphabetical. Nothing here changed; this re-pins old
-#      greens on current code.
+# r01-r09: every registered name checked at least once, zero
+# latest-status hash-fails (CORRECTNESS_r09 = 50/50 green, no `err`
+# rows). The round-10 window:
+#   1. slots 0-8: the nine ``grouped_running_sum`` consumers — the
+#      primitive's plan CHANGED this round (loud raise_error guard on
+#      offset/total map misses, ADVICE r09), so every consumer's green
+#      must be re-pinned on the guarded plan; gini_by_group also moved
+#      its Σ pos·cents onto exact decimal(38,0) with a 2^53 guard.
+#   2. slots 9-10: the round-10 additions — exact two-sample KS +
+#      Mann-Whitney drift tests, and exact-K priority sampling
+#      (Duffield-Lund-Thorup) with Horvitz-Thompson weights.
+#   3. slots 11-18: the 8 remaining r02-stale names (the TPC-H Q3-Q8
+#      battery + tumbling_window + Q21).
+#   4. slots 19-49: 31 of the 48 r03-stale names, alphabetical
+#      (ab_test_zscore .. ohlc_hourly). Nothing here changed; this
+#      re-pins old greens on current code.
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
 # oracle-less sketch/RNG names whose driver check can only report
 # `err: no_oracle`; their hash-checked deterministic twins
 # (kmv_distinct_sketch / bitmap_distinct_counts, ddsketch_quantiles,
 # stratified_hash_sample) carry the correctness evidence instead.
-# r10 head: the 8 r02 overflow names (tpch_q21_waiting_supplier,
-# tpch_q3_shipping, tpch_q4_priority, tpch_q5_region_volume,
-# tpch_q6_revenue, tpch_q7_nation_volume, tpch_q8_market_share,
-# tumbling_window), then the r03 set.
+# r11 head: the 17 r03 overflow names (psi_drift, rolling_active_users,
+# scd2_merge_orders, sequence_anomaly, source_mix_report,
+# stream_doc_source_counts, stream_ohlc_hourly, strict_funnel,
+# substring_dup_spans, table_checksum, table_profile, time_interpolate,
+# tpch_q12_priority_lines, twap_user_value, variant_extract_agg,
+# vector_quantize, winsorized_stats), then the r04 set.
 _PRIORITY = [
-    # -- slot 0: changed code (r08-verdict scale fix) --
-    "weighted_median_by_group",
-    # -- slots 1-4: round-9 additions --
-    "grouped_quantiles_exact",
-    "grouped_running_revenue",
+    # -- slots 0-8: changed code (grouped_running_sum map-miss guard;
+    #    gini_by_group also: decimal pos_cents + 2^53 raise_error) --
     "exact_stratified_split",
     "gini_by_group",
-    # -- slots 4-7: changed code (keyed windows -> grouped_running_sum) --
+    "grouped_quantiles_exact",
+    "grouped_running_revenue",
+    "quantile_normalize",
     "seq_packing",
     "top_p_quality_sample",
-    "quantile_normalize",
+    "weighted_median_by_group",
     "window_ranking",
-    # -- slots 8-11: the last r01-checked names --
-    "window_range_frame",
-    "stream_tumbling_window",
-    "stream_session_window",
-    "stream_sliding_window",
-    # -- slots 13-49: r02-stale names (37 of 45; 8 overflow to r10) --
-    "asof_join",
-    "bucketed_join",
-    "cohort_retention",
-    "dedup_clusters",
-    "dedup_keep_latest",
-    "dedup_representatives",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "embedding_norms",
-    "explode_history",
-    "interval_funcs",
-    "json_extract_agg",
-    "knn_cosine",
-    "media_decode",
-    "minhash_near_dup_pairs",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "partition_pruned_scan",
-    "python_datasource",
-    "range_join",
-    "session_window",
-    "sessionize_lag",
-    "simhash_fingerprints",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "sliding_window",
-    "stratified_hash_sample",
-    "stream_dedup",
-    "stream_enrich",
-    "stream_foreach_upsert",
-    "stream_python_datasource",
-    "stream_stream_join",
-    "stream_user_stats_tws",
-    "stream_user_totals",
-    "tpch_q10_returns",
-    "tpch_q18_large_orders",
-    "tpch_q1_pricing",
+    # -- slots 9-10: round-10 additions --
+    "ks_mann_whitney",
+    "priority_sample_topk",
+    # -- slots 11-18: the 8 remaining r02-stale names --
+    "tpch_q21_waiting_supplier",
+    "tpch_q3_shipping",
+    "tpch_q4_priority",
+    "tpch_q5_region_volume",
+    "tpch_q6_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tumbling_window",
+    # -- slots 19-49: r03-stale names (31 of 48; 17 overflow to r11) --
+    "ab_test_zscore",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "attribution_first_touch",
+    "bloom_doc_filter",
+    "bpe_encode_counts",
+    "bpe_train_merges",
+    "chi2_independence",
+    "cms_token_counts",
+    "constraint_check",
+    "conversion_latency",
+    "curriculum_buckets",
+    "cusum_changepoint",
+    "dataset_card",
+    "deterministic_shuffle",
+    "dsir_weights",
+    "event_streaks",
+    "event_transition_matrix",
+    "funnel_conversion",
+    "gap_fill_resample",
+    "histogram_quantiles",
+    "incremental_agg_maintenance",
+    "interval_overlap_join",
+    "lang_id_confusion",
+    "mad_outlier_stats",
+    "media_feature_summary",
+    "mixture_resample",
+    "monthly_growth",
+    "multi_resolution_rollup",
+    "ohlc_hourly",
 ]
 
 _MODULES = [

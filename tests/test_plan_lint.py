@@ -86,6 +86,10 @@ BNLJ_WHITELIST = {
     # (pps_systematic_sample: its step/u constants now come from the
     #  total global_running_sum already prefix-summed on the driver, so
     #  the 1-row crossJoin leg is gone from the plan)
+    "priority_sample_topk",  # 1-row (count, threshold-boundary) crossJoin
+    #   onto the cached K+1-row TakeOrdered frame
+    "ks_mann_whitney",  # 1-row (n_a, n_b) totals crossJoin onto the
+    #   ≤|distinct values| compacted frame
 }
 
 
@@ -121,6 +125,8 @@ GLOBAL_WINDOW_WHITELIST = {
     #   by construction
     "largest_remainder_alloc",  # remainder rank over the ≤|nations|
     #   (25-row) allocation aggregate — bounded by construction
+    "ks_mann_whitney",  # cumulative window over the ≤|distinct values|
+    #   (~90-row) compacted count frame — bounded by construction
 }
 
 

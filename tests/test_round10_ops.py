@@ -1,0 +1,167 @@
+"""Round-10 operator tests: exact-K priority sampling (weighted WOR via
+Duffield-Lund-Thorup), the two-sample KS + Mann-Whitney drift tests, and
+the r09-ADVICE hardening of grouped_running_sum / gini_by_group."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _md5_first8_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_priority_sample_matches_python_model(spark):
+    """The kept set, the priorities, and the Horvitz-Thompson adjusted
+    weights must equal a from-scratch Python md5 model of the whole
+    chain (u derivation, priority division, top-K cut, tau threshold)."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.corpus import PRIORITY_K, q_priority_sample_topk
+
+    docs = (
+        read_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    )
+    model = []
+    for r in docs:
+        w = len(r["text"].split(" "))
+        m1 = _md5_first8_int(str(r["doc_id"])) + 1
+        model.append((r["doc_id"], w, w * 4294967296.0 / m1))
+    model.sort(key=lambda t: (-t[2], t[0]))
+    assert len(model) > PRIORITY_K, "fixture must exceed the sample size"
+    tau = model[PRIORITY_K][2]
+    want = {
+        d: (w, round(p, 6), round(max(float(w), tau), 6))
+        for d, w, p in model[:PRIORITY_K]
+    }
+    got = {
+        r["doc_id"]: (r["n_tok"], r["priority"], r["est_w"])
+        for r in q_priority_sample_topk(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_priority_sample_estimator_tracks_total_mass(spark):
+    """Priority sampling's point: Σ est_w over the sample is an unbiased
+    estimator of the corpus's total token mass. One deterministic
+    realization won't be exact, but it must land in the right
+    neighborhood — a sign error or a dropped tau would blow this up."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.corpus import q_priority_sample_topk
+
+    est = (
+        q_priority_sample_topk(spark, SF_DIR)
+        .agg(F.sum("est_w").alias("s"))
+        .collect()[0]["s"]
+    )
+    true = (
+        read_table(spark, SF_DIR, "documents")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert abs(est - true) / true < 0.2, (est, true)
+
+
+def test_priority_sample_small_corpus_keeps_everything(spark, monkeypatch):
+    """A corpus smaller than K+1 is the whole sample: every doc kept,
+    tau = 0, est_w = w (the estimator degrades to the exact total)."""
+    import pb_etl_spark.operators.corpus as corpus
+
+    monkeypatch.setattr(corpus, "PRIORITY_K", 10_000)
+    rows = corpus.q_priority_sample_topk(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    assert all(r["est_w"] == float(r["n_tok"]) for r in rows)
+
+
+def test_ks_mann_whitney_matches_python_model(spark):
+    """Both statistics re-derived from scratch in Python over the same
+    collected values — including a brute-force O(n_a*n_b) Mann-Whitney U
+    (pair counting with half-credit ties), which independently verifies
+    the doubled-midrank algebra the query uses."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.selection import q_ks_mann_whitney
+
+    rows = (
+        read_table(spark, SF_DIR, "documents")
+        .select(F.size(F.split("text", " ")).alias("v"), "lang")
+        .collect()
+    )
+    a = [r["v"] for r in rows if r["lang"] == "en"]
+    b = [r["v"] for r in rows if r["lang"] != "en"]
+    n_a, n_b = len(a), len(b)
+    ca, cb = Counter(a), Counter(b)
+    cum_a = cum_b = d_num = s2 = ties = 0
+    for v in sorted(set(a) | set(b)):
+        ta, tb = ca.get(v, 0), cb.get(v, 0)
+        before = cum_a + cum_b
+        cum_a, cum_b = cum_a + ta, cum_b + tb
+        d_num = max(d_num, abs(cum_a * n_b - cum_b * n_a))
+        t = ta + tb
+        s2 += ta * (2 * before + t + 1)
+        ties += t * t * t - t
+    u1 = (s2 - n_a * (n_a + 1)) / 2.0
+    u_brute = sum((x > y) + 0.5 * (x == y) for x in a for y in b)
+    assert u1 == u_brute, "doubled-midrank algebra disagrees with pair counting"
+    n = n_a + n_b
+    mu = n_a * n_b / 2.0
+    sig2 = n_a * n_b / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0)))
+    z = (u1 - mu) / math.sqrt(sig2)
+    [r] = q_ks_mann_whitney(spark, SF_DIR).collect()
+    assert (r["n_a"], r["n_b"], r["ks_d_num"]) == (n_a, n_b, d_num)
+    assert r["mw_u1"] == u1
+    assert abs(r["ks_d"] - d_num / (n_a * n_b)) < 1e-9
+    assert abs(r["mw_z"] - z) < 1e-6
+
+
+def test_grouped_running_sum_rejects_all_null_value_slice(spark):
+    """An all-NULL value slice used to surface as a TypeError from
+    int(None) that BYPASSED the unpersist cleanup (ADVICE r09); it must
+    now raise the contract ValueError and leave no cached copy behind."""
+    from pb_etl_spark.operators.corpus import grouped_running_sum
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, None), ("b", 1, 5)],
+        "g string, o long, v long",
+    )
+    n_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    with pytest.raises(ValueError, match="all-NULL"):
+        grouped_running_sum(spark, df, ["g"], ["o"], "v")
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == n_before
+
+
+def test_grouped_running_sum_guards_map_misses_loudly(spark):
+    """A missed offset/total map lookup (boundary drift after cache
+    eviction) must raise_error, not silently NULL cum/gtot (ADVICE r09);
+    the guard must be wired into the plan yet never fire on the healthy
+    path."""
+    from pb_etl_spark.operators.corpus import grouped_running_sum
+
+    df = spark.createDataFrame(
+        [("a", 1, 2), ("a", 2, 3), ("b", 1, 5)], "g string, o long, v long"
+    )
+    out, totals = grouped_running_sum(spark, df, ["g"], ["o"], "v")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("raise_error") >= 2, "offset AND total lookups guarded"
+    got = {(r["g"], r["o"]): (r["cum"], r["gtot"]) for r in out.collect()}
+    assert got == {("a", 1): (2, 5), ("a", 2): (5, 5), ("b", 1): (5, 5)}
+    assert totals == {("a",): 5, ("b",): 5}
+
+
+def test_gini_by_group_sums_in_decimal_behind_a_loud_guard(spark):
+    """Σ pos·cents must accumulate in decimal(38,0) (the long product
+    could overflow int64 at scale) and convert to double only behind a
+    2^53 raise_error guard (ADVICE r09) — while the healthy-path values
+    keep matching the r09 pandas-model test."""
+    from pb_etl_spark.operators.affinity import q_gini_by_group
+
+    df = q_gini_by_group(spark, SF_DIR)
+    plan = df._jdf.queryExecution().analyzed().toString().lower()
+    assert "raise_error" in plan
+    assert "decimal(38,0)" in plan
+    assert df.count() > 0  # the guard never fires at fixture scale
