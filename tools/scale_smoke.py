@@ -79,6 +79,10 @@ SMOKE = [
     "top_p_quality_sample",
     "quantile_normalize",
     "window_ranking",
+    # round-10 additions: the TakeOrdered exact-K priority sampler and
+    # the compacted two-sample KS + Mann-Whitney pass
+    "priority_sample_topk",
+    "ks_mann_whitney",
 ]
 
 
