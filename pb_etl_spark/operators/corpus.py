@@ -444,16 +444,37 @@ def global_running_sum(
     docstring."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keyed = df.repartitionByRange(nparts, *order_cols).persist()
-    totals = {
-        r["pid"]: r["s"]
-        for r in keyed.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
+    try:
+        rows = (
+            keyed.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(
+                F.sum(value_col).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.count(value_col).alias("nv"),
+            )
+            .collect()
+        )
+        totals = {}
+        for r in rows:
+            if r["nv"] != r["n"]:
+                # partial NULLs would silently NULL the windowed prefix
+                # sum for leading all-NULL frames; all-NULL would
+                # TypeError below — enforce the contract loudly either way
+                raise ValueError(
+                    f"global_running_sum value column {value_col!r} has "
+                    f"{r['n'] - r['nv']} NULL value(s) in partition "
+                    f"{r['pid']} (non-null contract)"
+                )
+            totals[r["pid"]] = r["s"]
+        offsets, acc = {}, 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+    except Exception:
+        # same discipline as grouped_running_sum: any failure past
+        # persist must not leak a fully-materialized cached copy
+        keyed.unpersist()
+        raise
     off_map = F.create_map(
         *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
     )
@@ -543,7 +564,11 @@ def grouped_running_sum(
     keyed = df.repartitionByRange(nparts, *group_cols, *order_cols).persist()
     rows = (
         keyed.groupBy(F.spark_partition_id().alias("pid"), *group_cols)
-        .agg(F.sum(value_col).alias("s"))
+        .agg(
+            F.sum(value_col).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(value_col).alias("nv"),
+        )
         .collect()
     )
     by_group: dict[tuple, list] = {}
@@ -561,10 +586,15 @@ def grouped_running_sum(
                         f"grouped_running_sum group column {c!r} value {v!r} "
                         "contains the reserved \\x1f key separator"
                     )
-            if r["s"] is None:
+            if r["nv"] != r["n"]:
+                # a PARTIALLY-null slice would pass an is-None check on
+                # the slice total while the windowed prefix sum still
+                # emits NULL cum for leading all-NULL frames — enforce
+                # the contract on the count, not the total
                 raise ValueError(
-                    f"grouped_running_sum value column {value_col!r} is "
-                    f"all-NULL for group {raw!r} (non-null contract)"
+                    f"grouped_running_sum value column {value_col!r} has "
+                    f"{r['n'] - r['nv']} NULL value(s) in group {raw!r} "
+                    "(non-null contract)"
                 )
             by_group.setdefault(raw, []).append((r["pid"], int(r["s"])))
     except Exception:

@@ -780,7 +780,9 @@ def q_ks_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.col(c).cast(f"decimal({p},0)")
 
     t_all = F.col("cnt_a") + F.col("cnt_b")
-    td = t_all.cast("decimal(12,0)")
+    # decimal(18,0)³ declares (38,0): exact for per-value tie counts up
+    # to ~4.6e12 rows, the same envelope as the sibling terms
+    td = t_all.cast("decimal(18,0)")
     terms = cum.select(
         "n_a",
         "n_b",
@@ -823,13 +825,32 @@ def q_ks_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     u1 = (s2_d - n_a_d * (n_a_d + 1)) / 2.0
     mu = n_a_d * n_b_d / 2.0
     sig2 = n_a_d * n_b_d / 12.0 * ((n_d + 1.0) - ties_d / (n_d * (n_d - 1.0)))
+    both_sides = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+
+    def defined(expr, cond, label):
+        # degenerate corpora (one language only; every value tied) make
+        # the test statistics 0/0 — silent NaN for double division, the
+        # opposite of this module's loud-contract discipline
+        return F.when(cond, expr).otherwise(
+            F.raise_error(F.lit(f"ks_mann_whitney: {label}")).cast("double")
+        )
+
     return agg.select(
         "n_a",
         "n_b",
         F.col("d_num").cast("long").alias("ks_d_num"),
-        F.round(d_num_d / (n_a_d * n_b_d), 9).alias("ks_d"),
+        defined(
+            F.round(d_num_d / (n_a_d * n_b_d), 9),
+            both_sides,
+            "one sample is empty — two-sample tests are undefined",
+        ).alias("ks_d"),
         u1.alias("mw_u1"),
-        F.round((u1 - mu) / F.sqrt(sig2), 6).alias("mw_z"),
+        defined(
+            F.round((u1 - mu) / F.sqrt(sig2), 6),
+            both_sides & (sig2 > 0),
+            "zero rank variance (empty sample or all values tied) — "
+            "the normal z is undefined",
+        ).alias("mw_z"),
     )
 
 

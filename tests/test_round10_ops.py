@@ -72,10 +72,12 @@ def test_priority_sample_small_corpus_keeps_everything(spark, monkeypatch):
     """A corpus smaller than K+1 is the whole sample: every doc kept,
     tau = 0, est_w = w (the estimator degrades to the exact total)."""
     import pb_etl_spark.operators.corpus as corpus
+    from pb_etl_spark.catalog import read_table
 
-    monkeypatch.setattr(corpus, "PRIORITY_K", 10_000)
+    n_docs = read_table(spark, SF_DIR, "documents").count()
+    monkeypatch.setattr(corpus, "PRIORITY_K", n_docs + 1)
     rows = corpus.q_priority_sample_topk(spark, SF_DIR).collect()
-    assert len(rows) == 500
+    assert len(rows) == n_docs
     assert all(r["est_w"] == float(r["n_tok"]) for r in rows)
 
 
@@ -119,19 +121,42 @@ def test_ks_mann_whitney_matches_python_model(spark):
     assert abs(r["mw_z"] - z) < 1e-6
 
 
-def test_grouped_running_sum_rejects_all_null_value_slice(spark):
-    """An all-NULL value slice used to surface as a TypeError from
-    int(None) that BYPASSED the unpersist cleanup (ADVICE r09); it must
-    now raise the contract ValueError and leave no cached copy behind."""
+def test_grouped_running_sum_rejects_null_values(spark):
+    """NULL values used to surface as a TypeError from int(None) that
+    BYPASSED the unpersist cleanup when the whole slice was NULL — and
+    passed SILENTLY when only part of it was (the slice total is
+    non-NULL but the windowed prefix sum still emits NULL cum for
+    leading all-NULL frames). Both shapes must now raise the contract
+    ValueError and leave no cached copy behind."""
     from pb_etl_spark.operators.corpus import grouped_running_sum
 
-    df = spark.createDataFrame(
+    all_null = spark.createDataFrame(
         [("a", 1, None), ("a", 2, None), ("b", 1, 5)],
         "g string, o long, v long",
     )
+    partial_null = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 3), ("b", 1, 5)],
+        "g string, o long, v long",
+    )
     n_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    with pytest.raises(ValueError, match="all-NULL"):
-        grouped_running_sum(spark, df, ["g"], ["o"], "v")
+    for df in (all_null, partial_null):
+        with pytest.raises(ValueError, match="NULL value"):
+            grouped_running_sum(spark, df, ["g"], ["o"], "v")
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == n_before
+
+
+def test_global_running_sum_rejects_null_values_and_unpersists(spark):
+    """The ungrouped sibling has the same hazard: partial NULLs would
+    silently NULL the cumsum, all-NULL slices would TypeError past the
+    persist. Both must raise ValueError with the cache cleaned up."""
+    from pb_etl_spark.operators.corpus import global_running_sum
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 3), (3, None)], "o long, v long"
+    )
+    n_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    with pytest.raises(ValueError, match="NULL value"):
+        global_running_sum(spark, df, ["o"], "v")
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == n_before
 
 
