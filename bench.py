@@ -238,13 +238,18 @@ def main() -> None:
 
     m = re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir.rstrip("/"))
     sf = float(m.group(1)) if m else 0.0
+    # queries first, scalar summary keys LAST: the driver's bench-tail
+    # capture keeps the END of the line, so a front-truncated record
+    # (BENCH_r09: 73 queries pushed the line past the capture window,
+    # "metric"/"value" were cut and parsing failed) still carries the
+    # headline total, unit, sf, and calibration anchor
     print(
         json.dumps(
             {
+                "queries": timings,
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "calib_scan_s": calib,
             }

@@ -809,6 +809,54 @@ def q_topk_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRIORITY_K = 150  # exact sample size (documents table ≥ 500 at every SF)
 
 
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    priority_col: str,
+    k: int,
+    cache_key: str,
+) -> DataFrame:
+    """Shared exact-K sampling core: given a frame with an integer id, a
+    weight, and a precomputed ``priority`` column, return the top-``k``
+    rows under (priority DESC, id ASC) with a Horvitz–Thompson adjusted
+    weight ``est_w`` = max(weight, τ), τ = the (k+1)-th priority (0 when
+    the frame has ≤ k rows, i.e. the whole population is the sample).
+
+    One TakeOrderedAndProject(k+1) materializes the candidate frame
+    (swap-persisted under ``cache_key``); the boundary row is found by a
+    1-row MIN(struct(priority, -id)) aggregate and the kept rows are the
+    ones strictly above it under the same total order the sort used —
+    deterministic even under exact priority ties."""
+    top = swap_persist(
+        cache_key,
+        df.orderBy(F.col(priority_col).desc(), F.col(id_col).asc()).limit(
+            k + 1
+        ),
+    )
+    last_struct = F.struct(
+        F.col(priority_col).alias("p"), (-F.col(id_col)).alias("nid")
+    )
+    bound = top.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.min(last_struct).alias("last"),
+    )
+    tau = F.when(F.col("n_top") == k + 1, F.col("last.p")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        top.crossJoin(F.broadcast(bound))
+        .filter((F.col("n_top") < k + 1) | (last_struct > F.col("last")))
+        .withColumn(
+            "est_w",
+            F.round(
+                F.greatest(F.col(weight_col).cast("double"), tau), 6
+            ),
+        )
+        .drop("n_top", "last")
+    )
+
+
 def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-K weighted sampling WITHOUT replacement via priority
     sampling (Duffield–Lund–Thorup, JACM 2007): each doc gets priority
@@ -849,35 +897,13 @@ def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             w_tok.cast("double") * F.lit(float(1 << 32)) / m1.cast("double")
         ).alias("priority"),
     )
-    top = swap_persist(
-        "priority_sample_topk.top",
-        d.orderBy(F.col("priority").desc(), F.col("doc_id").asc()).limit(
-            PRIORITY_K + 1
-        ),
-    )
-    last_struct = F.struct(
-        F.col("priority").alias("p"), (-F.col("doc_id")).alias("nid")
-    )
-    bound = top.agg(
-        F.count(F.lit(1)).alias("n_top"),
-        F.min(last_struct).alias("last"),
-    )
-    tau = F.when(
-        F.col("n_top") == PRIORITY_K + 1, F.col("last.p")
-    ).otherwise(F.lit(0.0))
-    return (
-        top.crossJoin(F.broadcast(bound))
-        .filter(
-            (F.col("n_top") < PRIORITY_K + 1) | (last_struct > F.col("last"))
-        )
-        .select(
-            "doc_id",
-            "n_tok",
-            F.round("priority", 6).alias("priority"),
-            F.round(
-                F.greatest(F.col("n_tok").cast("double"), tau), 6
-            ).alias("est_w"),
-        )
+    return priority_sample(
+        d, "doc_id", "n_tok", "priority", PRIORITY_K, "priority_sample_topk.top"
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.round("priority", 6).alias("priority"),
+        "est_w",
     )
 
 

@@ -765,6 +765,17 @@ def q_ks_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").alias("cnt_a"),
         F.sum(F.lit(1) - F.col("is_a")).alias("cnt_b"),
     )
+    return two_sample_rank_tests(cells)
+
+
+def two_sample_rank_tests(cells: DataFrame) -> DataFrame:
+    """Shared two-sample test core: given a COMPACTED frame with columns
+    ``(v, cnt_a, cnt_b)`` — per distinct value, the count in sample A
+    and sample B — emit one row ``(n_a, n_b, ks_d_num, ks_d, mw_u1,
+    mw_z)``. All exactness/guard properties of ``q_ks_mann_whitney``'s
+    docstring live here; any numeric column comparison (per-source
+    length drift, score drift between model versions, latency shift
+    between releases) reduces to producing the cells frame."""
     totals = cells.agg(F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b"))
     w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = cells.crossJoin(F.broadcast(totals)).select(

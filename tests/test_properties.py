@@ -238,3 +238,76 @@ def test_grouped_running_sum_equals_python_model(spark, rows, nparts):
     assert totals == want_totals
     for (g, _), (_, gt) in got.items():
         assert gt == want_totals[(g,)]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),  # weight
+            st.integers(min_value=0, max_value=5),  # priority bucket: ties
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=12),
+)
+@settings(**SETTINGS)
+def test_priority_sample_equals_python_model(spark, rows, k):
+    """priority_sample's threshold/tie-break algebra (min-struct over
+    the K+1 TakeOrdered frame, strictly-above filter) must keep exactly
+    the top-k under (priority DESC, id ASC) with est_w = max(w, tau) —
+    including exact priority TIES across the k/k+1 boundary and corpora
+    smaller than k, the cases the md5-uniform fixture can never hit."""
+    from pb_etl_spark.operators.corpus import priority_sample
+
+    data = [(i, w, float(p)) for i, (w, p) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, w long, priority double")
+    out = priority_sample(df, "id", "w", "priority", k, "prop.priority_sample")
+    got = {r["id"]: (r["w"], r["priority"], r["est_w"]) for r in out.collect()}
+    model = sorted(data, key=lambda t: (-t[2], t[0]))
+    tau = model[k][2] if len(model) > k else 0.0
+    want = {
+        i: (w, p, round(max(float(w), tau), 6)) for i, w, p in model[:k]
+    }
+    assert got == want
+
+
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),  # distinct value
+            st.integers(min_value=0, max_value=9),  # cnt_a
+            st.integers(min_value=0, max_value=9),  # cnt_b
+        ),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**SETTINGS)
+def test_two_sample_rank_tests_equal_python_model(spark, cells):
+    """two_sample_rank_tests must reproduce, on arbitrary count frames,
+    the KS numerator from direct ECDF comparison and the Mann-Whitney U
+    from brute-force pair counting (half-credit ties) — the doubled-
+    midrank accumulation is the thing under test."""
+    from hypothesis import assume
+
+    from pb_etl_spark.operators.selection import two_sample_rank_tests
+
+    a = [v for v, ca, _ in cells for _ in range(ca)]
+    b = [v for v, _, cb in cells for _ in range(cb)]
+    n_a, n_b = len(a), len(b)
+    assume(n_a > 0 and n_b > 0)
+    # at least two distinct pooled values, else sig2 == 0 by design
+    assume(len({*a, *b}) > 1)
+    df = spark.createDataFrame(cells, "v long, cnt_a long, cnt_b long")
+    [r] = two_sample_rank_tests(df).collect()
+    cum_a = cum_b = d_num = 0
+    for v in sorted({*a, *b}):
+        cum_a += a.count(v)
+        cum_b += b.count(v)
+        d_num = max(d_num, abs(cum_a * n_b - cum_b * n_a))
+    u_brute = sum((x > y) + 0.5 * (x == y) for x in a for y in b)
+    assert (r["n_a"], r["n_b"], r["ks_d_num"]) == (n_a, n_b, d_num)
+    assert r["mw_u1"] == u_brute
+    assert abs(r["ks_d"] - d_num / (n_a * n_b)) < 1e-9

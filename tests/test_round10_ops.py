@@ -190,3 +190,25 @@ def test_gini_by_group_sums_in_decimal_behind_a_loud_guard(spark):
     assert "raise_error" in plan
     assert "decimal(38,0)" in plan
     assert df.count() > 0  # the guard never fires at fixture scale
+
+
+def test_two_sample_rank_tests_raise_on_degenerate_inputs(spark):
+    """One-sided or all-tied inputs make the statistics 0/0; the helper
+    must raise its curated error instead of emitting silent NaN."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from pb_etl_spark.operators.selection import two_sample_rank_tests
+
+    one_sided = spark.createDataFrame(
+        [(1, 3, 0), (2, 4, 0)], "v long, cnt_a long, cnt_b long"
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as e1:
+        two_sample_rank_tests(one_sided).collect()
+    assert "undefined" in str(e1.value)
+    all_tied = spark.createDataFrame(
+        [(7, 3, 4)], "v long, cnt_a long, cnt_b long"
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as e2:
+        two_sample_rank_tests(all_tied).collect()
+    assert "undefined" in str(e2.value)
