@@ -273,13 +273,19 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def md5_u32(col):
+    """First 8 md5 hex digits of ``col`` as an integer in [0, 2^32) —
+    the engine's reproducible hash source (DuckDB twin:
+    ``CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
 def doc_uniform(col):
     """md5-derived uniform u(col) ∈ [0,1) — the engine's reproducible
     Bernoulli source (cf. weighted_hash_sample); identical in DuckDB."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("double")
-        / F.lit(float(1 << 32))
-    )
+    return md5_u32(col).cast("double") / F.lit(float(1 << 32))
 
 
 def uniform_mixture_rates(doc: DataFrame) -> DataFrame:
@@ -884,11 +890,7 @@ def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority ties. A corpus smaller than K+1 keeps everything with
     est_w = w (τ = 0)."""
     doc = read_table(spark, sf_dir, "documents")
-    m1 = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        + 1
-    )
+    m1 = md5_u32(F.col("doc_id")) + 1
     w_tok = F.size(_tokens()).cast("long")
     d = doc.select(
         "doc_id",
@@ -1066,11 +1068,7 @@ def q_weighted_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = read_table(spark, sf_dir, "documents")
     toks = _tokens()
     quality = F.size(F.array_distinct(toks)) / F.size(toks)
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(float(1 << 32))
-    )
+    u = doc_uniform(F.col("doc_id"))
     return (
         doc.select(
             "doc_id",

@@ -787,8 +787,8 @@ def two_sample_rank_tests(cells: DataFrame) -> DataFrame:
         F.sum("cnt_b").over(w_cum).alias("cum_b"),
     )
 
-    def dec(c, p=18):
-        return F.col(c).cast(f"decimal({p},0)")
+    def dec(c):
+        return F.col(c).cast("decimal(18,0)")
 
     t_all = F.col("cnt_a") + F.col("cnt_b")
     # decimal(18,0)³ declares (38,0): exact for per-value tie counts up
