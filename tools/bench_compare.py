@@ -32,12 +32,26 @@ def load(path: str) -> dict:
         return doc
     if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
         return doc["parsed"]
-    m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
-    if not m:
+    tail = doc.get("tail", "")
+    m = re.search(r'\{"(?:metric|queries)".*\}', tail)
+    if m:
+        return json.loads(m.group(0))
+    # front-truncated capture (BENCH_r09: the line outgrew the driver's
+    # tail window and the leading keys were cut) — rebuild what survived
+    # from the key/value pairs; bench.py now emits the scalar summary
+    # keys last so future records keep them under the same truncation
+    pairs = dict(re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', tail))
+    for k in ("n", "rc", "cpus"):
+        pairs.pop(k, None)
+    scalars = {
+        k: float(pairs.pop(k)) for k in ("value", "sf", "calib_scan_s")
+        if k in pairs
+    }
+    if not pairs:
         raise SystemExit(
             f"{path}: no bench line found (checked top level, 'parsed', 'tail')"
         )
-    return json.loads(m.group(0))
+    return {"queries": {k: float(v) for k, v in pairs.items()}, **scalars}
 
 
 def main() -> int:
@@ -86,9 +100,13 @@ def main() -> int:
         print(f"   {name}: {t0:.3f}s -> {t1:.3f}s (norm {t1n:.3f}s){flag}")
     for name in sorted(set(cq) - set(bq)):
         print(f" + {name}: {cq[name]:.3f}s (new)")
+    # a truncated legacy record may have lost its headline total — fall
+    # back to the sum of whatever per-query rows survived
+    base_total = base.get("value", sum(bq.values()))
+    cur_total = cur.get("value", sum(cq.values()))
     print(
-        f"total: {base['value']:.3f}s ({len(bq)} queries) -> "
-        f"{cur['value']:.3f}s ({len(cq)} queries); "
+        f"total: {base_total:.3f}s ({len(bq)} queries) -> "
+        f"{cur_total:.3f}s ({len(cq)} queries); "
         f"{len(regressions)} regression(s)"
     )
     # wholesale-shift heuristic: SLOWDOWNS only (removals are a query-
