@@ -139,11 +139,14 @@ HEADLINE = [
     "grouped_quantiles_exact",
     "exact_stratified_split",
     "gini_by_group",
-    # round-10 new operators: the exact-K weighted sampler (one
-    # TakeOrderedAndProject pass, no fact shuffle) and the compacted
-    # two-sample KS + Mann-Whitney drift tests
+    # round-10 new operators: the exact-K weighted samplers (global
+    # TakeOrderedAndProject pass; per-source WindowGroupLimit rank) and
+    # the compacted drift tests (two-sample KS + Mann-Whitney; pairwise
+    # source KS matrix)
     "priority_sample_topk",
+    "priority_sample_per_source",
     "ks_mann_whitney",
+    "source_drift_matrix",
 ]
 
 

@@ -909,6 +909,66 @@ def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRIORITY_GROUP_K = 20  # per-source sample size (25 docs/source at sf0.01)
+
+
+def q_priority_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED priority sampling: exactly K docs per source, weighted
+    by token count, each with its per-stratum Horvitz–Thompson adjusted
+    weight max(w, τ_source) — the balanced-across-domains face of
+    `priority_sample_topk` (a global top-K lets one heavy source crowd
+    out the rest; per-source τ keeps every stratum's subset-sum
+    estimator unbiased within its own domain). Same bit-exact priority
+    w·2^32/(m+1) as the global sampler (shared `md5_u32`; no pow/ln).
+
+    Scale shape: one ranked window per source with a rank ≤ K+1 filter —
+    Spark pushes the bound below the exchange (WindowGroupLimit), so
+    per-group sort state is K+1 rows per map partition regardless of
+    stratum size (the `topk_hash_sample` precedent; low-card-window
+    whitelisted for exactly that reason). τ per source is a grouped MAX
+    over that ≤|sources|·(K+1)-row frame broadcast-joined back; a
+    stratum smaller than K+1 keeps everything with est_w = w."""
+    doc = read_table(spark, sf_dir, "documents")
+    m1 = md5_u32(F.col("doc_id")) + 1
+    w_tok = F.size(_tokens()).cast("long")
+    d = doc.select(
+        "source",
+        "doc_id",
+        w_tok.alias("n_tok"),
+        (
+            w_tok.cast("double") * F.lit(float(1 << 32)) / m1.cast("double")
+        ).alias("priority"),
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    )
+    top = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= PRIORITY_GROUP_K + 1
+    )
+    taus = top.groupBy("source").agg(
+        F.max(
+            F.when(F.col("rn") == PRIORITY_GROUP_K + 1, F.col("priority"))
+        ).alias("tau")
+    )
+    return (
+        top.filter(F.col("rn") <= PRIORITY_GROUP_K)
+        .join(F.broadcast(taus), "source")
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.round("priority", 6).alias("priority"),
+            F.round(
+                F.greatest(
+                    F.col("n_tok").cast("double"),
+                    F.coalesce(F.col("tau"), F.lit(0.0)),
+                ),
+                6,
+            ).alias("est_w"),
+        )
+    )
+
+
 def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training negative sampling: for each anchor doc,
     N_NEGATIVES pseudo-random OTHER docs chosen by a deterministic hash
@@ -1271,6 +1331,7 @@ QUERIES = {
     "kfold_assign": q_kfold_assign,
     "topk_hash_sample": q_topk_hash_sample,
     "priority_sample_topk": q_priority_sample_topk,
+    "priority_sample_per_source": q_priority_sample_per_source,
     "negative_sampling": q_negative_sampling,
 }
 
@@ -1309,6 +1370,37 @@ ORACLES: dict[str, str] = {
         CROSS JOIN nv
         WHERE b.doc_id < {PPL_DOCS}
         GROUP BY b.doc_id
+    """,
+    "priority_sample_per_source": f"""
+        WITH d AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) + 1 AS m1
+            FROM documents
+        ), p AS (
+            SELECT source, doc_id, n_tok,
+                   CAST(n_tok AS DOUBLE) * 4294967296.0 / CAST(m1 AS DOUBLE)
+                       AS priority
+            FROM d
+        ), r AS (
+            SELECT source, doc_id, n_tok, priority,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY priority DESC, doc_id ASC
+                   ) AS rn
+            FROM p
+        ), taus AS (
+            SELECT source,
+                   MAX(CASE WHEN rn = {PRIORITY_GROUP_K + 1}
+                            THEN priority END) AS tau
+            FROM r WHERE rn <= {PRIORITY_GROUP_K + 1} GROUP BY source
+        )
+        SELECT r.source, doc_id, n_tok, ROUND(priority, 6) AS priority,
+               ROUND(GREATEST(CAST(n_tok AS DOUBLE),
+                              COALESCE(tau, 0.0)), 6) AS est_w
+        FROM r JOIN taus ON r.source = taus.source
+        WHERE rn <= {PRIORITY_GROUP_K}
     """,
     "priority_sample_topk": f"""
         WITH d AS (

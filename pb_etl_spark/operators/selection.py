@@ -768,6 +768,122 @@ def q_ks_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_sample_rank_tests(cells)
 
 
+def q_source_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE drift: the exact two-sample KS statistic for EVERY pair
+    of sources over their token-count distributions — `ks_mann_whitney`
+    answers "did A drift from B", this answers "which of my 20 feeds
+    drifted against which" (the first triage question when a corpus
+    refresh moves a quality metric: one bad feed shows up as one hot
+    row/column, a global shift lights the whole matrix).
+
+    Exactness: same integer discipline as `two_sample_rank_tests` — the
+    per-pair numerator max_v |cum_a·n_b − cum_b·n_a| is exact (products
+    in decimal(18,0)² behind the 2^53 raise_error guard), emitted
+    alongside the rounded quotient.
+
+    Scale shape: ONE grouped compaction of the fact to ≤|sources|·
+    |distinct values| rows; the shared value grid, per-source CDFs
+    (keyed cumulative window over that bounded frame — low-card
+    whitelisted, post-aggregation), and the |sources|²/2 pair join all
+    run on sketch-sized frames, never the corpus. The pair build is an
+    equi-join on the value key with an inequality filter, not a cross
+    product."""
+    doc = read_table(spark, sf_dir, "documents")
+    cells = doc.groupBy(
+        "source", F.size(_tokens()).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    grid = cells.select("v").distinct()
+    srcs = cells.groupBy("source").agg(F.sum("cnt").alias("n"))
+    w_cum = (
+        W.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cdf = (
+        srcs.crossJoin(F.broadcast(grid))
+        .join(cells, ["source", "v"], "left")
+        .select(
+            "source",
+            "v",
+            "n",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+        .withColumn("cum", F.sum("cnt").over(w_cum))
+    )
+    a, b = cdf.alias("a"), cdf.alias("b")
+    dec18 = "decimal(18,0)"
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.max(F.col("a.n")).alias("n_a"),
+            F.max(F.col("b.n")).alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("a.cum").cast(dec18) * F.col("b.n").cast(dec18)
+                    - F.col("b.cum").cast(dec18) * F.col("a.n").cast(dec18)
+                )
+            ).alias("d_num"),
+        )
+    )
+    d_ok = F.when(
+        F.col("d_num") < F.lit(2**53).cast("decimal(38,0)"), F.col("d_num")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "source_drift_matrix: KS numerator >= 2^53 — rescale or "
+                "bucket values first"
+            )
+        ).cast("decimal(38,0)")
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        d_ok.cast("long").alias("ks_d_num"),
+        F.round(
+            d_ok.cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            9,
+        ).alias("ks_d"),
+    )
+
+
+_SOURCE_DRIFT_ORACLE = """
+    WITH cells AS (
+        SELECT source, len(string_split(text, ' ')) AS v, COUNT(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), grid AS (
+        SELECT DISTINCT v FROM cells
+    ), srcs AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM cells GROUP BY source
+    ), cdf AS (
+        SELECT s.source, g.v, s.n,
+               CAST(SUM(COALESCE(c.cnt, 0)) OVER (
+                   PARTITION BY s.source ORDER BY g.v
+               ) AS BIGINT) AS cum
+        FROM srcs s CROSS JOIN grid g
+        LEFT JOIN cells c ON c.source = s.source AND c.v = g.v
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+           CAST(MAX(ABS(a.cum * b.n - b.cum * a.n)) AS BIGINT) AS ks_d_num,
+           ROUND(CAST(MAX(ABS(a.cum * b.n - b.cum * a.n)) AS DOUBLE)
+                 / (CAST(MAX(a.n) AS DOUBLE) * CAST(MAX(b.n) AS DOUBLE)),
+                 9) AS ks_d
+    FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source
+    GROUP BY 1, 2
+"""
+
+
 def two_sample_rank_tests(cells: DataFrame) -> DataFrame:
     """Shared two-sample test core: given a COMPACTED frame with columns
     ``(v, cnt_a, cnt_b)`` — per distinct value, the count in sample A
@@ -922,6 +1038,7 @@ QUERIES = {
     "psi_drift": q_psi_drift,
     "chi2_independence": q_chi2_independence,
     "ks_mann_whitney": q_ks_mann_whitney,
+    "source_drift_matrix": q_source_drift_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -932,4 +1049,5 @@ ORACLES: dict[str, str] = {
     "psi_drift": _PSI_ORACLE,
     "chi2_independence": _CHI2_ORACLE,
     "ks_mann_whitney": _KS_MWU_ORACLE,
+    "source_drift_matrix": _SOURCE_DRIFT_ORACLE,
 }

@@ -55,13 +55,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      offset/total map misses, ADVICE r09), so every consumer's green
 #      must be re-pinned on the guarded plan; gini_by_group also moved
 #      its Σ pos·cents onto exact decimal(38,0) with a 2^53 guard.
-#   2. slots 9-10: the round-10 additions — exact two-sample KS +
-#      Mann-Whitney drift tests, and exact-K priority sampling
-#      (Duffield-Lund-Thorup) with Horvitz-Thompson weights.
-#   3. slots 11-18: the 8 remaining r02-stale names (the TPC-H Q3-Q8
+#   2. slots 9-12: the round-10 additions — exact two-sample KS +
+#      Mann-Whitney drift tests, exact-K priority sampling
+#      (Duffield-Lund-Thorup, global and per-source) with
+#      Horvitz-Thompson weights, and the pairwise source KS drift
+#      matrix.
+#   3. slots 13-20: the 8 remaining r02-stale names (the TPC-H Q3-Q8
 #      battery + tumbling_window + Q21).
-#   4. slots 19-49: 31 of the 48 r03-stale names, alphabetical
-#      (ab_test_zscore .. ohlc_hourly). Nothing here changed; this
+#   4. slots 21-49: 29 of the 48 r03-stale names, alphabetical
+#      (ab_test_zscore .. monthly_growth). Nothing here changed; this
 #      re-pins old greens on current code.
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
@@ -69,10 +71,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # `err: no_oracle`; their hash-checked deterministic twins
 # (kmv_distinct_sketch / bitmap_distinct_counts, ddsketch_quantiles,
 # stratified_hash_sample) carry the correctness evidence instead.
-# r11 head: the 17 r03 overflow names (psi_drift, rolling_active_users,
-# scd2_merge_orders, sequence_anomaly, source_mix_report,
-# stream_doc_source_counts, stream_ohlc_hourly, strict_funnel,
-# substring_dup_spans, table_checksum, table_profile, time_interpolate,
+# r11 head: the 19 r03 overflow names (multi_resolution_rollup,
+# ohlc_hourly, psi_drift, rolling_active_users, scd2_merge_orders,
+# sequence_anomaly, source_mix_report, stream_doc_source_counts,
+# stream_ohlc_hourly, strict_funnel, substring_dup_spans,
+# table_checksum, table_profile, time_interpolate,
 # tpch_q12_priority_lines, twap_user_value, variant_extract_agg,
 # vector_quantize, winsorized_stats), then the r04 set.
 _PRIORITY = [
@@ -87,10 +90,12 @@ _PRIORITY = [
     "top_p_quality_sample",
     "weighted_median_by_group",
     "window_ranking",
-    # -- slots 9-10: round-10 additions --
+    # -- slots 9-12: round-10 additions --
     "ks_mann_whitney",
+    "priority_sample_per_source",
     "priority_sample_topk",
-    # -- slots 11-18: the 8 remaining r02-stale names --
+    "source_drift_matrix",
+    # -- slots 13-20: the 8 remaining r02-stale names --
     "tpch_q21_waiting_supplier",
     "tpch_q3_shipping",
     "tpch_q4_priority",
@@ -99,7 +104,7 @@ _PRIORITY = [
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
     "tumbling_window",
-    # -- slots 19-49: r03-stale names (31 of 48; 17 overflow to r11) --
+    # -- slots 21-49: r03-stale names (29 of 48; 19 overflow to r11) --
     "ab_test_zscore",
     "ann_ivf_topk",
     "ann_lsh_topk",
@@ -129,8 +134,6 @@ _PRIORITY = [
     "media_feature_summary",
     "mixture_resample",
     "monthly_growth",
-    "multi_resolution_rollup",
-    "ohlc_hourly",
 ]
 
 _MODULES = [

@@ -90,6 +90,8 @@ BNLJ_WHITELIST = {
     #   onto the cached K+1-row TakeOrdered frame
     "ks_mann_whitney",  # 1-row (n_a, n_b) totals crossJoin onto the
     #   ≤|distinct values| compacted frame
+    "source_drift_matrix",  # |sources|-row × |distinct values|-row grid
+    #   crossJoin — both dimension-sized aggregates, never the fact
 }
 
 
@@ -162,6 +164,11 @@ LOWCARD_WINDOW_WHITELIST = {
     "theil_sen_trend",  # median-rank window over the ≤|days|²-per-type
     #   daily-pair slope frame (days are bounded by the fixture epoch)
     "topk_hash_sample",  # rank ≤ K per source — WindowGroupLimit
+    "priority_sample_per_source",  # rank ≤ K+1 per source —
+    #   WindowGroupLimit bounds the per-group sort to K+1 rows per map
+    #   partition
+    "source_drift_matrix",  # cumulative CDF window over the bounded
+    #   |sources|·|distinct values| post-aggregation grid
 }
 import re  # noqa: E402 — used only by the lowcard-window rule below
 

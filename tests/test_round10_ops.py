@@ -212,3 +212,85 @@ def test_two_sample_rank_tests_raise_on_degenerate_inputs(spark):
     with pytest.raises((Py4JJavaError, SparkRuntimeException)) as e2:
         two_sample_rank_tests(all_tied).collect()
     assert "undefined" in str(e2.value)
+
+
+def test_priority_sample_per_source_matches_python_model(spark):
+    """Per-stratum kept sets, priorities, and per-stratum HT weights
+    must equal a from-scratch Python model (per-source sort, per-source
+    tau = the (K+1)-th priority of THAT source)."""
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.corpus import (
+        PRIORITY_GROUP_K,
+        q_priority_sample_per_source,
+    )
+
+    docs = (
+        read_table(spark, SF_DIR, "documents")
+        .select("source", "doc_id", "text")
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for r in docs:
+        w = len(r["text"].split(" "))
+        m1 = _md5_first8_int(str(r["doc_id"])) + 1
+        by_src.setdefault(r["source"], []).append(
+            (r["doc_id"], w, w * 4294967296.0 / m1)
+        )
+    want = {}
+    for src, items in by_src.items():
+        items.sort(key=lambda t: (-t[2], t[0]))
+        tau = (
+            items[PRIORITY_GROUP_K][2]
+            if len(items) > PRIORITY_GROUP_K
+            else 0.0
+        )
+        for d, w, p in items[:PRIORITY_GROUP_K]:
+            want[d] = (src, w, round(p, 6), round(max(float(w), tau), 6))
+    got = {
+        r["doc_id"]: (r["source"], r["n_tok"], r["priority"], r["est_w"])
+        for r in q_priority_sample_per_source(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_source_drift_matrix_matches_python_model(spark):
+    """Every pair's exact KS numerator must equal the direct two-sample
+    ECDF comparison computed in Python over the same token counts, and
+    the matrix must cover exactly the |sources| -choose- 2 ordered
+    pairs."""
+    from itertools import combinations
+
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.selection import q_source_drift_matrix
+
+    docs = (
+        read_table(spark, SF_DIR, "documents")
+        .select("source", F.size(F.split("text", " ")).alias("v"))
+        .collect()
+    )
+    vals: dict[str, list] = {}
+    for r in docs:
+        vals.setdefault(r["source"], []).append(r["v"])
+    grid = sorted({v for vs in vals.values() for v in vs})
+    want = {}
+    for sa, sb in combinations(sorted(vals), 2):
+        a, b = vals[sa], vals[sb]
+        n_a, n_b = len(a), len(b)
+        d = max(
+            abs(
+                sum(x <= v for x in a) * n_b
+                - sum(x <= v for x in b) * n_a
+            )
+            for v in grid
+        )
+        want[(sa, sb)] = (n_a, n_b, d, round(d / (n_a * n_b), 9))
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_a"],
+            r["n_b"],
+            r["ks_d_num"],
+            r["ks_d"],
+        )
+        for r in q_source_drift_matrix(spark, SF_DIR).collect()
+    }
+    assert got == want

@@ -79,10 +79,13 @@ SMOKE = [
     "top_p_quality_sample",
     "quantile_normalize",
     "window_ranking",
-    # round-10 additions: the TakeOrdered exact-K priority sampler and
-    # the compacted two-sample KS + Mann-Whitney pass
+    # round-10 additions: the exact-K priority samplers (TakeOrdered
+    # global; WindowGroupLimit per-source), the compacted two-sample
+    # KS + Mann-Whitney pass, and the pairwise source KS matrix
     "priority_sample_topk",
+    "priority_sample_per_source",
     "ks_mann_whitney",
+    "source_drift_matrix",
 ]
 
 
