@@ -27,7 +27,23 @@ import sys
 
 def load(path: str) -> dict:
     with open(path) as f:
-        doc = json.load(f)
+        text = f.read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        # loosely captured bench output: the JSON record is one line,
+        # possibly surrounded by stray shell/sentinel lines — take the
+        # first line that parses as a bench record
+        doc = next(
+            (
+                json.loads(line)
+                for line in text.splitlines()
+                if line.startswith("{") and '"queries"' in line
+            ),
+            None,
+        )
+        if doc is None:
+            raise SystemExit(f"{path}: no parseable bench JSON line")
     if "queries" in doc:
         return doc
     if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
