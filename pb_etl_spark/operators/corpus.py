@@ -369,6 +369,24 @@ def shuffle_key(col, epoch: int = 0):
 SHUFFLE_SALT = "epoch0"  # = shuffle_key(..., epoch=0)'s salt, used in oracles
 
 
+def _require_map_hit(lookup, key_expr, label: str):
+    """A plan-literal offset/total map miss (cache eviction + range
+    boundary resample between the collect job and the output job) must
+    fail LOUDLY — a bare NULL pos/cum/gtot would silently corrupt
+    downstream math (ADVICE r09, applied to all three running-sum
+    primitives). Coalesce short-circuits, so raise_error only evaluates
+    on an actual miss."""
+    return F.coalesce(
+        lookup.cast("long"),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{label}-map miss (range boundary drift?) for key "),
+                key_expr.cast("string"),
+            )
+        ).cast("long"),
+    )
+
+
 def global_positions(
     spark: SparkSession, df: DataFrame, order_cols: list[str]
 ) -> tuple[DataFrame, int]:
@@ -416,7 +434,11 @@ def global_positions(
         .withColumn(
             "pos",
             F.row_number().over(w).cast("long")
-            + off_map[F.col("pid")].cast("long"),
+            + _require_map_hit(
+                off_map[F.col("pid")],
+                F.col("pid"),
+                "global_positions offset",
+            ),
         )
         .drop("pid")
     )
@@ -494,7 +516,11 @@ def global_running_sum(
         .withColumn(
             "cum",
             F.sum(value_col).over(w).cast("long")
-            + off_map[F.col("pid")].cast("long"),
+            + _require_map_hit(
+                off_map[F.col("pid")],
+                F.col("pid"),
+                "global_running_sum offset",
+            ),
         )
         .drop("pid")
     )
@@ -633,25 +659,6 @@ def grouped_running_sum(
         _GRS_SEP, *[F.col(c).cast("string") for c in group_cols]
     )
 
-    def _require(lookup, key_expr, which):
-        # A map miss (cache eviction + range-boundary resample between
-        # the collect job and the output job) must fail LOUDLY — a bare
-        # NULL cum/gtot would silently drop rows through downstream
-        # filters like cum*2 >= gtot. Coalesce short-circuits, so
-        # raise_error only evaluates on an actual miss.
-        return F.coalesce(
-            lookup.cast("long"),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"grouped_running_sum {which}-map miss (range "
-                        "boundary drift?) for key "
-                    ),
-                    key_expr,
-                )
-            ).cast("long"),
-        )
-
     w = (
         W.partitionBy("pid", *group_cols)
         .orderBy(*order_cols)
@@ -663,9 +670,12 @@ def grouped_running_sum(
         .withColumn(
             "cum",
             F.sum(value_col).over(w).cast("long")
-            + _require(off_map[pkey], pkey, "offset"),
+            + _require_map_hit(off_map[pkey], pkey, "grouped_running_sum offset"),
         )
-        .withColumn("gtot", _require(tot_map[gkey], gkey, "total"))
+        .withColumn(
+            "gtot",
+            _require_map_hit(tot_map[gkey], gkey, "grouped_running_sum total"),
+        )
         .drop("pid")
     )
     return out, totals

@@ -55,29 +55,40 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      offset/total map misses, ADVICE r09), so every consumer's green
 #      must be re-pinned on the guarded plan; gini_by_group also moved
 #      its Σ pos·cents onto exact decimal(38,0) with a 2^53 guard.
-#   2. slots 9-12: the round-10 additions — exact two-sample KS +
+#   2. slots 9-15: the seven ``global_positions`` /
+#      ``global_running_sum`` consumers NOT already in this window —
+#      the same map-miss guard was extended to both global primitives
+#      late in round 10 (the ADVICE fix originally covered only the
+#      grouped one), so their plans changed too. The other two global
+#      consumers (curriculum_buckets, deterministic_shuffle) already
+#      sit in the r03-stale block below.
+#   3. slots 16-19: the round-10 additions — exact two-sample KS +
 #      Mann-Whitney drift tests, exact-K priority sampling
 #      (Duffield-Lund-Thorup, global and per-source) with
 #      Horvitz-Thompson weights, and the pairwise source KS drift
 #      matrix.
-#   3. slots 13-20: the 8 remaining r02-stale names (the TPC-H Q3-Q8
+#   4. slots 20-27: the 8 remaining r02-stale names (the TPC-H Q3-Q8
 #      battery + tumbling_window + Q21).
-#   4. slots 21-49: 29 of the 48 r03-stale names, alphabetical
-#      (ab_test_zscore .. monthly_growth). Nothing here changed; this
-#      re-pins old greens on current code.
+#   5. slots 28-49: 22 of the 48 r03-stale names, alphabetical
+#      (ab_test_zscore .. histogram_quantiles). Nothing here changed;
+#      this re-pins old greens on current code.
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
 # oracle-less sketch/RNG names whose driver check can only report
 # `err: no_oracle`; their hash-checked deterministic twins
 # (kmv_distinct_sketch / bitmap_distinct_counts, ddsketch_quantiles,
 # stratified_hash_sample) carry the correctness evidence instead.
-# r11 head: the 19 r03 overflow names (multi_resolution_rollup,
-# ohlc_hourly, psi_drift, rolling_active_users, scd2_merge_orders,
-# sequence_anomaly, source_mix_report, stream_doc_source_counts,
-# stream_ohlc_hourly, strict_funnel, substring_dup_spans,
-# table_checksum, table_profile, time_interpolate,
-# tpch_q12_priority_lines, twap_user_value, variant_extract_agg,
-# vector_quantize, winsorized_stats), then the r04 set.
+# r11 head: the 26 r03 overflow names — the 7 displaced from this
+# window by the late global-primitive guard (incremental_agg_maintenance,
+# interval_overlap_join, lang_id_confusion, mad_outlier_stats,
+# media_feature_summary, mixture_resample, monthly_growth) plus the 19
+# never-staged (multi_resolution_rollup, ohlc_hourly, psi_drift,
+# rolling_active_users, scd2_merge_orders, sequence_anomaly,
+# source_mix_report, stream_doc_source_counts, stream_ohlc_hourly,
+# strict_funnel, substring_dup_spans, table_checksum, table_profile,
+# time_interpolate, tpch_q12_priority_lines, twap_user_value,
+# variant_extract_agg, vector_quantize, winsorized_stats), then the
+# r04 set.
 _PRIORITY = [
     # -- slots 0-8: changed code (grouped_running_sum map-miss guard;
     #    gini_by_group also: decimal pos_cents + 2^53 raise_error) --
@@ -90,12 +101,22 @@ _PRIORITY = [
     "top_p_quality_sample",
     "weighted_median_by_group",
     "window_ranking",
-    # -- slots 9-12: round-10 additions --
+    # -- slots 9-15: changed code (global_positions / global_running_sum
+    #    map-miss guard, extended late in round 10; curriculum_buckets
+    #    and deterministic_shuffle are covered in the r03 block below) --
+    "abc_classification",
+    "gini_concentration",
+    "pps_systematic_sample",
+    "rfm_segments",
+    "segment_migration",
+    "shard_manifest",
+    "sprt_decision",
+    # -- slots 16-19: round-10 additions --
     "ks_mann_whitney",
     "priority_sample_per_source",
     "priority_sample_topk",
     "source_drift_matrix",
-    # -- slots 13-20: the 8 remaining r02-stale names --
+    # -- slots 20-27: the 8 remaining r02-stale names --
     "tpch_q21_waiting_supplier",
     "tpch_q3_shipping",
     "tpch_q4_priority",
@@ -104,7 +125,7 @@ _PRIORITY = [
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
     "tumbling_window",
-    # -- slots 21-49: r03-stale names (29 of 48; 19 overflow to r11) --
+    # -- slots 28-49: r03-stale names (22 of 48; 26 overflow to r11) --
     "ab_test_zscore",
     "ann_ivf_topk",
     "ann_lsh_topk",
@@ -127,13 +148,6 @@ _PRIORITY = [
     "funnel_conversion",
     "gap_fill_resample",
     "histogram_quantiles",
-    "incremental_agg_maintenance",
-    "interval_overlap_join",
-    "lang_id_confusion",
-    "mad_outlier_stats",
-    "media_feature_summary",
-    "mixture_resample",
-    "monthly_growth",
 ]
 
 _MODULES = [

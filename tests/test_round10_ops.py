@@ -178,6 +178,37 @@ def test_grouped_running_sum_guards_map_misses_loudly(spark):
     assert totals == {("a",): 5, ("b",): 5}
 
 
+def test_global_primitives_guard_map_misses_loudly(spark):
+    """global_positions and global_running_sum share grouped_running_sum's
+    failure mode — a missed plan-literal offset lookup after boundary
+    drift silently NULLs pos/cum — so they carry the same raise_error
+    guard, wired into the plan yet never firing on the healthy path."""
+    from pb_etl_spark.operators.corpus import (
+        global_positions,
+        global_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(3, 10), (1, 20), (2, 30)], "o long, v long"
+    )
+    pos, n = global_positions(spark, df, ["o"])
+    assert "raise_error" in pos._jdf.queryExecution().analyzed().toString()
+    assert n == 3
+    assert {(r["o"], r["pos"]) for r in pos.collect()} == {
+        (1, 1),
+        (2, 2),
+        (3, 3),
+    }
+    cum, tot = global_running_sum(spark, df, ["o"], "v")
+    assert "raise_error" in cum._jdf.queryExecution().analyzed().toString()
+    assert tot == 60
+    assert {(r["o"], r["cum"]) for r in cum.collect()} == {
+        (1, 20),
+        (2, 50),
+        (3, 60),
+    }
+
+
 def test_gini_by_group_sums_in_decimal_behind_a_loud_guard(spark):
     """Σ pos·cents must accumulate in decimal(38,0) (the long product
     could overflow int64 at scale) and convert to double only behind a
