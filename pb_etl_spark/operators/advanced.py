@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pb_etl_spark.catalog import read_table, register_views
+from pb_etl_spark.operators import money
 
 SCRIPT_T0 = 100.0  # SQL-scripting demo: starting threshold
 SCRIPT_MAX_K = 30  # oracle unroll bound for the doubling loop
@@ -26,7 +27,9 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Catalyst Expand — no 4 separate scans)."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        money.money_sum(
+            money.cents(F.col("l_extendedprice")), money.CENTS, "cube_agg"
+        ).alias("sum_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -35,9 +38,11 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the SQL front end."""
     register_views(spark, sf_dir)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS spend
+               {money.spark_sql_money_sum(
+                   money.sql_cents("o_totalprice"), money.CENTS, "grouping_sets"
+               )} AS spend
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -63,12 +68,20 @@ def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery: orders above 1.5× the global average price."""
     register_views(spark, sf_dir)
+    # both the threshold mean and the reported mean divide EXACT integer
+    # cent sums — a double AVG is order-dependent, and a boundary order
+    # admitted by one engine but not the other changes n_big outright
+    cents = money.sql_cents("o_totalprice")
+    exact_avg = (
+        f"(CAST(SUM(CAST({cents} AS DECIMAL(27,0))) AS DOUBLE)"
+        " / COUNT(*) / 100.0)"
+    )
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, COUNT(*) AS n_big,
-               ROUND(AVG(o_totalprice), 6) AS avg_big_price
+               ROUND({exact_avg}, 6) AS avg_big_price
         FROM orders
-        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT {exact_avg} FROM orders)
         GROUP BY o_orderstatus
         """
     )
@@ -332,13 +345,17 @@ def q_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     parses to the identical Catalyst plan as the nested-SELECT oracle,
     demonstrating the surface is syntax, not a new engine path."""
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("__pipe_orders")
+    cents = money.sql_cents("o_totalprice")
     return spark.sql(
-        """
+        f"""
         FROM __pipe_orders
         |> WHERE o_orderstatus = 'F'
         |> AGGREGATE COUNT(*) AS n_orders,
-                     ROUND(SUM(o_totalprice), 2) AS total_price,
-                     ROUND(AVG(o_totalprice), 6) AS avg_price
+                     {money.spark_sql_money_sum(
+                         cents, money.CENTS, "pipe_syntax_agg"
+                     )} AS total_price,
+                     ROUND(CAST(SUM(CAST({cents} AS DECIMAL(27,0)))
+                                AS DOUBLE) / COUNT(*) / 100.0, 6) AS avg_price
            GROUP BY o_orderpriority
         |> WHERE n_orders > 10
         """
@@ -352,22 +369,32 @@ def q_sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen and cost nothing at 100 TB. The oracle inlines
     the same expressions by hand, proving the UDF layer is pure
     naming/reuse, not an execution boundary."""
+    # the UDF bodies live on the exact integer grid (1e-4 / 1e-6 dollar
+    # units) — same inlining demonstration, cross-engine-exact sums
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION __disc_price(p DOUBLE, d DOUBLE) "
-        "RETURNS DOUBLE RETURN p * (1 - d)"
+        "RETURNS BIGINT RETURN CAST(ROUND(p*100) AS BIGINT) "
+        "* (100 - CAST(ROUND(d*100) AS BIGINT))"
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION __charged(p DOUBLE, d DOUBLE, t DOUBLE) "
-        "RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+        "RETURNS BIGINT RETURN __disc_price(p, d) "
+        "* (100 + CAST(ROUND(t*100) AS BIGINT))"
     )
     read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__udf_li")
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag,
-               ROUND(SUM(__disc_price(l_extendedprice, l_discount)), 2)
-                   AS sum_disc_price,
-               ROUND(SUM(__charged(l_extendedprice, l_discount, l_tax)), 2)
-                   AS sum_charged
+               {money.spark_sql_money_sum(
+                   "__disc_price(l_extendedprice, l_discount)",
+                   money.E4,
+                   "sql_udf_pricing",
+               )} AS sum_disc_price,
+               {money.spark_sql_money_sum(
+                   "__charged(l_extendedprice, l_discount, l_tax)",
+                   money.E6,
+                   "sql_udf_pricing",
+               )} AS sum_charged
         FROM __udf_li GROUP BY l_returnflag
         """
     )
@@ -391,10 +418,12 @@ def q_session_variable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"SET VAR __min_ship = TIMESTAMP'{SESSVAR_MIN_SHIP}'")
     read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__var_li")
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag,
                COUNT(*) AS n_lines,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {money.spark_sql_money_sum(
+                   money.SQL_DISC_PRICE_E4, money.E4, "session_variable_agg"
+               )} AS revenue
         FROM __var_li
         WHERE l_shipdate >= __min_ship AND l_discount <= :max_disc
         GROUP BY l_returnflag
@@ -505,14 +534,17 @@ ORACLES: dict[str, str] = {
         FROM events e JOIN s USING (user_id)
         WHERE s.sd > 0 AND ABS((e.value - s.mu) / s.sd) > 3.0
     """,
-    "cube_agg": """
+    "cube_agg": f"""
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n_rows
+               {money.sql_money_sum(money.SQL_EXT_CENTS, money.CENTS)} AS sum_price,
+               COUNT(*) AS n_rows
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    "grouping_sets": """
+    "grouping_sets": f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS spend
+               {money.sql_money_sum(
+                   money.sql_cents("o_totalprice"), money.CENTS
+               )} AS spend
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -522,11 +554,14 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
         FROM lineitem GROUP BY l_returnflag
     """,
-    "scalar_subquery": """
+    "scalar_subquery": f"""
         SELECT o_orderstatus, COUNT(*) AS n_big,
-               ROUND(AVG(o_totalprice), 6) AS avg_big_price
+               ROUND(CAST(SUM({money.sql_cents('o_totalprice')}) AS DOUBLE)
+                     / COUNT(*) / 100.0, 6) AS avg_big_price
         FROM orders
-        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.5 *
+              (SELECT CAST(SUM({money.sql_cents('o_totalprice')}) AS DOUBLE)
+                      / COUNT(*) / 100.0 FROM orders)
         GROUP BY o_orderstatus
     """,
     "exists_correlated": """
@@ -662,27 +697,30 @@ ORACLES: dict[str, str] = {
         WHERE n <= target
         ORDER BY k LIMIT 1
     """,
-    "sql_udf_pricing": """
+    "sql_udf_pricing": f"""
         SELECT l_returnflag,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               {money.sql_money_sum(money.SQL_DISC_PRICE_E4, money.E4)}
                    AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               {money.sql_money_sum(money.SQL_CHARGE_E6, money.E6)}
                    AS sum_charged
         FROM lineitem GROUP BY l_returnflag
     """,
     "session_variable_agg": f"""
         SELECT l_returnflag,
                COUNT(*) AS n_lines,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {money.sql_money_sum(money.SQL_DISC_PRICE_E4, money.E4)} AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP'{SESSVAR_MIN_SHIP}'
           AND l_discount <= {SESSVAR_MAX_DISC}
         GROUP BY l_returnflag
     """,
-    "pipe_syntax_agg": """
+    "pipe_syntax_agg": f"""
         SELECT o_orderpriority, COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price,
-               ROUND(AVG(o_totalprice), 6) AS avg_price
+               {money.sql_money_sum(
+                   money.sql_cents("o_totalprice"), money.CENTS
+               )} AS total_price,
+               ROUND(CAST(SUM({money.sql_cents('o_totalprice')}) AS DOUBLE)
+                     / COUNT(*) / 100.0, 6) AS avg_price
         FROM orders WHERE o_orderstatus = 'F'
         GROUP BY o_orderpriority
         HAVING COUNT(*) > 10

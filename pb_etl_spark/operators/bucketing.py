@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pb_etl_spark.catalog import read_table
+from pb_etl_spark.operators import money
 
 N_BUCKETS = 8
 
@@ -126,7 +127,9 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            money.money_sum(
+                money.cents(F.col("o_totalprice")), money.CENTS, "bucketed_join"
+            ).alias("revenue"),
             F.count_distinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
         )
@@ -139,9 +142,11 @@ QUERIES = {
 
 ORACLES: dict[str, str] = {
     # plain join on the raw parquet — storage layout must not change results
-    "bucketed_join": """
+    "bucketed_join": f"""
         SELECT c.c_mktsegment,
-               ROUND(SUM(o.o_totalprice), 2) AS revenue,
+               {money.sql_money_sum(
+                   money.sql_cents("o.o_totalprice"), money.CENTS
+               )} AS revenue,
                COUNT(DISTINCT o.o_custkey) AS n_customers,
                COUNT(*) AS n_orders
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

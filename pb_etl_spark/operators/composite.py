@@ -16,11 +16,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
+from pb_etl_spark.operators import money
 
 
 def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: filtered 3-way join → grouped revenue → top 10.
-    Filters reach all three scans; the topk is TakeOrderedAndProject."""
+    Filters reach all three scans; the topk is TakeOrderedAndProject.
+    Revenue is an exact integer-grid sum (operators/money.py) — the r10
+    ×10 sweep showed double-product sums drifting a cent cross-engine."""
     cust = read_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -33,7 +36,7 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money.money_sum(money.disc_price_e4(), money.E4, "tpch_q3").alias(
                 "revenue"
             )
         )
@@ -61,7 +64,7 @@ def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money.money_sum(money.disc_price_e4(), money.E4, "tpch_q5").alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -148,21 +151,41 @@ def q_explode_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: one lineitem pass → 8 aggregates per
     (returnflag, linestatus). Partial aggregation (map-side combine) means
-    the shuffle carries ≤ |groups|×|partitions| rows regardless of SF."""
+    the shuffle carries ≤ |groups|×|partitions| rows regardless of SF.
+
+    Money sums run on the exact integer grid (operators/money.py): the
+    r10 ×10 sweep caught sum_charge off by one cent vs DuckDB — the old
+    double-product SUM is order-dependent and its accumulated error
+    crossed a half-cent boundary at 6M rows (sum_charge ≈ 2.8e16 e-6
+    units is already past 2^53). Quantity sums/avgs stay double: they
+    accumulate exact integers far below 2^53, so they were never at
+    risk; the money avgs divide the exact cent sums instead."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02"
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ext_cents = money.money_row(money.cents(F.col("l_extendedprice")))
+    d100 = money.pct100(F.col("l_discount")).cast("decimal(27,0)")
+    n = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money.money_sum(
+                money.cents(F.col("l_extendedprice")), money.CENTS, "tpch_q1"
+            ).alias("sum_base_price"),
+            money.money_sum(money.disc_price_e4(), money.E4, "tpch_q1").alias(
+                "sum_disc_price"
+            ),
+            money.money_sum(money.charge_e6(), money.E6, "tpch_q1").alias(
+                "sum_charge"
+            ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(ext_cents).cast("double") / n / 100.0, 6
+            ).alias("avg_price"),
+            F.round(F.sum(d100).cast("double") / n / 100.0, 6).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -183,8 +206,11 @@ def q_tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            money.money_sum(
+                money.cents(F.col("l_extendedprice"))
+                * money.pct100(F.col("l_discount")),
+                money.E4,
+                "tpch_q6",
             ).alias("revenue")
         )
     )
@@ -207,9 +233,9 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money.money_sum(money.disc_price_e4(), money.E4, "tpch_q10").alias(
+                "revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -253,14 +279,20 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-06-01") & (F.col("l_shipdate") < "1996-09-01")
     )
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact integer numerator/denominator; the two decimal→double casts
+    # are correctly rounded in both engines, so the quotient matches
+    # bit-for-bit at any scale (no half-cent boundary to drift across)
+    e4 = money.money_row(money.disc_price_e4())
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", e4).otherwise(
+            F.lit(0).cast("decimal(27,0)")
+        )
+    )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0))
-                / F.sum(disc_price),
+                F.lit(100.0) * promo.cast("double") / F.sum(e4).cast("double"),
                 6,
             ).alias("promo_revenue_pct")
         )
@@ -319,7 +351,7 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        money.money_sum(money.disc_price_e4(), money.E4, "tpch_q19").alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("n_lines"),
@@ -338,8 +370,14 @@ def q_tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
     )
+    # the threshold must be exact too: a double AVG is order-dependent,
+    # and a boundary customer admitted by one engine but not the other
+    # changes numcust/totacctbal outright
+    bal_cents = money.money_row(money.cents(F.col("c_acctbal")))
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (F.sum(bal_cents).cast("double") / F.count(F.lit(1)) / 100.0).alias(
+            "avg_bal"
+        )
     )
     rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("avg_bal")
@@ -349,7 +387,9 @@ def q_tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money.money_sum(
+                money.cents(F.col("c_acctbal")), money.CENTS, "tpch_q22"
+            ).alias("totacctbal"),
         )
     )
 
@@ -387,9 +427,9 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money.money_sum(money.disc_price_e4(), money.E4, "tpch_q7").alias(
+                "revenue"
+            )
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -405,9 +445,9 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         li.groupBy("l_suppkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
+            money.money_sum(money.disc_price_e4(), money.E4, "tpch_q15").alias(
+                "total_revenue"
+            )
         )
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
@@ -437,7 +477,7 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = money.money_row(money.disc_price_e4())
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -449,8 +489,12 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+                        F.lit(0).cast("decimal(27,0)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -474,7 +518,13 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         li_b.join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(
+                    money.money_row(money.cents(F.col("l_extendedprice")))
+                ).cast("double")
+                / 700.0,
+                2,
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -529,32 +579,37 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
-    "tpch_q1_pricing": """
+    "tpch_q1_pricing": f"""
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               {money.sql_money_sum(money.SQL_EXT_CENTS, money.CENTS)} AS sum_base_price,
+               {money.sql_money_sum(money.SQL_DISC_PRICE_E4, money.E4)} AS sum_disc_price,
+               {money.sql_money_sum(money.SQL_CHARGE_E6, money.E6)} AS sum_charge,
                ROUND(AVG(l_quantity), 6) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 6) AS avg_price,
-               ROUND(AVG(l_discount), 6) AS avg_disc,
+               ROUND(CAST(SUM({money.SQL_EXT_CENTS}) AS DOUBLE)
+                     / COUNT(*) / 100.0, 6) AS avg_price,
+               ROUND(CAST(SUM({money.sql_pct100('l_discount')}) AS DOUBLE)
+                     / COUNT(*) / 100.0, 6) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
-    "tpch_q6_revenue": """
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    "tpch_q6_revenue": f"""
+        SELECT {money.sql_money_sum(
+            money.SQL_EXT_CENTS + " * " + money.sql_pct100("l_discount"),
+            money.E4,
+        )} AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
     """,
-    "tpch_q10_returns": """
+    "tpch_q10_returns": f"""
         SELECT c_custkey, c_name, n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {money.sql_money_sum(money.SQL_DISC_PRICE_E4, money.E4)} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -566,11 +621,11 @@ ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
     """,
-    "tpch_q14_promo": """
-        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END)
-                     / SUM(l_extendedprice * (1 - l_discount)), 6)
+    "tpch_q14_promo": f"""
+        SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                           THEN {money.SQL_DISC_PRICE_E4}
+                                           ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM({money.SQL_DISC_PRICE_E4}) AS DOUBLE), 6)
                    AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-06-01'
@@ -594,33 +649,38 @@ ORACLES: dict[str, str] = {
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC
     """,
-    "tpch_q19_disjunctive": """
-        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    "tpch_q19_disjunctive": f"""
+        SELECT {money.sql_money_sum(money.SQL_DISC_PRICE_E4, money.E4)} AS revenue,
                COUNT(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
            OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 5)
            OR (p_brand = 'Brand#3' AND p_size <= 30)
     """,
-    "tpch_q22_idle_balances": """
+    "tpch_q22_idle_balances": f"""
         SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
                COUNT(*) AS numcust,
-               ROUND(SUM(c_acctbal), 2) AS totacctbal
+               {money.sql_money_sum(
+                   money.sql_cents("c_acctbal"), money.CENTS
+               )} AS totacctbal
         FROM customer c
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
-                           WHERE c_acctbal > 0)
+        WHERE c_acctbal > (SELECT CAST(SUM({money.sql_cents('c_acctbal')})
+                                       AS DOUBLE) / COUNT(*) / 100.0
+                           FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c.c_custkey
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey
     """,
-    "tpch_q7_nation_volume": """
+    "tpch_q7_nation_volume": f"""
         SELECT supp_nation, cust_nation, l_year,
-               ROUND(SUM(volume), 2) AS revenue
+               {money.sql_dollars(
+                   money.sql_cents_of_sum("SUM(volume)", money.E4)
+               )} AS revenue
         FROM (
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                    YEAR(l_shipdate) AS l_year,
-                   l_extendedprice * (1 - l_discount) AS volume
+                   {money.SQL_DISC_PRICE_E4} AS volume
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -633,12 +693,13 @@ ORACLES: dict[str, str] = {
         GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year
     """,
-    "tpch_q8_market_share": """
+    "tpch_q8_market_share": f"""
         SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
-               ROUND(SUM(CASE WHEN sn.n_name = 'NATION_1'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+               ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                                   THEN {money.SQL_DISC_PRICE_E4}
+                                   ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM({money.SQL_DISC_PRICE_E4}) AS DOUBLE), 6)
+                   AS mkt_share
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -652,7 +713,7 @@ ORACLES: dict[str, str] = {
         GROUP BY o_year
         ORDER BY o_year
     """,
-    "tpch_q17_small_qty": """
+    "tpch_q17_small_qty": f"""
         WITH li_b AS (
             SELECT l_partkey, l_quantity, l_extendedprice
             FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -662,15 +723,18 @@ ORACLES: dict[str, str] = {
             SELECT l_partkey, 0.4 * AVG(l_quantity) AS qty_threshold
             FROM li_b GROUP BY l_partkey
         )
-        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        SELECT ROUND(CAST(SUM({money.SQL_EXT_CENTS}) AS DOUBLE) / 700.0, 2)
+                   AS avg_yearly,
                COUNT(*) AS n_lines
         FROM li_b JOIN thresholds USING (l_partkey)
         WHERE l_quantity < qty_threshold
     """,
-    "tpch_q15_top_supplier": """
+    "tpch_q15_top_supplier": f"""
         WITH revenue AS (
             SELECT l_suppkey,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                   {money.sql_money_sum(
+                       money.SQL_DISC_PRICE_E4, money.E4
+                   )} AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -694,9 +758,9 @@ ORACLES: dict[str, str] = {
         ORDER BY totalprice DESC, o_orderkey ASC
         LIMIT 100
     """,
-    "tpch_q3_shipping": """
+    "tpch_q3_shipping": f"""
         SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {money.sql_money_sum(money.SQL_DISC_PRICE_E4, money.E4)} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -707,9 +771,9 @@ ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
     """,
-    "tpch_q5_region_volume": """
+    "tpch_q5_region_volume": f"""
         SELECT n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               {money.sql_money_sum(money.SQL_DISC_PRICE_E4, money.E4)} AS revenue,
                COUNT(*) AS n_items
         FROM lineitem
         JOIN (SELECT o_orderkey FROM orders

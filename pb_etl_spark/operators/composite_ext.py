@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pb_etl_spark.catalog import read_table
+from pb_etl_spark.operators import money
 
 
 def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,10 +74,13 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_retailprice")
     supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
-    )
+    # exact 1e-4-dollar grid: 0.6·retail·qty = 60·retail_cents·qty e4
+    # units (money.py; the r10 ×10 sweep caught the double-product SUM
+    # drifting a cent in 9 groups — profit can be NEGATIVE, so the
+    # sign-aware half-away-from-zero rounding matters here)
+    profit_e4 = money.disc_price_e4() - 60 * money.cents(
+        F.col("p_retailprice")
+    ) * F.col("l_quantity").cast("long")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -85,7 +89,7 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("supp_nation"),
             F.year("l_shipdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(money.money_sum(profit_e4, money.E4, "tpch_q9").alias("sum_profit"))
         .orderBy("supp_nation", F.col("o_year").desc())
     )
 
@@ -146,18 +150,29 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_1"
     )
+    # exact cents·qty sums; the 0.1% threshold is an integer
+    # cross-multiply (v·1000 > total) so no float boundary can admit a
+    # part in one engine and drop it in the other
     val = (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
+        .agg(
+            F.sum(
+                money.money_row(
+                    money.cents(F.col("l_extendedprice"))
+                    * F.col("l_quantity").cast("long")
+                )
+            ).alias("v_c")
+        )
     )
-    threshold = val.agg((F.sum("v") * 0.001).alias("thr"))
+    threshold = val.agg(F.sum("v_c").alias("tot_c"))
     return (
         val.crossJoin(F.broadcast(threshold))
-        .filter(F.col("v") > F.col("thr"))
+        .filter(F.col("v_c") * 1000 > F.col("tot_c"))
         .select(
-            F.col("l_partkey").alias("partkey"), F.round("v", 2).alias("value")
+            F.col("l_partkey").alias("partkey"),
+            money.dollars(F.col("v_c"), "tpch_q11").alias("value"),
         )
         .orderBy(F.col("value").desc(), F.col("partkey").asc())
     )
@@ -271,11 +286,16 @@ ORACLES: dict[str, str] = {
         ORDER BY numwait DESC, s_name ASC
         LIMIT 20
     """,
-    "tpch_q9_product_profit": """
+    "tpch_q9_product_profit": f"""
         SELECT n_name AS supp_nation,
                CAST(YEAR(l_shipdate) AS BIGINT) AS o_year,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)
-                         - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+               {money.sql_money_sum(
+                   money.SQL_DISC_PRICE_E4
+                   + " - 60 * "
+                   + money.sql_cents("p_retailprice")
+                   + " * CAST(l_quantity AS BIGINT)",
+                   money.E4,
+               )} AS sum_profit
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -305,18 +325,21 @@ ORACLES: dict[str, str] = {
         ORDER BY acctbal ASC, p.p_partkey ASC
         LIMIT 100
     """,
-    "tpch_q11_important_parts": """
+    "tpch_q11_important_parts": f"""
         WITH val AS (
-            SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS v
+            SELECT l_partkey,
+                   SUM({money.sql_cents('l_extendedprice')}
+                       * CAST(l_quantity AS BIGINT)) AS v_c
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
             WHERE n_name = 'NATION_1'
             GROUP BY l_partkey
         )
-        SELECT l_partkey AS partkey, ROUND(v, 2) AS value
+        SELECT l_partkey AS partkey,
+               {money.sql_dollars('v_c')} AS value
         FROM val
-        WHERE v > (SELECT SUM(v) * 0.001 FROM val)
+        WHERE v_c * 1000 > (SELECT SUM(v_c) FROM val)
         ORDER BY value DESC, partkey ASC
     """,
     "tpch_q12_priority_lines": """

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
+from pb_etl_spark.operators import money
 
 
 # --------------------------------------------------------------------------
@@ -53,7 +54,14 @@ def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            money.money_sum(
+                money.cents(F.col("l_extendedprice"))
+                * money.pct100(F.col("l_discount")),
+                money.E4,
+                "filter_pushdown",
+            ).alias("revenue")
+        )
     )
 
 
@@ -117,7 +125,14 @@ def q_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(
+                F.sum(
+                    money.cents(F.col("o_totalprice")).cast("decimal(27,0)")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 100.0,
+                2,
+            ).alias("avg_price"),
         )
     )
 
@@ -200,8 +215,8 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_region(li, "l_orderkey")
         .groupBy("r_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money.money_sum(
+                money.disc_price_e4(), money.E4, "star_join_revenue"
             ).alias("revenue")
         )
     )
@@ -226,7 +241,14 @@ def q_global_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        F.round(
+            F.sum(
+                money.pct100(F.col("l_discount")).cast("decimal(27,0)")
+            ).cast("double")
+            / F.count(F.lit(1))
+            / 100.0,
+            6,
+        ).alias("avg_discount"),
     )
 
 
@@ -235,11 +257,23 @@ def q_backtest_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate, tasks.py:436-444, etl.py:23-29): average of a binary actual vs
     average of a bounded forecast score, one output row."""
     orders = read_table(spark, sf_dir, "orders")
+    # both means accumulate exact integers (a 0/1 flag; capped cents) so
+    # the sums are order-independent at any SF; the two final divisions
+    # are correctly-rounded IEEE ops — cross-engine identical
+    n = F.count(F.lit(1))
+    capped = F.least(money.cents(F.col("o_totalprice")), F.lit(50_000_000))
     return orders.agg(
-        F.round(F.avg((F.col("o_orderstatus") == "F").cast("double")), 6).alias("actual"),
-        F.round(F.avg(F.least(F.col("o_totalprice") / 500000.0, F.lit(1.0))), 6).alias(
-            "expected"
-        ),
+        F.round(
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).cast("double")
+            / n,
+            6,
+        ).alias("actual"),
+        F.round(
+            F.sum(capped.cast("decimal(27,0)")).cast("double")
+            / n
+            / 50_000_000.0,
+            6,
+        ).alias("expected"),
     )
 
 
@@ -299,12 +333,21 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money.money_sum(
+                money.cents(F.col("l_extendedprice")), money.CENTS, "groupby_agg"
+            ).alias("sum_base_price"),
+            money.money_sum(
+                money.disc_price_e4(), money.E4, "groupby_agg"
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(
+                    money.pct100(F.col("l_discount")).cast("decimal(27,0)")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 100.0,
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -323,10 +366,17 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (CASE WHEN) aggregation — promo-revenue shape."""
     li = read_table(spark, sf_dir, "lineitem")
-    deep = F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0.0)
+    ext_cents = money.cents(F.col("l_extendedprice"))
+    deep = F.when(F.col("l_discount") > 0.05, ext_cents).otherwise(
+        F.lit(0).cast("long")
+    )
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(deep), 2).alias("deep_discount_revenue"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_revenue"),
+        money.money_sum(deep, money.CENTS, "conditional_agg").alias(
+            "deep_discount_revenue"
+        ),
+        money.money_sum(ext_cents, money.CENTS, "conditional_agg").alias(
+            "total_revenue"
+        ),
     )
 
 
@@ -337,7 +387,9 @@ def q_having_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            money.money_sum(
+                money.cents(F.col("o_totalprice")), money.CENTS, "having_groups"
+            ).alias("spend"),
         )
         .filter(F.col("n_orders") >= 3)
     )
@@ -390,10 +442,17 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # exact integer-cents window sum (a double running sum accumulates
+    # order-dependent error down the partition); the per-customer cent
+    # total stays far inside int64, and cents/100.0 is one
+    # correctly-rounded division — cross-engine identical
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        (
+            F.sum(money.cents(F.col("o_totalprice"))).over(w).cast("double")
+            / 100.0
+        ).alias("running_spend"),
     )
 
 
@@ -475,8 +534,11 @@ ORACLES: dict[str, str] = {
         SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
         FROM lineitem
     """,
-    "filter_pushdown": """
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    "filter_pushdown": f"""
+        SELECT {money.sql_money_sum(
+            money.SQL_EXT_CENTS + " * " + money.sql_pct100("l_discount"),
+            money.E4,
+        )} AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -506,9 +568,9 @@ ORACLES: dict[str, str] = {
         SELECT c_custkey, c_name FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
-    "star_join_revenue": """
+    "star_join_revenue": f"""
         SELECT r_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               {money.sql_money_sum(money.SQL_DISC_PRICE_E4, money.E4)} AS revenue,
                COUNT(DISTINCT l_orderkey) AS n_orders
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -517,17 +579,22 @@ ORACLES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
     """,
-    "global_aggregates": """
+    "global_aggregates": f"""
         SELECT ROUND(MAX(l_quantity), 6) AS max_qty,
                ROUND(MAX(l_extendedprice), 2) AS max_price,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
                COUNT(*) AS n_rows,
-               ROUND(AVG(l_discount), 6) AS avg_discount
+               ROUND(CAST(SUM({money.sql_pct100('l_discount')}) AS DOUBLE)
+                     / COUNT(*) / 100.0, 6) AS avg_discount
         FROM lineitem
     """,
-    "backtest_rates": """
-        SELECT ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6) AS actual,
-               ROUND(AVG(LEAST(o_totalprice / 500000.0, 1.0)), 6) AS expected
+    "backtest_rates": f"""
+        SELECT ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS actual,
+               ROUND(CAST(SUM(LEAST({money.sql_cents('o_totalprice')},
+                                    50000000)) AS DOUBLE)
+                     / COUNT(*) / 50000000.0, 6) AS expected
         FROM orders
     """,
     "maxabs_normalize": """
@@ -544,13 +611,14 @@ ORACLES: dict[str, str] = {
                      / (SELECT STDDEV_SAMP(l_extendedprice) FROM lineitem), 6) AS price_z
         FROM lineitem
     """,
-    "groupby_agg": """
+    "groupby_agg": f"""
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               {money.sql_money_sum(money.SQL_EXT_CENTS, money.CENTS)} AS sum_base_price,
+               {money.sql_money_sum(money.SQL_DISC_PRICE_E4, money.E4)} AS sum_disc_price,
                ROUND(AVG(l_quantity), 6) AS avg_qty,
-               ROUND(AVG(l_discount), 6) AS avg_disc,
+               ROUND(CAST(SUM({money.sql_pct100('l_discount')}) AS DOUBLE)
+                     / COUNT(*) / 100.0, 6) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -562,15 +630,22 @@ ORACLES: dict[str, str] = {
                COUNT(DISTINCT l_suppkey) AS n_supps
         FROM lineitem GROUP BY l_returnflag
     """,
-    "conditional_agg": """
+    "conditional_agg": f"""
         SELECT l_returnflag,
-               ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2)
-                   AS deep_discount_revenue,
-               ROUND(SUM(l_extendedprice), 2) AS total_revenue
+               {money.sql_money_sum(
+                   "CASE WHEN l_discount > 0.05 THEN "
+                   + money.SQL_EXT_CENTS
+                   + " ELSE 0 END",
+                   money.CENTS,
+               )} AS deep_discount_revenue,
+               {money.sql_money_sum(money.SQL_EXT_CENTS, money.CENTS)} AS total_revenue
         FROM lineitem GROUP BY l_returnflag
     """,
-    "having_groups": """
-        SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+    "having_groups": f"""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               {money.sql_money_sum(
+                   money.sql_cents("o_totalprice"), money.CENTS
+               )} AS spend
         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
     """,
     "rollup_agg": """
@@ -590,11 +665,12 @@ ORACLES: dict[str, str] = {
             FROM orders
         ) WHERE rn <= 3
     """,
-    "window_running_sum": """
+    "window_running_sum": f"""
         SELECT o_custkey, o_orderkey,
-               ROUND(SUM(o_totalprice) OVER (
+               CAST(SUM({money.sql_cents('o_totalprice')}) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / 100.0 AS running_spend
         FROM orders
     """,
     "window_lag_delta": """
@@ -632,9 +708,10 @@ ORACLES: dict[str, str] = {
             SELECT o_orderpriority FROM orders WHERE o_totalprice > 400000
         ) GROUP BY o_orderpriority
     """,
-    "stratified_hash_sample": """
+    "stratified_hash_sample": f"""
         SELECT o_orderstatus, COUNT(*) AS n_sampled,
-               ROUND(AVG(o_totalprice), 2) AS avg_price
+               ROUND(CAST(SUM({money.sql_cents('o_totalprice')}) AS DOUBLE)
+                     / COUNT(*) / 100.0, 2) AS avg_price
         FROM orders
         WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) <
               CASE o_orderstatus WHEN 'O' THEN '3333'

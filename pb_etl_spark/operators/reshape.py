@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
+from pb_etl_spark.operators import money
 
 
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,7 +63,12 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         day.cast("long").alias("day_no"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        # exact integer-cents window sum (windowed double sums associate
+        # differently across engines — the trailing_rows_avg rule)
+        (
+            F.sum(money.cents(F.col("o_totalprice"))).over(w).cast("double")
+            / 100.0
+        ).alias("spend_30d"),
         F.count(F.lit(1)).over(w).alias("orders_30d"),
     )
 
@@ -74,7 +80,11 @@ def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(
+        money.money_sum(
+            money.cents(F.col("o_totalprice")), money.CENTS, "monthly_growth"
+        ).alias("revenue")
+    )
     # constant partition key: bounded input (~24 monthly rows) and it
     # silences the unpartitioned-WindowExec warning in the bench tail
     w = W.partitionBy(F.lit(0)).orderBy("month")
@@ -436,10 +446,12 @@ ORACLES: dict[str, str] = {
                CAST(FLOOR(epoch_us(ts) / 60000000) AS BIGINT) AS epoch_min
         FROM events WHERE event_id < 500
     """,
-    "monthly_growth": """
+    "monthly_growth": f"""
         WITH monthly AS (
             SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
-                   ROUND(SUM(o_totalprice), 2) AS revenue
+                   {money.sql_money_sum(
+                       money.sql_cents("o_totalprice"), money.CENTS
+                   )} AS revenue
             FROM orders GROUP BY 1
         )
         SELECT month, revenue,
@@ -476,11 +488,12 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
     """,
-    "window_range_frame": """
+    "window_range_frame": f"""
         SELECT o_orderkey, o_custkey,
                date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
                    AS day_no,
-               ROUND(SUM(o_totalprice) OVER w, 2) AS spend_30d,
+               CAST(SUM({money.sql_cents('o_totalprice')}) OVER w AS DOUBLE)
+                   / 100.0 AS spend_30d,
                COUNT(*) OVER w AS orders_30d
         FROM orders
         WINDOW w AS (

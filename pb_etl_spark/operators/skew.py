@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pb_etl_spark.operators import money
+
 DEFAULT_SALTS = 8
 
 
@@ -81,7 +83,9 @@ def q_skew_salted_join(spark, sf_dir: str):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("segment_spend"),
+            money.money_sum(
+                money.cents(F.col("o_totalprice")), money.CENTS, "skew_salted_join"
+            ).alias("segment_spend"),
         )
     )
 
@@ -94,10 +98,12 @@ ORACLES: dict[str, str] = {
                ROUND(MAX(l_extendedprice), 2) AS max_price
         FROM lineitem GROUP BY l_returnflag
     """,
-    "skew_salted_join": """
+    "skew_salted_join": f"""
         SELECT c_mktsegment,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS segment_spend
+               {money.sql_money_sum(
+                   money.sql_cents("o_totalprice"), money.CENTS
+               )} AS segment_spend
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,

@@ -67,28 +67,43 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      (Duffield-Lund-Thorup, global and per-source) with
 #      Horvitz-Thompson weights, and the pairwise source KS drift
 #      matrix.
-#   4. slots 20-27: the 8 remaining r02-stale names (the TPC-H Q3-Q8
-#      battery + tumbling_window + Q21).
-#   5. slots 28-49: 22 of the 48 r03-stale names, alphabetical
-#      (ab_test_zscore .. histogram_quantiles). Nothing here changed;
-#      this re-pins old greens on current code.
+#   4. slots 20-49: 30 of the 33 queries migrated onto the exact
+#      integer-grid money layer (operators/money.py) — the r10 ×10
+#      value sweep caught ROUND(SUM(double_product), 2) drifting one
+#      cent vs DuckDB (q1/q5/q7/q9), so every money aggregate now sums
+#      exact integers; all 33 re-verified green at sf0.01 AND sf1.0
+#      locally, but the driver should re-pin them. The 5 overflow to
+#      r11 (cube_agg, grouping_sets, pipe_syntax_agg,
+#      session_variable_agg, stratified_hash_sample) are the same
+#      emission layer as in-window sql_udf_pricing / scalar_subquery /
+#      global_aggregates.
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
 # oracle-less sketch/RNG names whose driver check can only report
 # `err: no_oracle`; their hash-checked deterministic twins
 # (kmv_distinct_sketch / bitmap_distinct_counts, ddsketch_quantiles,
 # stratified_hash_sample) carry the correctness evidence instead.
-# r11 head: the 26 r03 overflow names — the 7 displaced from this
-# window by the late global-primitive guard (incremental_agg_maintenance,
-# interval_overlap_join, lang_id_confusion, mad_outlier_stats,
-# media_feature_summary, mixture_resample, monthly_growth) plus the 19
-# never-staged (multi_resolution_rollup, ohlc_hourly, psi_drift,
+# r11 head: (a) the 5 money-layer overflow names (cube_agg,
+# grouping_sets, pipe_syntax_agg, session_variable_agg,
+# stratified_hash_sample); (b) the r02-stale trio displaced by
+# the money block (tpch_q4_priority, tpch_q21_waiting_supplier,
+# tumbling_window); (c) the r03-stale set displaced or never staged
+# (ab_test_zscore, ann_ivf_topk, ann_lsh_topk, ann_pq_topk,
+# attribution_first_touch, bloom_doc_filter, bpe_encode_counts,
+# bpe_train_merges, chi2_independence, cms_token_counts,
+# constraint_check, conversion_latency, cusum_changepoint,
+# dataset_card, dsir_weights, event_streaks, event_transition_matrix,
+# funnel_conversion, gap_fill_resample, histogram_quantiles,
+# incremental_agg_maintenance, interval_overlap_join,
+# lang_id_confusion, mad_outlier_stats, media_feature_summary,
+# mixture_resample, multi_resolution_rollup, ohlc_hourly, psi_drift,
 # rolling_active_users, scd2_merge_orders, sequence_anomaly,
 # source_mix_report, stream_doc_source_counts, stream_ohlc_hourly,
 # strict_funnel, substring_dup_spans, table_checksum, table_profile,
 # time_interpolate, tpch_q12_priority_lines, twap_user_value,
 # variant_extract_agg, vector_quantize, winsorized_stats), then the
-# r04 set.
+# r04 set. (curriculum_buckets and deterministic_shuffle were checked
+# in this window; they drop out of the stale list.)
 _PRIORITY = [
     # -- slots 0-8: changed code (grouped_running_sum map-miss guard;
     #    gini_by_group also: decimal pos_cents + 2^53 raise_error) --
@@ -116,38 +131,42 @@ _PRIORITY = [
     "priority_sample_per_source",
     "priority_sample_topk",
     "source_drift_matrix",
-    # -- slots 20-27: the 8 remaining r02-stale names --
-    "tpch_q21_waiting_supplier",
+    # -- slots 20-21: changed-code global consumers kept from the r03
+    #    block (the map-miss guard re-pin) --
+    "curriculum_buckets",
+    "deterministic_shuffle",
+    # -- slots 22-49: 28 of the 33 exact-money-layer migrations; the 5
+    #    overflow to r11 (cube_agg, grouping_sets, pipe_syntax_agg,
+    #    session_variable_agg, stratified_hash_sample) share their
+    #    emission layer with in-window representatives --
+    "tpch_q1_pricing",
     "tpch_q3_shipping",
-    "tpch_q4_priority",
     "tpch_q5_region_volume",
     "tpch_q6_revenue",
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
-    "tumbling_window",
-    # -- slots 28-49: r03-stale names (22 of 48; 26 overflow to r11) --
-    "ab_test_zscore",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "attribution_first_touch",
-    "bloom_doc_filter",
-    "bpe_encode_counts",
-    "bpe_train_merges",
-    "chi2_independence",
-    "cms_token_counts",
-    "constraint_check",
-    "conversion_latency",
-    "curriculum_buckets",
-    "cusum_changepoint",
-    "dataset_card",
-    "deterministic_shuffle",
-    "dsir_weights",
-    "event_streaks",
-    "event_transition_matrix",
-    "funnel_conversion",
-    "gap_fill_resample",
-    "histogram_quantiles",
+    "tpch_q9_product_profit",
+    "tpch_q10_returns",
+    "tpch_q11_important_parts",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_balances",
+    "filter_pushdown",
+    "star_join_revenue",
+    "global_aggregates",
+    "backtest_rates",
+    "groupby_agg",
+    "conditional_agg",
+    "having_groups",
+    "window_running_sum",
+    "monthly_growth",
+    "window_range_frame",
+    "bucketed_join",
+    "skew_salted_join",
+    "scalar_subquery",
+    "sql_udf_pricing",
 ]
 
 _MODULES = [
