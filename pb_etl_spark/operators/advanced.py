@@ -73,8 +73,8 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # admitted by one engine but not the other changes n_big outright
     cents = money.sql_cents("o_totalprice")
     exact_avg = (
-        f"(CAST(SUM(CAST({cents} AS DECIMAL(27,0))) AS DOUBLE)"
-        " / COUNT(*) / 100.0)"
+        f"(CAST({money.spark_sql_exact_sum(cents, 'scalar_subquery')}"
+        " AS DOUBLE) / COUNT(*) / 100.0)"
     )
     return spark.sql(
         f"""
@@ -354,8 +354,9 @@ def q_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      {money.spark_sql_money_sum(
                          cents, money.CENTS, "pipe_syntax_agg"
                      )} AS total_price,
-                     ROUND(CAST(SUM(CAST({cents} AS DECIMAL(27,0)))
-                                AS DOUBLE) / COUNT(*) / 100.0, 6) AS avg_price
+                     ROUND(CAST({money.spark_sql_exact_sum(
+                         cents, "pipe_syntax_agg"
+                     )} AS DOUBLE) / COUNT(*) / 100.0, 6) AS avg_price
            GROUP BY o_orderpriority
         |> WHERE n_orders > 10
         """
@@ -373,13 +374,13 @@ def q_sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # units) — same inlining demonstration, cross-engine-exact sums
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION __disc_price(p DOUBLE, d DOUBLE) "
-        "RETURNS BIGINT RETURN CAST(ROUND(p*100) AS BIGINT) "
-        "* (100 - CAST(ROUND(d*100) AS BIGINT))"
+        f"RETURNS BIGINT RETURN {money.sql_cents('p')} "
+        f"* (100 - {money.sql_pct100('d')})"
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION __charged(p DOUBLE, d DOUBLE, t DOUBLE) "
         "RETURNS BIGINT RETURN __disc_price(p, d) "
-        "* (100 + CAST(ROUND(t*100) AS BIGINT))"
+        f"* (100 + {money.sql_pct100('t')})"
     )
     read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__udf_li")
     return spark.sql(

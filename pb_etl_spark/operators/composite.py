@@ -163,8 +163,8 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02"
     )
-    ext_cents = money.money_row(money.cents(F.col("l_extendedprice")))
-    d100 = money.pct100(F.col("l_discount")).cast("decimal(27,0)")
+    ext_cents = money.cents(F.col("l_extendedprice"))
+    d100 = money.pct100(F.col("l_discount"))
     n = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -181,11 +181,17 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(
-                F.sum(ext_cents).cast("double") / n / 100.0, 6
+                money.exact_long_sum(ext_cents, "tpch_q1").cast("double")
+                / n
+                / 100.0,
+                6,
             ).alias("avg_price"),
-            F.round(F.sum(d100).cast("double") / n / 100.0, 6).alias(
-                "avg_disc"
-            ),
+            F.round(
+                money.exact_long_sum(d100, "tpch_q1").cast("double")
+                / n
+                / 100.0,
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -282,17 +288,18 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer numerator/denominator; the two decimal→double casts
     # are correctly rounded in both engines, so the quotient matches
     # bit-for-bit at any scale (no half-cent boundary to drift across)
-    e4 = money.money_row(money.disc_price_e4())
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", e4).otherwise(
-            F.lit(0).cast("decimal(27,0)")
-        )
+    e4 = money.disc_price_e4()
+    promo = money.exact_long_sum(
+        F.when(F.col("p_type") == "PROMO", e4).otherwise(F.lit(0)),
+        "tpch_q14",
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
-                F.lit(100.0) * promo.cast("double") / F.sum(e4).cast("double"),
+                F.lit(100.0)
+                * promo.cast("double")
+                / money.exact_long_sum(e4, "tpch_q14").cast("double"),
                 6,
             ).alias("promo_revenue_pct")
         )
@@ -373,11 +380,13 @@ def q_tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the threshold must be exact too: a double AVG is order-dependent,
     # and a boundary customer admitted by one engine but not the other
     # changes numcust/totacctbal outright
-    bal_cents = money.money_row(money.cents(F.col("c_acctbal")))
+    bal_cents = money.cents(F.col("c_acctbal"))
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        (F.sum(bal_cents).cast("double") / F.count(F.lit(1)) / 100.0).alias(
-            "avg_bal"
-        )
+        (
+            money.exact_long_sum(bal_cents, "tpch_q22").cast("double")
+            / F.count(F.lit(1))
+            / 100.0
+        ).alias("avg_bal")
     )
     rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("avg_bal")
@@ -477,7 +486,7 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    vol = money.money_row(money.disc_price_e4())
+    vol = money.disc_price_e4()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -489,12 +498,13 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
-                        F.lit(0).cast("decimal(27,0)")
-                    )
+                money.exact_long_sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_1", vol
+                    ).otherwise(F.lit(0)),
+                    "tpch_q8",
                 ).cast("double")
-                / F.sum(vol).cast("double"),
+                / money.exact_long_sum(vol, "tpch_q8").cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -519,8 +529,8 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
-                F.sum(
-                    money.money_row(money.cents(F.col("l_extendedprice")))
+                money.exact_long_sum(
+                    money.cents(F.col("l_extendedprice")), "tpch_q17"
                 ).cast("double")
                 / 700.0,
                 2,

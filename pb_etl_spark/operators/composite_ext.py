@@ -158,11 +158,10 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
         .agg(
-            F.sum(
-                money.money_row(
-                    money.cents(F.col("l_extendedprice"))
-                    * F.col("l_quantity").cast("long")
-                )
+            money.exact_long_sum(
+                money.cents(F.col("l_extendedprice"))
+                * F.col("l_quantity").cast("long"),
+                "tpch_q11",
             ).alias("v_c")
         )
     )

@@ -43,6 +43,16 @@ from pyspark.sql import functions as F
 # decimal(27,0) rows let the SUM grow to decimal(37,0)+ exactly.
 _ROW_DEC = "decimal(27,0)"
 _LIM = 2**53  # largest integer band where every long is an exact double
+# Split-accumulator radix: per-row integer money values e split into
+# (e div 1e8, e mod 1e8) and each half sums in PRIMITIVE LONGS (the
+# whole-stage-codegen fast path — a decimal(27,0) SUM leaves it for
+# BigDecimal aggregation and measured 1.5-2.7x slower on the q1-shaped
+# aggregates at sf0.1). Overflow margins at 100 TB lineitem volumes:
+# |Σlo| ≤ n·(1e8−1) wraps past n ≈ 9.2e10 rows PER GROUP (15x margin
+# over a 6e9-row fact), |Σhi| ≤ n·1200 is unreachable — and both
+# halves use try_sum, so an overflow surfaces as a loud raise, never a
+# silent wrap.
+_SPLIT = 100_000_000
 
 #: unit constants — how many integer steps make one cent
 CENTS = 1  # plain 2dp columns (l_extendedprice, o_totalprice, ...)
@@ -51,18 +61,59 @@ E6 = 10_000  # cents x pct100 x pct100 (x (1 + tax))
 
 
 def cents(col: Column) -> Column:
-    """2dp money column -> exact integer cents."""
-    return F.round(col * 100).cast("long")
+    """2dp money column -> exact integer cents.
+
+    FLOOR(x*100 + 0.5), not ROUND(x*100): Spark's ROUND on double goes
+    through BigDecimal per row (measured 2x the whole aggregate's cost
+    on q1-shaped scans), while floor is a single codegen'd Math.floor.
+    On the fixture grids x*100 is within ~1e-7 of the true integer v
+    (for EITHER sign), so x*100 + 0.5 lies strictly inside
+    (v + 0.5 - eps, v + 0.5 + eps) ⊂ (v, v+1) and floor recovers v
+    exactly — equivalent to the round lift on every grid value, pinned
+    in tests."""
+    return F.floor(col * 100 + 0.5).cast("long")
 
 
 def pct100(col: Column) -> Column:
-    """0.01-grid rate column (discount, tax) -> integer hundredths."""
-    return F.round(col * 100).cast("long")
+    """0.01-grid rate column (discount, tax) -> integer hundredths
+    (same floor lift as ``cents``)."""
+    return F.floor(col * 100 + 0.5).cast("long")
 
 
 def money_row(expr: Column) -> Column:
-    """Integer money product, widened for exact summation."""
+    """Integer money product, widened for exact summation (the decimal
+    slow path — prefer ``exact_long_sum`` in aggregates)."""
     return expr.cast(_ROW_DEC)
+
+
+def exact_long_sum(expr: Column, label: str = "money_sum") -> Column:
+    """EXACT sum of an integer money expression as decimal(38,0),
+    without a decimal aggregate in the hot path: the per-row value
+    splits into (hi, lo) at radix 1e8, both halves sum as primitive
+    longs under ``try_sum`` (loud NULL on int64 overflow instead of a
+    silent wrap), and the halves recombine in decimal on the
+    already-aggregated frame. Value-identical to SUM(CAST(e AS
+    DECIMAL(27,0))) — pinned in tests — at the speed of a plain long
+    sum.
+
+    Precondition: |expr| < 2^53 per row (every grid product here is
+    ≤ ~1.2e11), so ``(e - e % S) / S`` is an exact double division
+    with an exact integer quotient; ``%`` carries the dividend's sign,
+    so negative rows (profit, balances) split consistently."""
+    lo = expr % _SPLIT
+    hi = ((expr - lo) / _SPLIT).cast("long")
+    hi_s, lo_s = F.try_sum(hi), F.try_sum(lo)
+    overflow = (F.count(expr) > 0) & (hi_s.isNull() | lo_s.isNull())
+    total = hi_s.cast("decimal(38,0)") * _SPLIT + lo_s.cast("decimal(38,0)")
+    return F.when(
+        overflow,
+        F.raise_error(
+            F.lit(
+                f"{label}: int64 overflow in split money sum — widen "
+                "this aggregate to the decimal path"
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(total)
 
 
 def cents_of_sum(sum_expr: Column, unit: int) -> Column:
@@ -98,7 +149,7 @@ def dollars(cents_expr: Column, label: str = "money_sum") -> Column:
 def money_sum(expr: Column, unit: int, label: str = "money_sum") -> Column:
     """SUM an integer money expression exactly and emit 2dp dollars —
     the drop-in replacement for ROUND(SUM(double_product), 2)."""
-    return dollars(cents_of_sum(F.sum(money_row(expr)), unit), label)
+    return dollars(cents_of_sum(exact_long_sum(expr, label), unit), label)
 
 
 # ---------------------------------------------------------------- SQL —
@@ -108,7 +159,10 @@ def money_sum(expr: Column, unit: int, label: str = "money_sum") -> Column:
 
 
 def sql_cents(col: str) -> str:
-    return f"CAST(ROUND({col}*100) AS BIGINT)"
+    # same floor lift as the Column version; parses identically in
+    # Spark SQL (where ROUND(double) would be the per-row BigDecimal
+    # cost) and DuckDB (where either form is cheap)
+    return f"CAST(FLOOR({col}*100 + 0.5) AS BIGINT)"
 
 
 sql_pct100 = sql_cents  # same 0.01-grid lift
@@ -142,7 +196,7 @@ def spark_sql_money_sum(expr: str, unit: int, label: str) -> str:
     correctly-rounded division. ``sql_cents``/``sql_pct100`` strings are
     dialect-shared (ROUND/CAST parse identically in Spark and DuckDB);
     only this SUM wrapper differs."""
-    s = f"SUM(CAST({expr} AS DECIMAL(27,0)))"
+    s = spark_sql_exact_sum(expr, label)
     if unit == 1:
         c = s
     else:
@@ -153,6 +207,23 @@ def spark_sql_money_sum(expr: str, unit: int, label: str) -> str:
         f"(CASE WHEN ABS({c}) >= {_LIM} THEN CAST(RAISE_ERROR("
         f"'{label}: cent total >= 2^53 — double dollars would drift "
         f"silently') AS DOUBLE) ELSE CAST({c} AS DOUBLE) END / 100.0)"
+    )
+
+
+def spark_sql_exact_sum(expr: str, label: str) -> str:
+    """Spark-SQL-dialect twin of ``exact_long_sum``: split-radix
+    primitive-long TRY_SUMs recombined in decimal, loud on overflow."""
+    hi = f"TRY_SUM(({expr}) DIV {_SPLIT})"
+    lo = f"TRY_SUM(({expr}) % {_SPLIT})"
+    total = (
+        f"(CAST({hi} AS DECIMAL(38,0)) * {_SPLIT}"
+        f" + CAST({lo} AS DECIMAL(38,0)))"
+    )
+    return (
+        f"(CASE WHEN COUNT({expr}) > 0"
+        f" AND ({hi} IS NULL OR {lo} IS NULL)"
+        f" THEN CAST(RAISE_ERROR('{label}: int64 overflow in split "
+        f"money sum') AS DECIMAL(38,0)) ELSE {total} END)"
     )
 
 

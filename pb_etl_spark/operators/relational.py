@@ -126,8 +126,9 @@ def q_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
             F.round(
-                F.sum(
-                    money.cents(F.col("o_totalprice")).cast("decimal(27,0)")
+                money.exact_long_sum(
+                    money.cents(F.col("o_totalprice")),
+                    "stratified_hash_sample",
                 ).cast("double")
                 / F.count(F.lit(1))
                 / 100.0,
@@ -242,8 +243,8 @@ def q_global_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
         F.round(
-            F.sum(
-                money.pct100(F.col("l_discount")).cast("decimal(27,0)")
+            money.exact_long_sum(
+                money.pct100(F.col("l_discount")), "global_aggregates"
             ).cast("double")
             / F.count(F.lit(1))
             / 100.0,
@@ -269,7 +270,7 @@ def q_backtest_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("actual"),
         F.round(
-            F.sum(capped.cast("decimal(27,0)")).cast("double")
+            money.exact_long_sum(capped, "backtest_rates").cast("double")
             / n
             / 50_000_000.0,
             6,
@@ -341,8 +342,8 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(
-                F.sum(
-                    money.pct100(F.col("l_discount")).cast("decimal(27,0)")
+                money.exact_long_sum(
+                    money.pct100(F.col("l_discount")), "groupby_agg"
                 ).cast("double")
                 / F.count(F.lit(1))
                 / 100.0,

@@ -72,6 +72,28 @@ def test_sql_leg_matches_spark_leg_rowwise(spark):
         assert duck == spark_out[s], (s, duck, spark_out[s])
 
 
+def test_floor_lift_equals_round_lift_on_every_fixture_grid_value(spark):
+    """cents() uses FLOOR(x*100+0.5) for codegen speed; it must recover
+    the same integer as ROUND(x*100) on every actual grid value in the
+    fixture — including NEGATIVE balances, where floor vs round
+    semantics could diverge off-grid."""
+    from pb_etl_spark.catalog import read_table
+    from tests.conftest import SF_DIR
+
+    for table, col in [
+        ("lineitem", "l_extendedprice"),
+        ("lineitem", "l_discount"),
+        ("lineitem", "l_tax"),
+        ("customer", "c_acctbal"),  # negative values present
+        ("orders", "o_totalprice"),
+    ]:
+        df = read_table(spark, SF_DIR, table)
+        bad = df.filter(
+            money.cents(F.col(col)) != F.round(F.col(col) * 100).cast("long")
+        ).count()
+        assert bad == 0, f"{table}.{col}: floor lift diverges on {bad} rows"
+
+
 def test_money_sum_aggregates_exactly(spark):
     """money_sum over rows == the python integer model, and the decimal
     widening means no silent int64 wrap on per-row products."""
@@ -83,6 +105,37 @@ def test_money_sum_aggregates_exactly(spark):
         money.money_sum(F.col("c") * F.col("m"), money.E4).alias("v")
     ).collect()[0]["v"]
     assert got == want
+
+
+def test_exact_long_sum_matches_decimal_sum_with_negatives(spark):
+    """The split-radix primitive-long path must be value-identical to
+    the decimal aggregate it replaces, including sign-mixed rows (the
+    q9 profit shape) and values straddling the 1e8 radix."""
+    rows = [
+        (123_456_789_012,),
+        (-99_999_999,),
+        (100_000_000,),
+        (-100_000_001,),
+        (7,),
+        (-123_456_789_012,),
+        (42_000_000_123,),
+    ]
+    df = spark.createDataFrame(rows, "e long")
+    dec = df.agg(F.sum(F.col("e").cast("decimal(27,0)")).alias("s")).collect()[
+        0
+    ]["s"]
+    split = df.agg(money.exact_long_sum(F.col("e")).alias("s")).collect()[0][
+        "s"
+    ]
+    assert split == dec == sum(r[0] for r in rows)
+    # the plan must stay on primitive-long partials: no decimal SUM
+    plan = (
+        df.agg(money.exact_long_sum(F.col("e")).alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "sum(" not in plan.lower() or "try_sum" in plan.lower()
 
 
 def test_dollars_guard_raises_past_2_53(spark):
