@@ -39,9 +39,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Per-row product headroom: cents(1e7) * pct(110) * pct(110) ≈ 1.2e11;
-# decimal(27,0) rows let the SUM grow to decimal(37,0)+ exactly.
-_ROW_DEC = "decimal(27,0)"
 _LIM = 2**53  # largest integer band where every long is an exact double
 # Split-accumulator radix: per-row integer money values e split into
 # (e div 1e8, e mod 1e8) and each half sums in PRIMITIVE LONGS (the
@@ -78,12 +75,6 @@ def pct100(col: Column) -> Column:
     """0.01-grid rate column (discount, tax) -> integer hundredths
     (same floor lift as ``cents``)."""
     return F.floor(col * 100 + 0.5).cast("long")
-
-
-def money_row(expr: Column) -> Column:
-    """Integer money product, widened for exact summation (the decimal
-    slow path — prefer ``exact_long_sum`` in aggregates)."""
-    return expr.cast(_ROW_DEC)
 
 
 def exact_long_sum(expr: Column, label: str = "money_sum") -> Column:
