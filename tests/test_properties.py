@@ -311,3 +311,33 @@ def test_two_sample_rank_tests_equal_python_model(spark, cells):
     assert (r["n_a"], r["n_b"], r["ks_d_num"]) == (n_a, n_b, d_num)
     assert r["mw_u1"] == u_brute
     assert abs(r["ks_d"] - d_num / (n_a * n_b)) < 1e-9
+
+
+@given(
+    rows=st.lists(
+        # the money-grid product envelope: |e| up to ~1.2e11 per row,
+        # sign-mixed (q9 profit), values straddling the 1e8 split radix
+        st.integers(min_value=-(2**47), max_value=2**47),
+        min_size=0,
+        max_size=80,
+    ),
+)
+@settings(**SETTINGS)
+def test_exact_long_sum_equals_python_integer_sum(spark, rows):
+    """money.exact_long_sum (split-radix primitive-long try_sums
+    recombined in decimal) must equal Python's arbitrary-precision sum
+    on arbitrary sign-mixed longs — the property behind every money
+    aggregate; empty input must yield NULL, never a spurious overflow
+    raise."""
+    from pb_etl_spark.operators import money
+
+    df = spark.createDataFrame(
+        [(int(v),) for v in rows], "e long"
+    )
+    got = df.agg(money.exact_long_sum(F.col("e")).alias("s")).collect()[0][
+        "s"
+    ]
+    if not rows:
+        assert got is None
+    else:
+        assert int(got) == sum(rows)
