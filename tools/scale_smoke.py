@@ -71,6 +71,11 @@ SMOKE = [
     # partition + per-(pid, group) offsets), full-fact and compacted,
     # plus the three queries migrated onto it off low-cardinality
     # keyed windows
+    # round-10 additions: the two biggest exact-money-layer consumers
+    # beyond q1 (already above) — grouped and star-join money sums on
+    # the new split-radix primitive
+    "star_join_revenue",
+    "groupby_agg",
     "grouped_running_revenue",
     "grouped_quantiles_exact",
     "exact_stratified_split",
