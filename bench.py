@@ -167,6 +167,34 @@ def calibrate(spark, sf_dir: str, n: int = 5) -> float:
     return round(best, 4)
 
 
+def calibrate_shuffle(spark, n: int = 5) -> float:
+    """Second anchor: a FIXED fixture-independent multi-stage workload
+    (range → hash-partitioned groupBy → sorted grouped window → 1-row
+    agg: two exchanges, three stages). The scan anchor is blind to
+    multi-stage scheduling ambience — r09's driver bench moved 45
+    queries >1.3× wholesale while the scan anchor moved the OPPOSITE
+    way, and the r10 local runs repeated the pattern — so cross-round
+    adjudication gets a scheduling-floor drift signal too."""
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        (
+            spark.range(2_000_000)
+            .selectExpr("id % 1024 AS k", "id % 7 AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .withColumnRenamed("sum(v)", "s")
+            .selectExpr(
+                "s",
+                "row_number() OVER (PARTITION BY k % 32 ORDER BY k) AS rn",
+            )
+            .selectExpr("max(s + rn)")
+            .collect()
+        )
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def prior_slowest(n: int = 3) -> list[str]:
     """Names of the ``n`` slowest queries from the latest BENCH_r*.json
     next to this script (empty if none exists yet)."""
@@ -213,6 +241,12 @@ def main() -> None:
     # manufacture wholesale fake regressions in bench_compare.
     calib = calibrate(spark, sf_dir)
     print(f"# calib_scan_s: {calib:.4f}s", file=sys.stderr)
+    # the shuffle anchor runs at the same fixed point; r10 and earlier
+    # rounds have no recorded value (bench_compare treats it as
+    # optional), so its protocol position only needs to be stable from
+    # r10 onward
+    calib_shuffle = calibrate_shuffle(spark)
+    print(f"# calib_shuffle_s: {calib_shuffle:.4f}s", file=sys.stderr)
 
     # ... THEN the 3 slowest prior-round queries, once each, untimed
     # (r04 verdict directive #7): the heaviest plans exercise the widest
@@ -255,6 +289,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "calib_scan_s": calib,
+                "calib_shuffle_s": calib_shuffle,
             }
         )
     )

@@ -60,7 +60,8 @@ def load(path: str) -> dict:
     for k in ("n", "rc", "cpus"):
         pairs.pop(k, None)
     scalars = {
-        k: float(pairs.pop(k)) for k in ("value", "sf", "calib_scan_s")
+        k: float(pairs.pop(k))
+        for k in ("value", "sf", "calib_scan_s", "calib_shuffle_s")
         if k in pairs
     }
     if not pairs:
@@ -99,6 +100,15 @@ def main() -> int:
             )
     else:
         print("no calib_scan_s anchor in both files; raw comparison")
+    if base.get("calib_shuffle_s") and cur.get("calib_shuffle_s"):
+        sh = cur["calib_shuffle_s"] / base["calib_shuffle_s"]
+        print(
+            f"scheduling-floor anchor: {base['calib_shuffle_s']:.4f}s -> "
+            f"{cur['calib_shuffle_s']:.4f}s (drift {sh:.2f}x — NOT used "
+            f"to normalize; a shuffle drift far above the scan drift "
+            f"means multi-stage queries moved with the host, not the "
+            f"code: the r09 wholesale-mover pattern)"
+        )
     regressions = []
     slowdowns = []  # true timing regressions only (not removals)
     for name, t0 in sorted(bq.items()):
