@@ -16,9 +16,11 @@ aggregate shares one audited implementation:
 - every 2dp money column and 0.01-grid rate column is lifted to exact
   integers (``cents``/``pct100``: the fixture grids are exact — max
   |x*100 − round(x*100)| ≈ 1e-9 across all money columns);
-- per-row products stay within int64 (≤ ~1.2e11) but are cast to
-  decimal(27,0) BEFORE the SUM so the aggregate is exact at any scale
-  (a silent int64 wrap at ~9.2e18 is the alternative);
+- per-row products stay within int64 (≤ ~1.2e11) and SUM exactly at
+  any scale via the split-radix ``exact_long_sum`` (two primitive-long
+  ``try_sum`` halves recombined in decimal — loud raise on overflow,
+  never a silent int64 wrap, and no BigDecimal aggregate in the hot
+  path);
 - rounding to whole cents is half-away-from-zero in pure integer
   arithmetic (never ROUND(double) — the cross-engine cent-drift rule),
   sign-handled explicitly so Spark decimal FLOOR and DuckDB hugeint
@@ -181,12 +183,12 @@ def sql_money_sum(expr: str, unit: int) -> str:
 def spark_sql_money_sum(expr: str, unit: int, label: str) -> str:
     """Spark-SQL-dialect twin of ``money_sum`` for queries whose Spark
     leg IS a SQL string (grouping sets, pipe syntax, SQL UDFs, session
-    variables). Same exact semantics: decimal SUM, integer
+    variables). Same exact semantics: split-radix exact sum, integer
     half-away-from-zero cent rounding (FLOOR on the sign-normalized
     magnitude — Spark has no hugeint ``//``), 2^53 guard, one final
     correctly-rounded division. ``sql_cents``/``sql_pct100`` strings are
-    dialect-shared (ROUND/CAST parse identically in Spark and DuckDB);
-    only this SUM wrapper differs."""
+    dialect-shared (FLOOR/CAST parse identically in Spark and DuckDB);
+    only the SUM wrapper differs."""
     s = spark_sql_exact_sum(expr, label)
     if unit == 1:
         c = s
@@ -218,10 +220,11 @@ def spark_sql_exact_sum(expr: str, label: str) -> str:
     )
 
 
-# Common row expressions, shared verbatim by many oracles:
+# Common row expressions, shared verbatim by many oracles AND by the
+# Spark-SQL query legs (so the rate lifts use the same cheap floor form)
 SQL_EXT_CENTS = sql_cents("l_extendedprice")
-SQL_DISC100 = "(100 - CAST(ROUND(l_discount*100) AS BIGINT))"
-SQL_TAX100 = "(100 + CAST(ROUND(l_tax*100) AS BIGINT))"
+SQL_DISC100 = f"(100 - {sql_pct100('l_discount')})"
+SQL_TAX100 = f"(100 + {sql_pct100('l_tax')})"
 SQL_DISC_PRICE_E4 = f"{SQL_EXT_CENTS} * {SQL_DISC100}"
 SQL_CHARGE_E6 = f"{SQL_EXT_CENTS} * {SQL_DISC100} * {SQL_TAX100}"
 
