@@ -72,10 +72,11 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cent sums — a double AVG is order-dependent, and a boundary order
     # admitted by one engine but not the other changes n_big outright
     cents = money.sql_cents("o_totalprice")
-    exact_avg = (
-        f"(CAST({money.spark_sql_exact_sum(cents, 'scalar_subquery')}"
-        " AS DOUBLE) / COUNT(*) / 100.0)"
+    guarded_sum = money.spark_sql_exact_double(
+        money.spark_sql_exact_sum(cents, "scalar_subquery"),
+        "scalar_subquery",
     )
+    exact_avg = f"({guarded_sum} / COUNT(*) / 100.0)"
     return spark.sql(
         f"""
         SELECT o_orderstatus, COUNT(*) AS n_big,
@@ -346,6 +347,10 @@ def q_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     demonstrating the surface is syntax, not a new engine path."""
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("__pipe_orders")
     cents = money.sql_cents("o_totalprice")
+    guarded_sum = money.spark_sql_exact_double(
+        money.spark_sql_exact_sum(cents, "pipe_syntax_agg"),
+        "pipe_syntax_agg",
+    )
     return spark.sql(
         f"""
         FROM __pipe_orders
@@ -354,9 +359,7 @@ def q_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      {money.spark_sql_money_sum(
                          cents, money.CENTS, "pipe_syntax_agg"
                      )} AS total_price,
-                     ROUND(CAST({money.spark_sql_exact_sum(
-                         cents, "pipe_syntax_agg"
-                     )} AS DOUBLE) / COUNT(*) / 100.0, 6) AS avg_price
+                     ROUND({guarded_sum} / COUNT(*) / 100.0, 6) AS avg_price
            GROUP BY o_orderpriority
         |> WHERE n_orders > 10
         """

@@ -181,13 +181,17 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(
-                money.exact_long_sum(ext_cents, "tpch_q1").cast("double")
+                money.exact_double(
+                    money.exact_long_sum(ext_cents, "tpch_q1"), "tpch_q1"
+                )
                 / n
                 / 100.0,
                 6,
             ).alias("avg_price"),
             F.round(
-                money.exact_long_sum(d100, "tpch_q1").cast("double")
+                money.exact_double(
+                    money.exact_long_sum(d100, "tpch_q1"), "tpch_q1"
+                )
                 / n
                 / 100.0,
                 6,
@@ -298,8 +302,10 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100.0)
-                * promo.cast("double")
-                / money.exact_long_sum(e4, "tpch_q14").cast("double"),
+                * money.exact_double(promo, "tpch_q14")
+                / money.exact_double(
+                    money.exact_long_sum(e4, "tpch_q14"), "tpch_q14"
+                ),
                 6,
             ).alias("promo_revenue_pct")
         )
@@ -383,7 +389,9 @@ def q_tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     bal_cents = money.cents(F.col("c_acctbal"))
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         (
-            money.exact_long_sum(bal_cents, "tpch_q22").cast("double")
+            money.exact_double(
+                money.exact_long_sum(bal_cents, "tpch_q22"), "tpch_q22"
+            )
             / F.count(F.lit(1))
             / 100.0
         ).alias("avg_bal")
@@ -498,13 +506,18 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
-                money.exact_long_sum(
-                    F.when(
-                        F.col("supp_nation") == "NATION_1", vol
-                    ).otherwise(F.lit(0)),
+                money.exact_double(
+                    money.exact_long_sum(
+                        F.when(
+                            F.col("supp_nation") == "NATION_1", vol
+                        ).otherwise(F.lit(0)),
+                        "tpch_q8",
+                    ),
                     "tpch_q8",
-                ).cast("double")
-                / money.exact_long_sum(vol, "tpch_q8").cast("double"),
+                )
+                / money.exact_double(
+                    money.exact_long_sum(vol, "tpch_q8"), "tpch_q8"
+                ),
                 6,
             ).alias("mkt_share")
         )
@@ -529,9 +542,12 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
-                money.exact_long_sum(
-                    money.cents(F.col("l_extendedprice")), "tpch_q17"
-                ).cast("double")
+                money.exact_double(
+                    money.exact_long_sum(
+                        money.cents(F.col("l_extendedprice")), "tpch_q17"
+                    ),
+                    "tpch_q17",
+                )
                 / 700.0,
                 2,
             ).alias("avg_yearly"),

@@ -58,6 +58,34 @@ CENTS = 1  # plain 2dp columns (l_extendedprice, o_totalprice, ...)
 E4 = 100  # cents x pct100 products (price x (1 - discount))
 E6 = 10_000  # cents x pct100 x pct100 (x (1 + tax))
 
+#: Opt-in debug assertion that lifted columns really sit on the 2dp
+#: grid. The floor lift recovers the integer only when x is within
+#: ~±0.005 of a grid point — true of every fixture column (pinned in
+#: tests) and of the reference's money semantics, but a 3dp price fed
+#: to ``cents`` would silently mis-grid. Flip this on (e.g. in a test
+#: or a validation run) to make such a column fail loudly per-row
+#: instead; default off so the hot path stays a single Math.floor.
+GRID_CHECK = False
+_GRID_EPS = 0.005  # |x*100 - nearest int| beyond this = off-grid
+
+
+def _grid_lift(col: Column, label: str) -> Column:
+    """Shared floor lift for ``cents``/``pct100``; applies the off-grid
+    raise when ``GRID_CHECK`` is on."""
+    lifted = F.floor(col * 100 + 0.5).cast("long")
+    if not GRID_CHECK:
+        return lifted
+    off = F.abs(col * 100 - lifted.cast("double")) > _GRID_EPS
+    return F.when(
+        off,
+        F.raise_error(
+            F.lit(
+                f"{label}: value off the 0.01 grid — the integer lift "
+                "would silently mis-grid; widen the grid or pre-round"
+            )
+        ).cast("long"),
+    ).otherwise(lifted)
+
 
 def cents(col: Column) -> Column:
     """2dp money column -> exact integer cents.
@@ -69,14 +97,15 @@ def cents(col: Column) -> Column:
     (for EITHER sign), so x*100 + 0.5 lies strictly inside
     (v + 0.5 - eps, v + 0.5 + eps) ⊂ (v, v+1) and floor recovers v
     exactly — equivalent to the round lift on every grid value, pinned
-    in tests."""
-    return F.floor(col * 100 + 0.5).cast("long")
+    in tests. Precondition (documented in the module docstring, loudly
+    checkable via ``GRID_CHECK``): inputs sit on the 0.01 grid."""
+    return _grid_lift(col, "cents")
 
 
 def pct100(col: Column) -> Column:
     """0.01-grid rate column (discount, tax) -> integer hundredths
-    (same floor lift as ``cents``)."""
-    return F.floor(col * 100 + 0.5).cast("long")
+    (same floor lift — and same grid precondition — as ``cents``)."""
+    return _grid_lift(col, "pct100")
 
 
 def exact_long_sum(expr: Column, label: str = "money_sum") -> Column:
@@ -120,23 +149,32 @@ def cents_of_sum(sum_expr: Column, unit: int) -> Column:
     return F.when(sum_expr < 0, -mag).otherwise(mag)
 
 
-def dollars(cents_expr: Column, label: str = "money_sum") -> Column:
-    """Whole-cent integer -> dollars double. The cast is exact below
-    2^53 and the /100.0 is one correctly-rounded IEEE op; beyond 2^53
-    the emitted dollars could silently drift from the true cent total,
-    so fail loudly instead (NULL inputs — empty ungrouped aggregates —
-    stay NULL: the >= comparison is null-safe-false)."""
-    guarded = F.when(
-        F.abs(cents_expr.cast("decimal(38,0)"))
+def exact_double(sum_expr: Column, label: str = "money_sum") -> Column:
+    """Exact integer aggregate -> double, loud past 2^53 — the ONE gate
+    every exact-sum-to-float emission must pass: ``dollars`` for money
+    totals, and the average/ratio paths (``exact_long_sum(...)`` divided
+    by a count or another sum) directly. The cast is exact below 2^53;
+    beyond it the emitted double could silently drift from the true
+    integer by ~1 ulp, so fail loudly instead (NULL inputs — empty
+    ungrouped aggregates — stay NULL: the >= comparison is
+    null-safe-false)."""
+    return F.when(
+        F.abs(sum_expr.cast("decimal(38,0)"))
         >= F.lit(_LIM).cast("decimal(38,0)"),
         F.raise_error(
             F.lit(
-                f"{label}: cent total >= 2^53 — double dollars would "
-                "drift silently; emit cents instead"
+                f"{label}: exact total >= 2^53 — a double emission "
+                "would drift silently; emit the integer instead"
             )
         ).cast("double"),
-    ).otherwise(cents_expr.cast("double"))
-    return guarded / 100.0
+    ).otherwise(sum_expr.cast("double"))
+
+
+def dollars(cents_expr: Column, label: str = "money_sum") -> Column:
+    """Whole-cent integer -> dollars double: the 2^53-guarded exact
+    cast (``exact_double``) followed by one correctly-rounded IEEE
+    division."""
+    return exact_double(cents_expr, label) / 100.0
 
 
 def money_sum(expr: Column, unit: int, label: str = "money_sum") -> Column:
@@ -172,8 +210,22 @@ def sql_cents_of_sum(sum_expr: str, unit: int) -> str:
     )
 
 
+def sql_exact_double(sum_expr: str) -> str:
+    """DuckDB-dialect twin of ``exact_double``: hugeint -> double with
+    the same loud 2^53 guard, so the oracle's fidelity contract is
+    symmetric with the Spark leg (before this guard, a past-2^53 oracle
+    silently emitted a correctly-rounded-but-inexact double and failure
+    was loud only because the Spark leg raised first)."""
+    return (
+        f"(CASE WHEN ABS({sum_expr}) >= {_LIM} "
+        f"THEN CAST(error('money: exact total >= 2^53 — a double "
+        f"emission would drift silently') AS DOUBLE) "
+        f"ELSE CAST({sum_expr} AS DOUBLE) END)"
+    )
+
+
 def sql_dollars(cents_expr: str) -> str:
-    return f"(CAST({cents_expr} AS DOUBLE) / 100.0)"
+    return f"({sql_exact_double(cents_expr)} / 100.0)"
 
 
 def sql_money_sum(expr: str, unit: int) -> str:
@@ -200,6 +252,17 @@ def spark_sql_money_sum(expr: str, unit: int, label: str) -> str:
         f"(CASE WHEN ABS({c}) >= {_LIM} THEN CAST(RAISE_ERROR("
         f"'{label}: cent total >= 2^53 — double dollars would drift "
         f"silently') AS DOUBLE) ELSE CAST({c} AS DOUBLE) END / 100.0)"
+    )
+
+
+def spark_sql_exact_double(expr: str, label: str) -> str:
+    """Spark-SQL-dialect twin of ``exact_double``: 2^53-guarded exact
+    integer -> double, for SQL-leg averages/ratios."""
+    return (
+        f"(CASE WHEN ABS(CAST({expr} AS DECIMAL(38,0))) >= {_LIM} "
+        f"THEN CAST(RAISE_ERROR('{label}: exact total >= 2^53 — a "
+        f"double emission would drift silently') AS DOUBLE) "
+        f"ELSE CAST({expr} AS DOUBLE) END)"
     )
 
 

@@ -126,10 +126,13 @@ def q_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
             F.round(
-                money.exact_long_sum(
-                    money.cents(F.col("o_totalprice")),
+                money.exact_double(
+                    money.exact_long_sum(
+                        money.cents(F.col("o_totalprice")),
+                        "stratified_hash_sample",
+                    ),
                     "stratified_hash_sample",
-                ).cast("double")
+                )
                 / F.count(F.lit(1))
                 / 100.0,
                 2,
@@ -243,9 +246,12 @@ def q_global_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
         F.round(
-            money.exact_long_sum(
-                money.pct100(F.col("l_discount")), "global_aggregates"
-            ).cast("double")
+            money.exact_double(
+                money.exact_long_sum(
+                    money.pct100(F.col("l_discount")), "global_aggregates"
+                ),
+                "global_aggregates",
+            )
             / F.count(F.lit(1))
             / 100.0,
             6,
@@ -270,7 +276,10 @@ def q_backtest_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("actual"),
         F.round(
-            money.exact_long_sum(capped, "backtest_rates").cast("double")
+            money.exact_double(
+                money.exact_long_sum(capped, "backtest_rates"),
+                "backtest_rates",
+            )
             / n
             / 50_000_000.0,
             6,
@@ -342,9 +351,12 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(
-                money.exact_long_sum(
-                    money.pct100(F.col("l_discount")), "groupby_agg"
-                ).cast("double")
+                money.exact_double(
+                    money.exact_long_sum(
+                        money.pct100(F.col("l_discount")), "groupby_agg"
+                    ),
+                    "groupby_agg",
+                )
                 / F.count(F.lit(1))
                 / 100.0,
                 6,

@@ -59,10 +59,6 @@ from pb_etl_spark.operators.corpus import (
 )
 
 
-def _tokens(col: str = "text"):
-    return F.split(F.col(col), " ")
-
-
 # ---------------------------------------------------------------------------
 # ols2_per_group — closed-form multi-feature OLS via normal equations
 # ---------------------------------------------------------------------------

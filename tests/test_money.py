@@ -135,7 +135,11 @@ def test_exact_long_sum_matches_decimal_sum_with_negatives(spark):
         .executedPlan()
         .toString()
     )
-    assert "sum(" not in plan.lower() or "try_sum" in plan.lower()
+    # erase the try_sum occurrences FIRST, then require no other sum
+    # aggregate — the previous `"sum(" not in plan or "try_sum" in plan`
+    # form was vacuously true whenever try_sum appeared, so it could not
+    # catch a decimal SUM sneaking in alongside the long try_sums
+    assert "sum(" not in plan.lower().replace("try_sum", "")
 
 
 def test_dollars_guard_raises_past_2_53(spark):
@@ -182,3 +186,69 @@ def test_spark_sql_dialect_matches_dataframe_leg(spark):
         .collect()[0]["v"]
     )
     assert sql_v == df_v
+
+
+def test_grid_check_raises_on_off_grid_column(spark):
+    """GRID_CHECK (opt-in) must fail loudly on a 3dp column instead of
+    silently mis-gridding it — and stay silent on true 2dp values."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    money.GRID_CHECK = True
+    try:
+        ok = (
+            spark.createDataFrame([(12.34,), (-0.56,)], "x double")
+            .select(money.cents(F.col("x")).alias("c"))
+            .collect()
+        )
+        assert {r["c"] for r in ok} == {1234, -56}
+        with pytest.raises((Py4JJavaError, SparkRuntimeException)) as e:
+            spark.createDataFrame([(12.345,)], "x double").select(
+                money.cents(F.col("x"))
+            ).collect()
+        assert "off the 0.01 grid" in str(e.value)
+    finally:
+        money.GRID_CHECK = False
+    # default-off: the same 3dp value lifts (mis-grids) without error —
+    # the documented precondition, not a silent contract
+    assert not money.GRID_CHECK
+
+
+def test_exact_double_guard_uniform_on_avg_paths(spark):
+    """The avg/ratio emission paths share dollars()'s 2^53 fail-loud
+    contract via exact_double: past the limit the guard raises; below
+    it the cast is exact."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    big = spark.createDataFrame([(2**53,)], "s long")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as e:
+        big.select(
+            (money.exact_double(F.col("s").cast("decimal(38,0)"), "t") / 10).alias("v")
+        ).collect()
+    assert "2^53" in str(e.value)
+    ok = (
+        spark.createDataFrame([(2**53 - 1,)], "s long")
+        .select(money.exact_double(F.col("s").cast("decimal(38,0)"), "t").alias("v"))
+        .collect()[0]["v"]
+    )
+    assert ok == float(2**53 - 1)
+
+
+def test_sql_exact_double_guard_mirrors_in_duckdb():
+    """The DuckDB oracle emitter now carries the same 2^53 guard as the
+    Spark leg (ADVICE r10: the asymmetry let the oracle silently emit an
+    inexact double while only the Spark side raised)."""
+    import duckdb
+
+    con = duckdb.connect()
+    v = con.execute(
+        f"SELECT {money.sql_dollars('123456')} AS v"
+    ).fetchone()[0]
+    assert v == 1234.56
+    import pytest as _pytest
+
+    with _pytest.raises(duckdb.Error, match="2\\^53"):
+        con.execute(
+            f"SELECT {money.sql_exact_double(str(2**53))} AS v"
+        ).fetchone()
