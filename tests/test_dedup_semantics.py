@@ -164,19 +164,19 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     assert recall >= 0.8, f"IVF recall {recall:.2f}"
 
 
-def test_embedding_near_dup_lsh_equals_brute_on_fixture(spark):
-    """The registered LSH near-dup path must be value-equal to the
-    brute-force tier at fixture scale (recall 1.0 — the property the
-    shared DuckDB oracle relies on), and its plan must contain no
-    nested-loop pair join."""
+def test_embedding_near_dup_lsh_lowt_equals_brute_on_fixture(spark):
+    """The low-threshold LSH face (sweep cross-check tier) must be
+    value-equal to the brute-force tier at fixture scale (recall 1.0 —
+    the property its shared DuckDB oracle relies on), and its plan must
+    contain no nested-loop pair join."""
     from tests.conftest import SF_DIR
 
     from pb_etl_spark.operators.dedup import (
         q_embedding_near_dup,
-        q_embedding_near_dup_lsh,
+        q_embedding_near_dup_lsh_lowt,
     )
 
-    lsh = q_embedding_near_dup_lsh(spark, SF_DIR)
+    lsh = q_embedding_near_dup_lsh_lowt(spark, SF_DIR)
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:2000]
 
@@ -184,6 +184,42 @@ def test_embedding_near_dup_lsh_equals_brute_on_fixture(spark):
     got = {(r["ia"], r["ib"], r["cos"]) for r in lsh.collect()}
     assert brute, "fixture should contain near-dup pairs"
     assert got == brute
+
+
+def test_embedding_near_dup_lsh_production_face(spark):
+    """The headline production-regime LSH (16 planes × 8 tables,
+    cos ≥ 0.9 over the twin-planted corpus) must find EXACTLY the
+    planted near-identical pairs — 100% recall at fixture scale, zero
+    false positives (no organic fixture pair exceeds cos 0.61) — with
+    every pair at twin-level cosine and no nested-loop join in the
+    plan."""
+    from tests.conftest import SF_DIR
+
+    from pb_etl_spark.operators.dedup import (
+        TWIN_ID_OFFSET,
+        TWIN_STRIDE,
+        q_embedding_near_dup_lsh,
+    )
+
+    lsh = q_embedding_near_dup_lsh(spark, SF_DIR)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:2000]
+
+    rows = lsh.collect()
+    from pb_etl_spark.catalog import read_table
+
+    planted = {
+        (vid, vid + TWIN_ID_OFFSET)
+        for (vid,) in read_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % TWIN_STRIDE == 0)
+        .select("vec_id")
+        .collect()
+    }
+    got = {(r["ia"], r["ib"]) for r in rows}
+    assert got == planted, (
+        f"missed={sorted(planted - got)[:5]} extra={sorted(got - planted)[:5]}"
+    )
+    assert all(r["cos"] >= 0.9999 for r in rows)
 
 
 def test_connected_components_known_graph(spark):
