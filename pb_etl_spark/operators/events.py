@@ -19,6 +19,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
+from pb_etl_spark.operators.selection import _KS_MWU_ORACLE
 
 FUNNEL_GAP_HOURS = 24  # per-step max gap for the time-bounded funnel
 WALLET_SIGNUP_BONUS_CENTS = 10_000  # signup credit for the wallet scan
@@ -615,6 +616,46 @@ def q_stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("fp", F.col("text_len").cast("long").alias("text_len"))
 
 
+def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the ``ks_mann_whitney`` retrain gate — the
+    drift monitor as it would ACTUALLY run in production: the compacted
+    per-distinct-value cells frame ``(v, cnt_a, cnt_b)`` (token-count
+    distribution of English vs non-English documents) is maintained ON
+    THE STREAM as a complete-mode grouped aggregate — bounded state,
+    ≤|distinct lengths| rows (~90), map-side combinable, regardless of
+    how many micro-batches the corpus arrives in — and the exact KS +
+    Mann-Whitney statistics are computed on the drained state with
+    ``selection.two_sample_rank_tests`` UNCHANGED (all of its
+    exactness/2^53-guard properties carry over because the statistics
+    are functions of the cell counts alone). After the availableNow
+    drain the state equals the batch compaction, so the batch oracle
+    (`_KS_MWU_ORACLE`) is the oracle here too. At 100 TB the streaming
+    leg shuffles only cell deltas per micro-batch; the test itself
+    always runs on the sketch-sized frame."""
+    from pb_etl_spark.operators.selection import two_sample_rank_tests
+    from pb_etl_spark.streaming.windows import run_to_memory
+
+    sdf = _read_doc_stream(spark, sf_dir)
+    is_a = (
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    cells = (
+        sdf.select(
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("v"),
+            is_a.alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").alias("cnt_a"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("cnt_b"),
+        )
+    )
+    state = run_to_memory(
+        cells, "q_stream_drift_monitor_cells", output_mode="complete"
+    )
+    return two_sample_rank_tests(state)
+
+
 PATH_K = 3  # prefix length for path mining
 
 
@@ -989,6 +1030,9 @@ ORACLES: dict[str, str] = {
         SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         FROM documents GROUP BY source
     """,
+    # the streaming drift monitor's drained state equals the batch
+    # compaction, so the batch KS/MWU oracle applies verbatim
+    "stream_drift_monitor": _KS_MWU_ORACLE,
     "stream_doc_dedup": """
         SELECT DISTINCT md5(text) AS fp, LENGTH(text) AS text_len
         FROM documents
@@ -1199,6 +1243,7 @@ QUERIES = {
     "stream_user_stats_tws": q_stream_user_stats_tws,
     "stream_foreach_upsert": q_stream_foreach_upsert,
     "stream_doc_source_counts": q_stream_doc_source_counts,
+    "stream_drift_monitor": q_stream_drift_monitor,
     "stream_doc_dedup": q_stream_doc_dedup,
     "stream_ddsketch_quantiles": q_stream_ddsketch_quantiles,
     "stream_stream_join": q_stream_stream_join,

@@ -299,3 +299,18 @@ def test_stream_doc_queries_run_genuinely_stateful(spark):
         ops = progress["stateOperators"]
         assert ops, f"{name}: no state operators — ran as stateless?"
         assert any(o["numRowsTotal"] > 0 for o in ops), ops
+
+
+def test_stream_drift_monitor_equals_batch_gate(spark):
+    """The streaming drift monitor's drained state must yield the exact
+    same KS/MWU statistics as the batch ks_mann_whitney gate — the
+    property that lets the batch oracle stand in for the stream."""
+    from tests.conftest import SF_DIR
+
+    from pb_etl_spark.operators.events import q_stream_drift_monitor
+    from pb_etl_spark.operators.selection import q_ks_mann_whitney
+
+    got = q_stream_drift_monitor(spark, SF_DIR).collect()
+    want = q_ks_mann_whitney(spark, SF_DIR).collect()
+    assert len(got) == len(want) == 1
+    assert got[0].asDict() == want[0].asDict()
