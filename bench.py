@@ -147,6 +147,14 @@ HEADLINE = [
     "priority_sample_per_source",
     "ks_mann_whitney",
     "source_drift_matrix",
+    # round-11: embedding_near_dup_lsh above is now the production-
+    # regime face (16 planes x 8 tables, cos >= 0.9, twin-planted
+    # corpus — expect a step CHANGE vs r10 records: different, linear
+    # workload); the old 0.4-threshold quadratic face keeps a timed row
+    # under its new sweep-tier name, and the streaming drift gate is
+    # tracked before the driver ever times it
+    "embedding_near_dup_lsh_lowt",
+    "stream_drift_monitor",
 ]
 
 
