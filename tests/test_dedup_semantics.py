@@ -261,3 +261,36 @@ def test_connected_components_raises_on_non_convergence(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(verts, chain, max_rounds=2)
+
+
+def test_lsh_verify_handles_bucket_straddling_arrow_batches(spark):
+    """The partition-wise verify concatenates a partition's Arrow
+    batches before group-slicing; force tiny batches so buckets
+    straddle batch boundaries and prove no pair is lost."""
+    from tests.conftest import SF_DIR
+
+    from pb_etl_spark.operators.dedup import (
+        TWIN_ID_OFFSET,
+        TWIN_STRIDE,
+        q_embedding_near_dup_lsh,
+    )
+    from pb_etl_spark.catalog import read_table
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, "10000")
+    try:
+        spark.conf.set(key, "7")
+        got = {
+            (r["ia"], r["ib"])
+            for r in q_embedding_near_dup_lsh(spark, SF_DIR).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+    planted = {
+        (vid, vid + TWIN_ID_OFFSET)
+        for (vid,) in read_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % TWIN_STRIDE == 0)
+        .select("vec_id")
+        .collect()
+    }
+    assert got == planted
