@@ -1164,20 +1164,30 @@ def q_time_bounded_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Floor-clamped per-user wallet scan: balance_t = max(0, balance_
     {t-1} + delta_t) with signup = +100.00 credit, view/click = earn
-    value, purchase = spend value (all integer cents — exact). A capped
-    prefix scan is NOT associative (the clamp destroys the monoid), so
-    no window/aggregate expresses it: this is the custom-operator rule
-    (b) case — one Arrow batch per user via ``applyInPandas``, one
-    shuffle on user_id, linear. Per-key memory = one user's events
-    (whale keys would segment the scan by checkpointing era balances —
-    documented, not needed at fixture scale).
+    value, purchase = spend value (all integer cents — exact).
 
-    The DuckDB oracle replays the scan as a RECURSIVE CTE over per-user
-    row numbers — value-proving an operator Spark's declarative surface
-    cannot express. Output per user: final balance, floor-hit count
-    (times the clamp fired), event count."""
-    import pandas as pd
+    The clamp destroys the prefix-sum monoid, but the FLOOR-AT-ZERO
+    clamp has a closed form over plain prefix sums (round 11 — this
+    replaced a per-user Python loop in ``applyInPandas``, 3.3 s → sub-
+    second at sf0.1, and the operator is now 100% JVM codegen):
+    with S_t the unclamped prefix sum and m_t = min(0, min_{i≤t} S_i),
 
+    - balance_t = S_t − m_t  (the clamp only ever 'absorbs' the deepest
+      below-zero excursion so far; inductively bal_{t-1} + d_t =
+      S_t − m_{t-1}, which the clamp lifts to 0 exactly when S_t sets a
+      new below-zero running minimum);
+    - the clamp FIRES at t  ⇔  S_t < m_{t-1}  (a STRICT new running
+      minimum below zero), so the floor-hit count is a window count of
+      those events.
+
+    One user-keyed shuffle; two window passes on the same partitioning
+    (cumsum, then prior-row running min); the final per-user rollup
+    reuses the exchange. Every term is int64 cents — exact, and the
+    per-user window key (user_id) scales with the data (never a
+    low-cardinality fixture column). The DuckDB oracle replays the
+    clamp literally as a RECURSIVE CTE over per-user row numbers — an
+    INDEPENDENT method, so the hash match proves the closed form.
+    Output per user: final balance, floor-hit count, event count."""
     ev = read_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
@@ -1194,29 +1204,22 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("delta"),
     )
-
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        bal, hits = 0, 0
-        for d in pdf["delta"].to_numpy():
-            raw = bal + int(d)
-            if raw < 0:
-                hits += 1
-                bal = 0
-            else:
-                bal = raw
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "final_balance_cents": [bal],
-                "n_floor_hits": [hits],
-                "n_events": [len(pdf)],
-            }
-        )
-
-    return ev.groupBy("user_id").applyInPandas(
-        scan,
-        schema="user_id long, final_balance_cents long, n_floor_hits long, n_events long",
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = F.sum("delta").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    scanned = ev.withColumn("s", s).withColumn(
+        "m_prev",
+        F.min("s").over(w.rowsBetween(W.unboundedPreceding, -1)),
+    )
+    clamp_fired = F.col("s") < F.least(
+        F.lit(0).cast("long"), F.coalesce(F.col("m_prev"), F.lit(0).cast("long"))
+    )
+    return scanned.groupBy("user_id").agg(
+        (
+            F.sum("delta")
+            - F.least(F.lit(0).cast("long"), F.min("s"))
+        ).alias("final_balance_cents"),
+        F.sum(clamp_fired.cast("long")).alias("n_floor_hits"),
+        F.count(F.lit(1)).alias("n_events"),
     )
 
 

@@ -51,28 +51,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # latest-status hash-fails (CORRECTNESS_r10 = 50/50 green, no `err`
 # rows). The round-11 window, per the r10 verdict's staged plan plus
 # this round's code changes:
-#   1. slots 0-2: round-11 changed/new code — embedding_near_dup_lsh is
+#   1. slots 0-3: round-11 changed/new code — embedding_near_dup_lsh is
 #      now the production-regime face (16 planes x 8 tables, cos >= 0.9
 #      over the twin-planted corpus; the old 0.4-threshold variant is
 #      the new sweep-tier name embedding_near_dup_lsh_lowt), and
 #      stream_drift_monitor is the new streaming twin of the
 #      ks_mann_whitney retrain gate.
-#   2. slots 3-7: the 5 money-layer overflow names from r10 (cube_agg,
+#   2. slots 4-8: the 5 money-layer overflow names from r10 (cube_agg,
 #      grouping_sets, pipe_syntax_agg, session_variable_agg,
 #      stratified_hash_sample) — the only migrated-emission-layer
 #      queries without a post-migration driver pin. pipe_syntax_agg and
 #      stratified_hash_sample ALSO changed plans this round (the
 #      exact_double 2^53 guard on their average paths).
-#   3. slots 8-16: the other nine queries whose plans changed this
+#   3. slots 9-17: the other nine queries whose plans changed this
 #      round when every exact-sum average/ratio emission was routed
 #      through the guarded money.exact_double (r10 verdict item 3):
 #      q1/q8/q14/q17/q22, global_aggregates, backtest_rates,
 #      groupby_agg, scalar_subquery. All were r10-green; the guard CASE
 #      changes their plans, so their green must be re-pinned.
-#   4. slots 17-19: the r02-stale trio displaced by the money block
+#   4. slots 18-20: the r02-stale trio displaced by the money block
 #      (tpch_q4_priority, tpch_q21_waiting_supplier, tumbling_window).
-#   5. slots 20-49: the first 30 of the 45-name r03-stale set. The
-#      remaining 15 carry to the r12 window head: scd2_merge_orders,
+#   5. slots 21-49: the first 29 of the 45-name r03-stale set. The
+#      remaining 16 carry to the r12 window head: rolling_active_users
+#      (displaced by the capped_running_balance re-pin), scd2_merge_orders,
 #      sequence_anomaly, source_mix_report, stream_doc_source_counts,
 #      stream_ohlc_hourly, strict_funnel, substring_dup_spans,
 #      table_checksum, table_profile, time_interpolate,
@@ -85,17 +86,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (kmv_distinct_sketch / bitmap_distinct_counts, ddsketch_quantiles,
 # stratified_hash_sample) carry the correctness evidence instead.
 _PRIORITY = [
-    # -- slots 0-2: round-11 changed/new code --
+    # -- slots 0-3: round-11 changed/new code (capped_running_balance:
+    #    the per-user Python-loop scan became the closed-form JVM window
+    #    scan bal = S - min(0, cummin S), so its plan changed) --
     "embedding_near_dup_lsh",
     "embedding_near_dup_lsh_lowt",
     "stream_drift_monitor",
-    # -- slots 3-7: the r10 money-layer overflow names --
+    "capped_running_balance",
+    # -- slots 4-8: the r10 money-layer overflow names --
     "cube_agg",
     "grouping_sets",
     "pipe_syntax_agg",
     "session_variable_agg",
     "stratified_hash_sample",
-    # -- slots 8-16: plans changed by the uniform exact_double guard --
+    # -- slots 9-17: plans changed by the uniform exact_double guard --
     "tpch_q1_pricing",
     "tpch_q8_market_share",
     "tpch_q14_promo",
@@ -105,11 +109,11 @@ _PRIORITY = [
     "backtest_rates",
     "groupby_agg",
     "scalar_subquery",
-    # -- slots 17-19: the displaced r02 trio --
+    # -- slots 18-20: the displaced r02 trio --
     "tpch_q4_priority",
     "tpch_q21_waiting_supplier",
     "tumbling_window",
-    # -- slots 20-49: first 30 of the r03-stale set --
+    # -- slots 21-49: first 29 of the r03-stale set --
     "ab_test_zscore",
     "ann_ivf_topk",
     "ann_lsh_topk",
@@ -139,7 +143,6 @@ _PRIORITY = [
     "multi_resolution_rollup",
     "ohlc_hourly",
     "psi_drift",
-    "rolling_active_users",
 ]
 
 _MODULES = [

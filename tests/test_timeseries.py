@@ -145,9 +145,11 @@ def test_time_bounded_funnel_monotone_and_tighter_than_unbounded(spark):
 
 
 def test_capped_running_balance_matches_brute_force(spark):
-    """The applyInPandas scan must equal a row-by-row replay in plain
-    pandas — and the clamp must actually fire on the fixture (else the
-    operator degenerates to a cumsum and tests nothing)."""
+    """The closed-form window scan (bal = S - min(0, cummin S); hits =
+    strict new below-zero running minima) must equal a row-by-row
+    replay in plain pandas — and the clamp must actually fire on the
+    fixture (else the operator degenerates to a cumsum and tests
+    nothing)."""
     from pb_etl_spark.catalog import read_table
     from pb_etl_spark.operators.events import (
         WALLET_SIGNUP_BONUS_CENTS,
