@@ -155,6 +155,10 @@ HEADLINE = [
     # tracked before the driver ever times it
     "embedding_near_dup_lsh_lowt",
     "stream_drift_monitor",
+    # late round-11: the wallet scan's plan changed wholesale (per-user
+    # Python loop -> closed-form JVM window identity, 3.3 s -> 0.6 s at
+    # sf0.1) — give the driver a timed row on the new plan
+    "capped_running_balance",
 ]
 
 
