@@ -294,3 +294,45 @@ def test_lsh_verify_handles_bucket_straddling_arrow_batches(spark):
         .collect()
     }
     assert got == planted
+
+
+def test_lsh_verify_width_independent(spark):
+    """r11 verdict item 2: the verify fan-out width now follows the
+    session's shuffle-partition setting (data-proportional knob), not a
+    hardcoded core count — so the SAME query must produce identical
+    (ia, ib, cos) rows at widths well below, at, and well above core
+    count (8 / 64 / 200). cos is asserted too: the per-table duplicate
+    is resolved with the deterministic F.max, so even the last-ulp BLAS
+    wiggle across bucket gram sizes cannot vary the emitted value."""
+    from tests.conftest import SF_DIR
+
+    from pb_etl_spark.operators.dedup import q_embedding_near_dup_lsh
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    results = {}
+    try:
+        for width in ("8", "64", "200"):
+            spark.conf.set(key, width)
+            results[width] = {
+                (r["ia"], r["ib"], r["cos"])
+                for r in q_embedding_near_dup_lsh(spark, SF_DIR).collect()
+            }
+    finally:
+        spark.conf.set(key, prev)
+    assert results["8"] == results["64"] == results["200"]
+    assert results["8"], "fixture must contain planted pairs"
+
+
+def test_no_hardcoded_fanout_width_in_dedup():
+    """Regression guard for r11 verdict item 2: every repartition width
+    in the dedup module must route through _fanout_width (the only
+    permitted defaultParallelism reference is inside that helper's
+    core-count floor)."""
+    import inspect
+
+    from pb_etl_spark.operators import dedup
+
+    src = inspect.getsource(dedup)
+    body = src.split("def _fanout_width", 1)[1].split("def ", 1)[1]
+    assert "defaultParallelism" not in body
