@@ -159,6 +159,11 @@ HEADLINE = [
     # Python loop -> closed-form JVM window identity, 3.3 s -> 0.6 s at
     # sf0.1) — give the driver a timed row on the new plan
     "capped_running_balance",
+    # round-12: the PSI face of the streaming retrain-gate family,
+    # tracked before the driver ever times it (same compacted-cells
+    # drain pattern as stream_drift_monitor — expect micro-batch fixed
+    # cost, not data cost)
+    "stream_psi_monitor",
 ]
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
-from pb_etl_spark.operators.selection import _KS_MWU_ORACLE
+from pb_etl_spark.operators.selection import _KS_MWU_ORACLE, _PSI_ORACLE
 
 FUNNEL_GAP_HOURS = 24  # per-step max gap for the time-bounded funnel
 WALLET_SIGNUP_BONUS_CENTS = 10_000  # signup credit for the wallet scan
@@ -656,6 +656,46 @@ def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_sample_rank_tests(state)
 
 
+def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the ``psi_drift`` retrain gate — the second
+    face of the streaming drift family (r11 verdict item 5), built on
+    the identical compacted-cells pattern as ``q_stream_drift_monitor``:
+    the per-value-bucket cells frame ``(bucket, n_a, n_b)`` (first-half
+    vs second-half-of-month counts of ``events.value``) is maintained ON
+    THE STREAM as a complete-mode grouped aggregate — bounded state,
+    ≤|buckets| rows (~21), map-side combinable, whatever the corpus
+    size — and the exact PSI statistics run on the drained state with
+    ``selection.psi_from_cells`` UNCHANGED (int64-nano terms, integer
+    total — the cross-engine exactness carries over because PSI is a
+    pure function of the cell counts). After the availableNow drain the
+    state equals the batch compaction, so the batch oracle
+    (``_PSI_ORACLE``) is the oracle here too. At 100 TB only cell
+    deltas shuffle per micro-batch; the statistics always run on the
+    sketch-sized frame."""
+    from pb_etl_spark.operators.selection import (
+        PSI_BUCKET_WIDTH,
+        psi_from_cells,
+    )
+    from pb_etl_spark.streaming.windows import read_event_stream, run_to_memory
+
+    sdf = read_event_stream(spark, sf_dir, glob="events.parquet")
+    cells = (
+        sdf.select(
+            F.floor(F.col("value") / PSI_BUCKET_WIDTH).alias("bucket"),
+            F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("in_a"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("in_a").alias("n_a"),
+            F.sum(1 - F.col("in_a")).alias("n_b"),
+        )
+    )
+    state = run_to_memory(
+        cells, "q_stream_psi_monitor_cells", output_mode="complete"
+    )
+    return psi_from_cells(state)
+
+
 PATH_K = 3  # prefix length for path mining
 
 
@@ -1030,9 +1070,10 @@ ORACLES: dict[str, str] = {
         SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         FROM documents GROUP BY source
     """,
-    # the streaming drift monitor's drained state equals the batch
-    # compaction, so the batch KS/MWU oracle applies verbatim
+    # the streaming drift monitors' drained state equals the batch
+    # compaction, so the batch KS/MWU and PSI oracles apply verbatim
     "stream_drift_monitor": _KS_MWU_ORACLE,
+    "stream_psi_monitor": _PSI_ORACLE,
     "stream_doc_dedup": """
         SELECT DISTINCT md5(text) AS fp, LENGTH(text) AS text_len
         FROM documents
@@ -1247,6 +1288,7 @@ QUERIES = {
     "stream_foreach_upsert": q_stream_foreach_upsert,
     "stream_doc_source_counts": q_stream_doc_source_counts,
     "stream_drift_monitor": q_stream_drift_monitor,
+    "stream_psi_monitor": q_stream_psi_monitor,
     "stream_doc_dedup": q_stream_doc_dedup,
     "stream_ddsketch_quantiles": q_stream_ddsketch_quantiles,
     "stream_stream_join": q_stream_stream_join,

@@ -550,6 +550,17 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("in_a")).alias("n_b"),
         )
     )
+    return psi_from_cells(counts)
+
+
+def psi_from_cells(counts: DataFrame) -> DataFrame:
+    """PSI statistics from the compacted per-bucket cells frame
+    ``(bucket, n_a, n_b)`` — the part of ``q_psi_drift`` that is a pure
+    function of the cell counts, factored out (r11 verdict item 5) so
+    the streaming gate (``events.q_stream_psi_monitor``) can maintain
+    the cells ON THE STREAM and run the identical statistics on the
+    drained state. Exactness properties (int64-nano terms, integer
+    total) are unchanged from the batch face."""
     totals = counts.agg(
         F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
     )

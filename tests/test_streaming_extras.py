@@ -314,3 +314,17 @@ def test_stream_drift_monitor_equals_batch_gate(spark):
     want = q_ks_mann_whitney(spark, SF_DIR).collect()
     assert len(got) == len(want) == 1
     assert got[0].asDict() == want[0].asDict()
+
+
+def test_stream_psi_monitor_equals_batch_gate(spark):
+    """The streaming PSI monitor's drained cells must yield the exact
+    same per-bucket terms and total as the batch psi_drift gate — the
+    property that lets the batch oracle stand in for the stream."""
+    from tests.conftest import SF_DIR
+
+    from pb_etl_spark.operators.events import q_stream_psi_monitor
+    from pb_etl_spark.operators.selection import q_psi_drift
+
+    got = {r["bucket"]: r.asDict() for r in q_stream_psi_monitor(spark, SF_DIR).collect()}
+    want = {r["bucket"]: r.asDict() for r in q_psi_drift(spark, SF_DIR).collect()}
+    assert got == want and -1 in got
