@@ -1,6 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+JSON line: {"enc": "hl-idx", "q": {<HEADLINE index>: secs, ...}, "hl":
+<crc32 of the HEADLINE list>, "metric": ..., "value": N, "unit": "sec",
+"sf": ...}. Per-query keys are HEADLINE indexes, not names, so the whole
+record fits the driver's ~2000-byte tail-capture window at any plausible
+query count; ``tools/bench_compare.load()`` decodes them back to names
+(crc-guarded), and ``BENCH_FULL.json`` next to this script mirrors the
+same record with full names for direct reading.
 
 Each query is executed with a noop-format write: unlike ``count()`` —
 which Catalyst rewrites to Aggregate(count(1)) and then PRUNES the
@@ -28,6 +34,7 @@ import os
 import re
 import sys
 import time
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -292,24 +299,44 @@ def main() -> None:
 
     m = re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir.rstrip("/"))
     sf = float(m.group(1)) if m else 0.0
-    # queries first, scalar summary keys LAST: the driver's bench-tail
-    # capture keeps the END of the line, so a front-truncated record
-    # (BENCH_r09: 73 queries pushed the line past the capture window,
-    # "metric"/"value" were cut and parsing failed) still carries the
-    # headline total, unit, sf, and calibration anchor
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "sf": sf,
-                "calib_scan_s": calib,
-                "calib_shuffle_s": calib_shuffle,
-            }
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "calib_scan_s": calib,
+        "calib_shuffle_s": calib_shuffle,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    # full-name record to a file: complete regardless of how much of
+    # stdout the driver's capture keeps
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump({"queries": timings, **summary}, f, indent=1)
+    # stdout line: the driver's bench-tail capture keeps only the LAST
+    # ~2000 bytes (BENCH_r09 lost the summary keys to front-truncation;
+    # r11's reordered record lost ~15 per-query rows instead — the full-
+    # name queries dict alone outgrew the window). Emit per-query rows
+    # index-coded against HEADLINE ("q": {"0": secs, ...}) so the whole
+    # record stays well under the window at any plausible query count;
+    # tools/bench_compare.load() decodes indexes back to names and the
+    # "hl" checksum makes a stale decode list loudly impossible.
+    # HEADLINE is therefore APPEND-ONLY: reordering or deleting entries
+    # would shift the indexes of every already-recorded round (the crc
+    # turns that mistake into a hard error, not silent mislabeling).
+    compact = {
+        "enc": "hl-idx",  # see tools/bench_compare.py load()
+        "q": {str(i): timings[n] for i, n in enumerate(HEADLINE)},
+        "hl": zlib.crc32(";".join(HEADLINE).encode()),
+        **summary,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        print(
+            f"# WARNING: bench line {len(line)}B approaches the driver's "
+            "2000B tail window — shrink the encoding before it truncates",
+            file=sys.stderr,
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

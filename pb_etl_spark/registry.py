@@ -47,38 +47,36 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Order matters: the driver's correctness harness verifies the FIRST ~50
 # registry entries (registry insertion order) each round. Cumulative
-# r01-r10: every registered name checked at least once, zero
-# latest-status hash-fails (CORRECTNESS_r10 = 50/50 green, no `err`
-# rows). The round-11 window, per the r10 verdict's staged plan plus
+# r01-r11: every registered name checked at least once, zero
+# latest-status hash-fails (CORRECTNESS_r11 = 50/50 green, no `err`
+# rows). The round-12 window, per the r11 verdict's staged plan plus
 # this round's code changes:
-#   1. slots 0-3: round-11 changed/new code — embedding_near_dup_lsh is
-#      now the production-regime face (16 planes x 8 tables, cos >= 0.9
-#      over the twin-planted corpus; the old 0.4-threshold variant is
-#      the new sweep-tier name embedding_near_dup_lsh_lowt), and
-#      stream_drift_monitor is the new streaming twin of the
-#      ks_mann_whitney retrain gate.
-#   2. slots 4-8: the 5 money-layer overflow names from r10 (cube_agg,
-#      grouping_sets, pipe_syntax_agg, session_variable_agg,
-#      stratified_hash_sample) — the only migrated-emission-layer
-#      queries without a post-migration driver pin. pipe_syntax_agg and
-#      stratified_hash_sample ALSO changed plans this round (the
-#      exact_double 2^53 guard on their average paths).
-#   3. slots 9-17: the other nine queries whose plans changed this
-#      round when every exact-sum average/ratio emission was routed
-#      through the guarded money.exact_double (r10 verdict item 3):
-#      q1/q8/q14/q17/q22, global_aggregates, backtest_rates,
-#      groupby_agg, scalar_subquery. All were r10-green; the guard CASE
-#      changes their plans, so their green must be re-pinned.
-#   4. slots 18-20: the r02-stale trio displaced by the money block
-#      (tpch_q4_priority, tpch_q21_waiting_supplier, tumbling_window).
-#   5. slots 21-49: the first 29 of the 45-name r03-stale set. The
-#      remaining 16 carry to the r12 window head: rolling_active_users
-#      (displaced by the capped_running_balance re-pin), scd2_merge_orders,
-#      sequence_anomaly, source_mix_report, stream_doc_source_counts,
-#      stream_ohlc_hourly, strict_funnel, substring_dup_spans,
-#      table_checksum, table_profile, time_interpolate,
-#      tpch_q12_priority_lines, twap_user_value, variant_extract_agg,
-#      vector_quantize, winsorized_stats — then the r04 set.
+#   1. slot 0: round-12 new code — stream_psi_monitor, the PSI face of
+#      the streaming retrain-gate family (r11 verdict item 5).
+#   2. slots 1-7: the seven dedup-module queries whose plans changed
+#      this round and are NOT otherwise in the window (r11 verdict
+#      item 2: every fan-out repartition width became
+#      max(shuffle.partitions, defaultParallelism) — 32 -> 200 under
+#      the driver's vanilla session — and the LSH pair dedup moved from
+#      F.first to the deterministic F.max): both embedding_near_dup_lsh
+#      faces, minhash_near_dup_pairs, minhash_signatures,
+#      ngram_jaccard_pairs, shingle_containment_pairs,
+#      simhash_fingerprints. All were green in r10/r11; the plan change
+#      means their green must be re-pinned.
+#   3. slots 8-23: the 16 r03-stale carryovers named by the r11 staging
+#      plan (this comment, previous revision).
+#   4. slots 24-26: the three r04-stale names whose plans ALSO changed
+#      with the fan-out width (contamination_check via word_shingles,
+#      fuzzy_match_pairs, span_dedup_rewrite), pulled to the front of
+#      the r04 block.
+#   5. slots 27-49: the next 23 of the r04-stale set, alphabetical.
+#      The remaining 12 r04 names carry to the r13 window head:
+#      stream_doc_dedup, temperature_mixture, topk_hash_sample,
+#      topk_with_others, tpch_q13_custdist, tpch_q16_supplier_cnt,
+#      tpch_q20_part_shippers, tpch_q2_min_cost_supplier,
+#      triangle_count_knn, udtf_chunking, vocab_drift,
+#      weighted_hash_sample — after them, freshness is r05+ everywhere
+#      and the staging reverts to oldest-first rotation.
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
 # oracle-less sketch/RNG names whose driver check can only report
@@ -86,63 +84,61 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (kmv_distinct_sketch / bitmap_distinct_counts, ddsketch_quantiles,
 # stratified_hash_sample) carry the correctness evidence instead.
 _PRIORITY = [
-    # -- slots 0-3: round-11 changed/new code (capped_running_balance:
-    #    the per-user Python-loop scan became the closed-form JVM window
-    #    scan bal = S - min(0, cummin S), so its plan changed) --
+    # -- slot 0: round-12 new code --
+    "stream_psi_monitor",
+    # -- slots 1-7: dedup fan-out-width / F.max plan changes --
     "embedding_near_dup_lsh",
     "embedding_near_dup_lsh_lowt",
-    "stream_drift_monitor",
-    "capped_running_balance",
-    # -- slots 4-8: the r10 money-layer overflow names --
-    "cube_agg",
-    "grouping_sets",
-    "pipe_syntax_agg",
-    "session_variable_agg",
-    "stratified_hash_sample",
-    # -- slots 9-17: plans changed by the uniform exact_double guard --
-    "tpch_q1_pricing",
-    "tpch_q8_market_share",
-    "tpch_q14_promo",
-    "tpch_q17_small_qty",
-    "tpch_q22_idle_balances",
-    "global_aggregates",
-    "backtest_rates",
-    "groupby_agg",
-    "scalar_subquery",
-    # -- slots 18-20: the displaced r02 trio --
-    "tpch_q4_priority",
-    "tpch_q21_waiting_supplier",
-    "tumbling_window",
-    # -- slots 21-49: first 29 of the r03-stale set --
-    "ab_test_zscore",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "attribution_first_touch",
-    "bloom_doc_filter",
-    "bpe_encode_counts",
-    "bpe_train_merges",
-    "chi2_independence",
-    "cms_token_counts",
-    "constraint_check",
-    "conversion_latency",
-    "cusum_changepoint",
-    "dataset_card",
-    "dsir_weights",
-    "event_streaks",
-    "event_transition_matrix",
-    "funnel_conversion",
-    "gap_fill_resample",
-    "histogram_quantiles",
-    "incremental_agg_maintenance",
-    "interval_overlap_join",
-    "lang_id_confusion",
-    "mad_outlier_stats",
-    "media_feature_summary",
-    "mixture_resample",
-    "multi_resolution_rollup",
-    "ohlc_hourly",
-    "psi_drift",
+    "minhash_near_dup_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "shingle_containment_pairs",
+    "simhash_fingerprints",
+    # -- slots 8-23: the 16 r03-stale carryovers --
+    "rolling_active_users",
+    "scd2_merge_orders",
+    "sequence_anomaly",
+    "source_mix_report",
+    "stream_doc_source_counts",
+    "stream_ohlc_hourly",
+    "strict_funnel",
+    "substring_dup_spans",
+    "table_checksum",
+    "table_profile",
+    "time_interpolate",
+    "tpch_q12_priority_lines",
+    "twap_user_value",
+    "variant_extract_agg",
+    "vector_quantize",
+    "winsorized_stats",
+    # -- slots 24-26: r04-stale names with width-changed plans --
+    "contamination_check",
+    "fuzzy_match_pairs",
+    "span_dedup_rewrite",
+    # -- slots 27-49: next 23 of the r04-stale set, alphabetical --
+    "bm25_topk",
+    "cogroup_time_since",
+    "collated_group",
+    "doc_chunking",
+    "dup_span_ratio",
+    "dynamic_partition_pruning",
+    "entity_golden_record",
+    "ewma_user_value",
+    "incremental_dedup",
+    "join_cardinality_report",
+    "kfold_assign",
+    "kmv_jaccard_sources",
+    "negative_sampling",
+    "ols2_per_group",
+    "pagerank_knn",
+    "pii_redaction",
+    "pit_join",
+    "quality_filter_chain",
+    "recursive_hierarchy",
+    "rolling_corr_events",
+    "rolling_fingerprint",
+    "seasonal_anomalies",
+    "semantic_dedup",
 ]
 
 _MODULES = [

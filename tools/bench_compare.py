@@ -21,8 +21,35 @@ measured up to 2× between rounds) from actual plan regressions.
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
+
+
+def _decode_hl_idx(doc: dict) -> dict:
+    """Decode the index-coded record bench.py emits since round 12
+    ("q": {"<HEADLINE index>": secs}) back to full query names. The
+    "hl" crc of the emitting HEADLINE list is verified against the
+    current one: HEADLINE is append-only by contract, so a mismatch on
+    a PREFIX of the list means someone reordered/deleted entries and
+    every older record's indexes are unsafe — fail loudly."""
+    import zlib
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import HEADLINE
+
+    idx_q = doc.pop("q")
+    names = HEADLINE[: max(int(i) for i in idx_q) + 1]
+    if doc.get("hl") is not None:
+        prefixes = {zlib.crc32(";".join(HEADLINE[:n]).encode()) for n in range(len(HEADLINE) + 1)}
+        if doc["hl"] not in prefixes:
+            raise SystemExit(
+                "bench record's HEADLINE crc matches no prefix of the "
+                "current list — HEADLINE was reordered or pruned; "
+                "index decode would mislabel queries"
+            )
+    doc["queries"] = {names[int(i)]: v for i, v in idx_q.items()}
+    return doc
 
 
 def load(path: str) -> dict:
@@ -38,20 +65,28 @@ def load(path: str) -> dict:
             (
                 json.loads(line)
                 for line in text.splitlines()
-                if line.startswith("{") and '"queries"' in line
+                if line.startswith("{") and ('"queries"' in line or '"q"' in line)
             ),
             None,
         )
         if doc is None:
             raise SystemExit(f"{path}: no parseable bench JSON line")
+    if "q" in doc and "queries" not in doc:
+        return _decode_hl_idx(doc)
     if "queries" in doc:
         return doc
-    if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
-        return doc["parsed"]
+    if isinstance(doc.get("parsed"), dict):
+        if "q" in doc["parsed"] and "queries" not in doc["parsed"]:
+            return _decode_hl_idx(doc["parsed"])
+        if "queries" in doc["parsed"]:
+            return doc["parsed"]
     tail = doc.get("tail", "")
-    m = re.search(r'\{"(?:metric|queries)".*\}', tail)
+    m = re.search(r'\{"(?:metric|queries|enc)".*\}', tail)
     if m:
-        return json.loads(m.group(0))
+        inner = json.loads(m.group(0))
+        if "q" in inner and "queries" not in inner:
+            return _decode_hl_idx(inner)
+        return inner
     # front-truncated capture (BENCH_r09: the line outgrew the driver's
     # tail window and the leading keys were cut) — rebuild what survived
     # from the key/value pairs; bench.py now emits the scalar summary
@@ -126,8 +161,17 @@ def main() -> int:
             # scan-anchor-normalized it's a mover; before calling it a
             # regression, ask whether the SHUFFLE anchor (the multi-stage
             # scheduling floor, which ambient load inflates far more than
-            # the scan) explains it — r10's "3.5-5x movers" all did
-            if sh_drift and t1 / sh_drift <= ratio * t0:
+            # the scan) explains it — r10's "3.5-5x movers" all did.
+            # ADVICE r11: the excuse requires the mover to TRACK the
+            # floor drift (ratio within [sh_drift/1.3, sh_drift*1.3]),
+            # not merely sit under it — otherwise any genuine 1.5x code
+            # regression is silently excused whenever the shuffle anchor
+            # happened to drift 3x that run
+            if (
+                sh_drift
+                and t1 / sh_drift <= ratio * t0
+                and t1 / t0 >= sh_drift / ratio
+            ):
                 flag = (
                     f"  <-- anchor-explained ({t1 / sh_drift:.3f}s under "
                     f"the {sh_drift:.2f}x scheduling-floor drift; "
