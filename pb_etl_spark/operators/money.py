@@ -65,6 +65,12 @@ E6 = 10_000  # cents x pct100 x pct100 (x (1 + tax))
 #: to ``cents`` would silently mis-grid. Flip this on (e.g. in a test
 #: or a validation run) to make such a column fail loudly per-row
 #: instead; default off so the hot path stays a single Math.floor.
+#: BINDING: the flag is read at Column-CONSTRUCTION time (when the
+#: query function builds its plan), not at execution — flipping it
+#: after a DataFrame is built has no effect on that DataFrame, and
+#: parallel plan construction in one process races on it. It is a
+#: process-global debug knob for sequential validation runs, not a
+#: per-query switch (ADVICE r11).
 GRID_CHECK = False
 _GRID_EPS = 0.005  # |x*100 - nearest int| beyond this = off-grid
 

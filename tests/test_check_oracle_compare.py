@@ -102,3 +102,29 @@ def test_tz_aware_vs_naive_datetime_is_red():
     )
     oracle = pd.DataFrame({"d": pd.to_datetime(["2024-01-01"])})
     assert dtype_mismatches(spark, oracle)
+
+
+def test_big_sf_oracles_equal_registry_oracles_at_fixture_scale():
+    """The --big-oracles deletion-key variants must produce the exact
+    same frames as the registry's brute-force oracles (DuckDB vs DuckDB
+    at sf0.01) — the equivalence the big-SF sweep relies on."""
+    import duckdb
+
+    from pb_etl_spark.registry import all_oracles
+    from tools.check_oracle import BIG_SF_ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        "'/root/testdata/sf0.01/customer.parquet'"
+    )
+    oracles = all_oracles()
+    for name, big_sql in BIG_SF_ORACLES.items():
+        want = con.execute(oracles[name]).fetchdf()
+        got = con.execute(big_sql).fetchdf()
+        assert list(got.columns) == list(want.columns), name
+        key = list(got.columns)
+        want = want.sort_values(key).reset_index(drop=True)
+        got = got.sort_values(key).reset_index(drop=True)
+        assert got.equals(want), f"{name}: frames differ"
+        assert len(got) > 0, name

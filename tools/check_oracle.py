@@ -5,7 +5,13 @@ same sf directory, then compares row count, column names, and
 order-insensitive values (columns sorted by name, rows sorted by all
 columns, NaN/None unified). Use while iterating:
 
-    python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+    python tools/check_oracle.py [--vanilla] [--big-oracles] [sf_dir] [query ...]
+
+``--big-oracles`` swaps the three quadratic-candidate oracles
+(fuzzy_match_pairs, entity_resolution, entity_golden_record) for the
+deletion-key variants in ``BIG_SF_ORACLES`` — identical pair sets,
+O(n·L) candidates instead of O(n²) — so big-SF value sweeps can include
+them instead of excluding for oracle cost (r11 verdict item 4).
 
 ``--vanilla`` builds a PLAIN SparkSession (no pb_etl_spark.session confs),
 replicating the driver's harness — round 1 proved queries can pass under
@@ -44,6 +50,95 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'"
         )
     return con
+
+
+# --------------------------------------------------------------------------
+# Big-SF oracle variants (--big-oracles), r11 verdict item 4: the registry
+# keeps the maximally-independent brute-force oracles for the driver's
+# sf0.01 gate (full n² levenshtein; quadratic candidate generation inside
+# the iterative-CC SQL), but at sf0.4+ those are hours of DuckDB time, so
+# for four rounds the ×10 sweep carried these names as exclusions. The
+# variants below replace ONLY the candidate-generation step with
+# deletion-key blocking — keys(s) = {s} ∪ {s minus char i}: any two
+# strings with levenshtein ≤ 1 share a key (equal → the i=0 key;
+# substitution at p → both minus p; insert/delete → the longer minus the
+# edit position equals the shorter's i=0 key) — followed by the SAME
+# exact-levenshtein verify, so the pair set is provably identical while
+# the cost drops from O(n²) to O(n·L) + matched candidates. Proven
+# value-equal to the brute oracles at sf0.01 (test_check_oracle_compare)
+# and independently at sf0.4 by the r07 wildcard-method test. DuckDB
+# still computes its own blocking, join, levenshtein, and (for the
+# entity names) its own recursive-CTE connected components — the sweep
+# stays a cross-ENGINE check; only the candidate cover is shared, and
+# its completeness is the one property the r07 test pinned separately.
+_DELKEY_CTE = """
+    keys AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN i = 0 THEN c_name
+                    ELSE substr(c_name, 1, i-1) || substr(c_name, i+1)
+               END AS k
+        FROM (SELECT c_custkey, c_name, c_nationkey,
+                     UNNEST(range(0, length(c_name)+1)) AS i
+              FROM customer)
+    )
+"""
+
+_FUZZY_EDGES_CTE = f"""
+    {_DELKEY_CTE},
+    fuzzy AS (
+        SELECT DISTINCT a.c_custkey AS ia, b.c_custkey AS ib
+        FROM keys a JOIN keys b
+          ON a.k = b.k AND a.c_custkey < b.c_custkey
+         AND a.c_nationkey = b.c_nationkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+        SELECT ia AS src, ib AS dst FROM fuzzy
+        UNION
+        SELECT ib, ia FROM fuzzy
+    ),
+    reach(id, r) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION
+        SELECT e.src, reach.r
+        FROM edges e JOIN reach ON reach.id = e.dst
+    )
+"""
+
+BIG_SF_ORACLES = {
+    "fuzzy_match_pairs": f"""
+        WITH {_DELKEY_CTE},
+        cand AS (
+            SELECT DISTINCT a.c_custkey AS ia, b.c_custkey AS ib,
+                   a.c_name AS na, b.c_name AS nb
+            FROM keys a JOIN keys b
+              ON a.k = b.k AND a.c_custkey < b.c_custkey
+        )
+        SELECT ia, ib, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+        FROM cand WHERE levenshtein(na, nb) <= 1
+    """,
+    "entity_resolution": f"""
+        WITH RECURSIVE {_FUZZY_EDGES_CTE}
+        SELECT id AS c_custkey, MIN(r) AS entity_id
+        FROM reach GROUP BY id
+    """,
+    "entity_golden_record": f"""
+        WITH RECURSIVE {_FUZZY_EDGES_CTE},
+        ents AS (
+            SELECT id AS c_custkey, MIN(r) AS entity_id
+            FROM reach GROUP BY id
+        )
+        SELECT e.entity_id,
+               COUNT(*) AS n_members,
+               arg_min(c.c_name, c.c_custkey) AS canonical_name,
+               CAST(arg_min(c.c_nationkey, c.c_custkey) AS BIGINT)
+                   AS nationkey,
+               CAST(CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                         AS BIGINT) AS DOUBLE) / 100.0 AS total_acctbal
+        FROM customer c JOIN ents e ON c.c_custkey = e.c_custkey
+        GROUP BY e.entity_id
+    """,
+}
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -131,6 +226,9 @@ def main() -> int:
     vanilla = "--vanilla" in argv
     if vanilla:
         argv.remove("--vanilla")
+    big = "--big-oracles" in argv
+    if big:
+        argv.remove("--big-oracles")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     if vanilla:
@@ -146,6 +244,10 @@ def main() -> int:
         spark = get_spark("check_oracle", master="local[8]", shuffle_partitions=8)
     con = duck_con(sf_dir)
     queries, oracles = all_queries(), all_oracles()
+    if big:
+        # swap in the deletion-key sweep variants (see BIG_SF_ORACLES);
+        # the registry oracles stay brute-force for the driver's gate
+        oracles = {**oracles, **BIG_SF_ORACLES}
     unknown = only - set(queries)
     if unknown:
         # a typo must not become a silent 'all green'
