@@ -119,9 +119,9 @@ def test_big_sf_oracles_equal_registry_oracles_at_fixture_scale():
         "'/root/testdata/sf0.01/customer.parquet'"
     )
     oracles = all_oracles()
-    for name, big_sql in BIG_SF_ORACLES.items():
+    for name, big_src in BIG_SF_ORACLES.items():
         want = con.execute(oracles[name]).fetchdf()
-        got = con.execute(big_sql).fetchdf()
+        got = big_src(con) if callable(big_src) else con.execute(big_src).fetchdf()
         assert list(got.columns) == list(want.columns), name
         key = list(got.columns)
         want = want.sort_values(key).reset_index(drop=True)

@@ -83,28 +83,84 @@ _DELKEY_CTE = """
     )
 """
 
-_FUZZY_EDGES_CTE = f"""
-    {_DELKEY_CTE},
-    fuzzy AS (
-        SELECT DISTINCT a.c_custkey AS ia, b.c_custkey AS ib
-        FROM keys a JOIN keys b
-          ON a.k = b.k AND a.c_custkey < b.c_custkey
-         AND a.c_nationkey = b.c_nationkey
-        WHERE levenshtein(a.c_name, b.c_name) <= 1
-    ),
-    edges AS (
+def _entity_labels(con) -> None:
+    """Populate temp table ``_er_lab (id, lab)`` = the entity CC labels
+    (component-minimum custkey), with deletion-key candidates and a
+    pointer-jumping label loop instead of the registry oracle's
+    recursive ``reach`` CTE. The reach CTE materializes every
+    (node, reachable-root) pair — Σ|component|² rows — across
+    DIAMETER-many iterations; the ×10 fixture's largest name-cluster
+    component has ~3000 members, so that form runs for hours. Here each
+    round does one min-over-neighbors propagate and one
+    ``lab ← lab(lab)`` shortcut (pointer jumping), converging to the
+    SAME component minimum in O(log n) rounds of O(edges) joins — the
+    classic two-phase SQL connected components. DuckDB still computes
+    its own candidates, joins, levenshteins, and label algebra; the
+    fixpoint check makes convergence explicit rather than assumed."""
+    con.execute(f"""
+        CREATE OR REPLACE TEMP TABLE _er_edges AS
+        WITH {_DELKEY_CTE},
+        fuzzy AS (
+            SELECT DISTINCT a.c_custkey AS ia, b.c_custkey AS ib
+            FROM keys a JOIN keys b
+              ON a.k = b.k AND a.c_custkey < b.c_custkey
+             AND a.c_nationkey = b.c_nationkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        )
         SELECT ia AS src, ib AS dst FROM fuzzy
         UNION
         SELECT ib, ia FROM fuzzy
-    ),
-    reach(id, r) AS (
-        SELECT c_custkey, c_custkey FROM customer
-        UNION
-        SELECT e.src, reach.r
-        FROM edges e JOIN reach ON reach.id = e.dst
+    """)
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE _er_lab AS "
+        "SELECT c_custkey AS id, c_custkey AS lab FROM customer"
     )
-"""
+    for _ in range(64):
+        con.execute("""
+            CREATE OR REPLACE TEMP TABLE _er_prop AS
+            SELECT l.id, LEAST(l.lab, COALESCE(MIN(nl.lab), l.lab)) AS lab
+            FROM _er_lab l
+            LEFT JOIN _er_edges e ON e.src = l.id
+            LEFT JOIN _er_lab nl ON nl.id = e.dst
+            GROUP BY l.id, l.lab
+        """)
+        con.execute("""
+            CREATE OR REPLACE TEMP TABLE _er_next AS
+            SELECT a.id, b.lab FROM _er_prop a JOIN _er_prop b ON a.lab = b.id
+        """)
+        changed = con.execute(
+            "SELECT COUNT(*) FROM _er_next a JOIN _er_lab b "
+            "ON a.id = b.id AND a.lab <> b.lab"
+        ).fetchone()[0]
+        con.execute("CREATE OR REPLACE TEMP TABLE _er_lab AS SELECT * FROM _er_next")
+        if changed == 0:
+            return
+    raise RuntimeError("entity CC label loop did not converge in 64 rounds")
 
+
+def _entity_resolution_big(con):
+    _entity_labels(con)
+    return con.execute(
+        "SELECT id AS c_custkey, lab AS entity_id FROM _er_lab"
+    ).fetchdf()
+
+
+def _entity_golden_record_big(con):
+    _entity_labels(con)
+    return con.execute("""
+        SELECT e.lab AS entity_id,
+               COUNT(*) AS n_members,
+               arg_min(c.c_name, c.c_custkey) AS canonical_name,
+               CAST(arg_min(c.c_nationkey, c.c_custkey) AS BIGINT)
+                   AS nationkey,
+               CAST(CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                         AS BIGINT) AS DOUBLE) / 100.0 AS total_acctbal
+        FROM customer c JOIN _er_lab e ON c.c_custkey = e.id
+        GROUP BY e.lab
+    """).fetchdf()
+
+
+#: name -> SQL string or callable(duckdb connection) -> pandas frame
 BIG_SF_ORACLES = {
     "fuzzy_match_pairs": f"""
         WITH {_DELKEY_CTE},
@@ -117,27 +173,8 @@ BIG_SF_ORACLES = {
         SELECT ia, ib, CAST(levenshtein(na, nb) AS BIGINT) AS dist
         FROM cand WHERE levenshtein(na, nb) <= 1
     """,
-    "entity_resolution": f"""
-        WITH RECURSIVE {_FUZZY_EDGES_CTE}
-        SELECT id AS c_custkey, MIN(r) AS entity_id
-        FROM reach GROUP BY id
-    """,
-    "entity_golden_record": f"""
-        WITH RECURSIVE {_FUZZY_EDGES_CTE},
-        ents AS (
-            SELECT id AS c_custkey, MIN(r) AS entity_id
-            FROM reach GROUP BY id
-        )
-        SELECT e.entity_id,
-               COUNT(*) AS n_members,
-               arg_min(c.c_name, c.c_custkey) AS canonical_name,
-               CAST(arg_min(c.c_nationkey, c.c_custkey) AS BIGINT)
-                   AS nationkey,
-               CAST(CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
-                         AS BIGINT) AS DOUBLE) / 100.0 AS total_acctbal
-        FROM customer c JOIN ents e ON c.c_custkey = e.c_custkey
-        GROUP BY e.entity_id
-    """,
+    "entity_resolution": _entity_resolution_big,
+    "entity_golden_record": _entity_golden_record_big,
 }
 
 
@@ -268,7 +305,8 @@ def main() -> int:
             print(f"SKIP {name}: no oracle ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            osrc = oracles[name]
+            odf = osrc(con) if callable(osrc) else con.execute(osrc).fetchdf()
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
