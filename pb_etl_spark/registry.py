@@ -77,6 +77,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      triangle_count_knn, udtf_chunking, vocab_drift,
 #      weighted_hash_sample — after them, freshness is r05+ everywhere
 #      and the staging reverts to oldest-first rotation.
+# ALSO staged for r13 (deliberately NOT done in r12): the same
+# fan-out-width conversion applied to dedup.py this round is owed at 8
+# more sites (selection.py:203, text.py:218/315/343, multimodal.py:186,
+# retrieval.py:127/597/986). Converting them changes those queries'
+# plans under the driver's vanilla 200-partition session, and the r12
+# window is full with the freshness burn-down — so the conversion + the
+# affected queries' re-pins ride the r13 window together with the 12
+# r04 leftovers (~38 slots remain free there).
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
 # oracle-less sketch/RNG names whose driver check can only report
