@@ -328,3 +328,49 @@ def test_stream_psi_monitor_equals_batch_gate(spark):
     got = {r["bucket"]: r.asDict() for r in q_stream_psi_monitor(spark, SF_DIR).collect()}
     want = {r["bucket"]: r.asDict() for r in q_psi_drift(spark, SF_DIR).collect()}
     assert got == want and -1 in got
+
+
+def test_stream_psi_monitor_state_is_bucket_bounded(spark):
+    """The streaming PSI gate's 100 TB claim rests on its state being
+    the compacted cells frame, not the corpus: drain the cells
+    aggregate and assert the state store holds exactly one row per
+    distinct value bucket — orders of magnitude below the event count —
+    so state stays bounded however many micro-batches arrive."""
+    from pyspark.sql import functions as F
+
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.selection import PSI_BUCKET_WIDTH
+    from pb_etl_spark.streaming.windows import read_event_stream
+    from tests.conftest import SF_DIR
+
+    sdf = read_event_stream(spark, SF_DIR, glob="events.parquet")
+    cells = (
+        sdf.select(
+            F.floor(F.col("value") / PSI_BUCKET_WIDTH).alias("bucket"),
+            F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("in_a"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("in_a").alias("n_a"), F.sum(1 - F.col("in_a")).alias("n_b"))
+    )
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("t_psi_state_bound")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    ev = read_table(spark, SF_DIR, "events")
+    n_buckets = (
+        ev.select(F.floor(F.col("value") / PSI_BUCKET_WIDTH).alias("b"))
+        .distinct()
+        .count()
+    )
+    n_events = ev.count()
+    state_rows = sum(o["numRowsTotal"] for o in progress["stateOperators"])
+    assert state_rows == n_buckets, (state_rows, n_buckets)
+    assert state_rows < n_events / 10, "state should be sketch-sized"
