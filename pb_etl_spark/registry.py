@@ -57,9 +57,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      this round and are NOT otherwise in the window (r11 verdict
 #      item 2: every fan-out repartition width became
 #      max(shuffle.partitions, defaultParallelism) — 32 -> 200 under
-#      the driver's vanilla session — and the LSH pair dedup moved from
-#      F.first to the deterministic F.max): both embedding_near_dup_lsh
-#      faces, minhash_near_dup_pairs, minhash_signatures,
+#      the driver's vanilla session — the LSH pair dedup moved from
+#      F.first to the deterministic F.max, and the LSH verify gained a
+#      sortWithinPartitions + batch-streamed carry): both
+#      embedding_near_dup_lsh faces, minhash_near_dup_pairs, minhash_signatures,
 #      ngram_jaccard_pairs, shingle_containment_pairs,
 #      simhash_fingerprints. All were green in r10/r11; the plan change
 #      means their green must be re-pinned.
