@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pb_etl_spark.operators._width import fanout_width
+
 MAGIC = b"FAKEMEDI"
 HEADER_LEN = len(MAGIC) + 12
 
@@ -183,7 +185,7 @@ def media_table_from_documents(spark, sf_dir: str) -> DataFrame:
     docs = (
         read_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(fanout_width(spark), "doc_id")
     )
 
     def fn(batches: Iterator) -> Iterator:

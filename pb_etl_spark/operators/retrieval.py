@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
+from pb_etl_spark.operators._width import fanout_width
 
 # BM25 free parameters (the universal defaults from Robertson & Zaragoza)
 BM25_K1 = 1.2
@@ -123,6 +124,11 @@ def _scan_width(spark: SparkSession, df: DataFrame) -> int:
                 fs = p.getFileSystem(jconf)
                 sizes.append(int(fs.getFileStatus(p).getLen()))
         total_padded = sum(sizes) + len(sizes) * open_cost
+        # deliberately defaultParallelism, NOT the shared fanout_width:
+        # this mirrors Spark's own FilePartition maxSplitBytes formula
+        # (bytesPerCore = totalBytes / defaultParallelism), so converting
+        # it would make the scan-width MODEL disagree with the engine it
+        # models (r12 verdict item 2 pinned this exemption explicitly)
         bytes_per_core = total_padded / max(
             1, spark.sparkContext.defaultParallelism
         )
@@ -594,7 +600,7 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; probes broadcast onto it. The exact_count column is the
     accuracy report; a production rollup drops it."""
     doc = read_table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = fanout_width(spark)
     tok = (
         doc.repartition(n_parts, "doc_id")
         .select(F.explode(F.split("text", " ")).alias("tok"))
@@ -983,7 +989,7 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unconditional repartition would shuffle the whole fact for nothing
     # (unlike word_shingles' small-doc-table case, this input IS the
     # fact).
-    par = spark.sparkContext.defaultParallelism
+    par = fanout_width(spark)
     if _scan_width(spark, li) < par:
         li = li.repartition(par)
     hist = li.groupBy(dd_bucket_expr(F.col("cents")).alias("bucket")).agg(

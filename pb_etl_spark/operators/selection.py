@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
+from pb_etl_spark.operators._width import fanout_width
 from pb_etl_spark.operators.corpus import (
     SHUFFLE_SALT,
     _tokens,
@@ -199,8 +200,10 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = read_table(spark, sf_dir, "documents")
     # explode multiplies rows |tokens|× and md5-hashes each token:
     # spread docs across cores FIRST (compact fixture files are one
-    # scan task; A/B at sf0.1: 0.41 s spread vs 0.75 s single-task)
-    n_parts = spark.sparkContext.defaultParallelism
+    # scan task; A/B at sf0.1: 0.41 s spread vs 0.75 s single-task);
+    # width is data-proportional via the shared fanout_width (r13 —
+    # the r11-condemned core-count width held here until the re-pin)
+    n_parts = fanout_width(spark)
     tok = (
         doc.repartition(n_parts, "doc_id")
         .select("doc_id", "lang", F.explode(_tokens()).alias("w"))

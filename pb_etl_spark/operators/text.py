@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pb_etl_spark.catalog import read_table
+from pb_etl_spark.operators._width import fanout_width
 
 # Tiny per-language marker vocabularies for the n-gram/stopword language-ID
 # heuristic. Deterministic and shared verbatim with the oracle SQL.
@@ -215,7 +216,7 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     input is repartitioned first (compact-file guard, same reason as
     word_shingles)."""
     doc = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = fanout_width(spark)
     w, s = CHUNK_W, CHUNK_S
     return (
         doc.repartition(n_parts, "doc_id")
@@ -312,7 +313,7 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the same document — high values flag boilerplate/spam for corpus
     pruning. One explode + one grouped pass (count vs count-distinct)."""
     doc = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = fanout_width(spark)
     toks = _tokens()
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
@@ -340,7 +341,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-table pass. Token-keyed two-level aggregation; the shuffle
     carries (token, partial counts), never documents."""
     docs = read_table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = fanout_width(spark)
     tok = (
         docs.repartition(n_parts, "doc_id")
         .select("doc_id", F.explode(_tokens()).alias("tok"))
