@@ -324,15 +324,27 @@ def test_lsh_verify_width_independent(spark):
     assert results["8"], "fixture must contain planted pairs"
 
 
-def test_no_hardcoded_fanout_width_in_dedup():
-    """Regression guard for r11 verdict item 2: every repartition width
-    in the dedup module must route through _fanout_width (the only
-    permitted defaultParallelism reference is inside that helper's
-    core-count floor)."""
-    import inspect
+def test_fanout_width_defensive_parse():
+    """ADVICE r12: a non-numeric ``spark.sql.shuffle.partitions`` (e.g.
+    a managed platform's ``"auto"``) must degrade fanout_width to the
+    core-count floor, not crash every dedup query with ValueError."""
+    from pb_etl_spark.operators._width import fanout_width
 
-    from pb_etl_spark.operators import dedup
+    class _Conf:
+        def get(self, key):
+            return "auto"
 
-    src = inspect.getsource(dedup)
-    body = src.split("def _fanout_width", 1)[1].split("def ", 1)[1]
-    assert "defaultParallelism" not in body
+    class _SC:
+        defaultParallelism = 7
+
+    class _Spark:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert fanout_width(_Spark()) == 7
+
+
+# The source-level no-hardcoded-fanout guard (formerly the dedup-only
+# test here, positional-string-split based and inert-prone — ADVICE r12
+# item 4) now lives in tests/test_plan_lint.py as a package-wide
+# tokenize-based rule: test_no_bare_default_parallelism_in_package.

@@ -252,3 +252,122 @@ def test_lowcard_window_whitelist_is_not_stale(spark):
                 f"{name} no longer windows over a low-cardinality key — "
                 "remove it from LOWCARD_WINDOW_WHITELIST"
             )
+
+
+# ---------------------------------------------------------------------------
+# Hardcoded fan-out width (the r11/r12 verdict class) — two guards:
+# source-level (no bare defaultParallelism outside the sanctioned sites)
+# and plan-level (no exchange sized to the core count when the session's
+# shuffle setting differs).
+# ---------------------------------------------------------------------------
+
+# The only sanctioned bare-defaultParallelism sites in the package
+# (r12 verdict item 2 pinned both exemptions explicitly):
+# - operators/_width.py: the shared helper's own core-count floor;
+# - operators/retrieval._scan_width: models Spark's FilePartition
+#   maxSplitBytes formula, which itself divides by defaultParallelism —
+#   converting it would make the model disagree with the engine;
+# - streaming/windows.run_to_memory: bounded min(32, ·) state-partition
+#   pin for test drains (state stores, not a data fan-out).
+_WIDTH_SOURCE_WHITELIST = {
+    ("pb_etl_spark/operators/_width.py", None),
+    ("pb_etl_spark/operators/retrieval.py", "_scan_width"),
+    ("pb_etl_spark/streaming/windows.py", "run_to_memory"),
+}
+
+
+def test_no_bare_default_parallelism_in_package():
+    """Tokenize every package module (comments/docstrings drop out as
+    COMMENT/STRING tokens — ADVICE r12 item 4 killed the positional
+    string-split approach that could go silently inert) and assert every
+    remaining ``defaultParallelism`` NAME token sits inside a
+    whitelisted (file, function) site."""
+    import inspect
+    import io
+    import tokenize
+    from pathlib import Path
+
+    import pb_etl_spark
+    from pb_etl_spark.operators import retrieval
+    from pb_etl_spark.streaming import windows
+
+    pkg_root = Path(inspect.getfile(pb_etl_spark)).parent.parent
+    spans: dict[str, range] = {}
+    for rel, fn in _WIDTH_SOURCE_WHITELIST:
+        if fn is None:
+            continue
+        mod = retrieval if "retrieval" in rel else windows
+        lines, start = inspect.getsourcelines(getattr(mod, fn))
+        spans[rel] = range(start, start + len(lines))
+
+    offenders = []
+    for py in sorted((pkg_root / "pb_etl_spark").rglob("*.py")):
+        rel = str(py.relative_to(pkg_root))
+        if (rel, None) in _WIDTH_SOURCE_WHITELIST:
+            continue
+        toks = tokenize.generate_tokens(io.StringIO(py.read_text()).readline)
+        for tok in toks:
+            if tok.type == tokenize.NAME and tok.string == "defaultParallelism":
+                if tok.start[0] in spans.get(rel, range(0)):
+                    continue
+                offenders.append(f"{rel}:{tok.start[0]}")
+    assert not offenders, (
+        "bare defaultParallelism fan-out (use operators._width.fanout_width "
+        f"or whitelist with a reason): {offenders}"
+    )
+
+
+def test_width_source_whitelist_is_not_stale():
+    """Each whitelisted (file, function) must still exist and still
+    reference defaultParallelism, or the exemption silently rots."""
+    import inspect
+
+    from pb_etl_spark.operators import _width, retrieval
+    from pb_etl_spark.streaming import windows
+
+    assert "defaultParallelism" in inspect.getsource(_width)
+    assert "defaultParallelism" in inspect.getsource(retrieval._scan_width)
+    assert "defaultParallelism" in inspect.getsource(windows.run_to_memory)
+
+
+def test_no_core_count_sized_exchange_in_any_registered_plan(spark):
+    """Plan-level twin of the source lint (r12 verdict item 3): build
+    every registered batch plan under a shuffle-partitions setting that
+    DIFFERS from defaultParallelism (the driver's vanilla 200 vs a
+    cluster's core count is exactly this situation) and flag any
+    exchange whose explicit width equals the core count — the signature
+    of a hardcoded ``repartition(defaultParallelism, ...)`` that a
+    data-proportional deployment knob can no longer reach."""
+    import re as _re
+
+    dp = spark.sparkContext.defaultParallelism
+    sentinel = "37"  # differs from dp=4 and from any fixture width
+    assert str(dp) != sentinel
+    pat = _re.compile(
+        r"(?:hashpartitioning|rangepartitioning)\([^)]*?,\s*"
+        + str(dp)
+        + r"\)|RoundRobinPartitioning\("
+        + str(dp)
+        + r"\)"
+    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    offenders = {}
+    try:
+        spark.conf.set(key, sentinel)
+        # drop InMemoryRelations registered by earlier tests' sessions:
+        # a .persist() frame cached under the 4-partition conf would be
+        # re-served here with its old hashpartitioning(..., 4) — a false
+        # positive of this lint, not a hardcoded width
+        spark.catalog.clearCache()
+        for name, fn in _batch_queries().items():
+            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            hit = pat.search(plan)
+            if hit:
+                offenders[name] = hit.group(0)
+    finally:
+        spark.conf.set(key, prev)
+    assert not offenders, (
+        f"core-count-sized exchange under a {sentinel}-partition session "
+        f"(route the width through operators._width.fanout_width): {offenders}"
+    )

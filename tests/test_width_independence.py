@@ -1,0 +1,46 @@
+"""Width-independence sweep for the r13 fan-out conversions.
+
+Every module that routes a pre-explode repartition through the shared
+``operators._width.fanout_width`` must produce IDENTICAL results at
+shuffle-partition settings well below, at, and well above core count
+(8 / 64 / 200) — the same invariant ``tests/test_dedup_semantics.py``
+pins for the dedup module. One converted query per module keeps the
+sweep cheap while covering each conversion site:
+
+- selection.py  → dsir_weights        (token-bucket fan-out)
+- text.py       → doc_chunking        (chunk-explode fan-out)
+- multimodal.py → media_feature_summary (binary-encode fan-out)
+- retrieval.py  → cms_token_counts    (sketch-build fan-out)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+CASES = [
+    ("selection", "dsir_weights"),
+    ("text", "doc_chunking"),
+    ("multimodal", "media_feature_summary"),
+    ("retrieval", "cms_token_counts"),
+]
+
+
+@pytest.mark.parametrize("module,name", CASES, ids=[c[1] for c in CASES])
+def test_converted_fanout_is_width_independent(spark, module, name):
+    from pb_etl_spark.registry import all_queries
+
+    fn = all_queries()[name]
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    results = {}
+    try:
+        for width in ("8", "64", "200"):
+            spark.conf.set(key, width)
+            rows = fn(spark, SF_DIR).collect()
+            results[width] = sorted(tuple(r) for r in rows)
+    finally:
+        spark.conf.set(key, prev)
+    assert results["8"] == results["64"] == results["200"]
+    assert results["8"], f"{name} must return rows on the fixture"
