@@ -19,7 +19,11 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
-from pb_etl_spark.operators.selection import _KS_MWU_ORACLE, _PSI_ORACLE
+from pb_etl_spark.operators.selection import (
+    _KS_MWU_ORACLE,
+    _PSI_ORACLE,
+    _VOCAB_DRIFT_ORACLE,
+)
 
 FUNNEL_GAP_HOURS = 24  # per-step max gap for the time-bounded funnel
 WALLET_SIGNUP_BONUS_CENTS = 10_000  # signup credit for the wallet scan
@@ -696,6 +700,42 @@ def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_cells(state)
 
 
+def q_stream_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the ``vocab_drift`` retrain gate — the THIRD
+    face of the streaming monitor family (r12 verdict item 6), on the
+    identical compacted-cells pattern as ``stream_drift_monitor`` (KS/
+    MWU) and ``stream_psi_monitor`` (PSI): the per-token cells frame
+    ``(w, k11, k12)`` (occurrences in the "new" = odd-doc_id vs "old" =
+    even-doc_id snapshot) is maintained ON THE STREAM as a complete-mode
+    grouped aggregate — map-side combinable, state = |vocab| rows, which
+    grows SUBLINEARLY with the corpus (Heaps' law), not with event
+    count — and the exact Dunning-G² report runs on the drained state
+    with ``selection.vocab_drift_from_cells`` UNCHANGED (all-integer
+    cells, so the cross-engine exactness carries over: G² is a pure
+    function of the cell counts). After the availableNow drain the state
+    equals the batch compaction, so the batch oracle
+    (``_VOCAB_DRIFT_ORACLE``) is the oracle here too. At 100 TB only
+    per-token count deltas shuffle per micro-batch; the report always
+    runs on the vocab-sized frame."""
+    from pb_etl_spark.operators.corpus import _tokens
+    from pb_etl_spark.operators.selection import vocab_drift_from_cells
+    from pb_etl_spark.streaming.windows import run_to_memory
+
+    sdf = _read_doc_stream(spark, sf_dir)
+    tok = sdf.select(
+        (F.col("doc_id") % 2 == 1).alias("is_new"),
+        F.explode(_tokens()).alias("w"),
+    )
+    cells = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("k11"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("k12"),
+    )
+    state = run_to_memory(
+        cells, "q_stream_vocab_drift_cells", output_mode="complete"
+    )
+    return vocab_drift_from_cells(state)
+
+
 PATH_K = 3  # prefix length for path mining
 
 
@@ -1074,6 +1114,7 @@ ORACLES: dict[str, str] = {
     # compaction, so the batch KS/MWU and PSI oracles apply verbatim
     "stream_drift_monitor": _KS_MWU_ORACLE,
     "stream_psi_monitor": _PSI_ORACLE,
+    "stream_vocab_drift": _VOCAB_DRIFT_ORACLE,
     "stream_doc_dedup": """
         SELECT DISTINCT md5(text) AS fp, LENGTH(text) AS text_len
         FROM documents
@@ -1289,6 +1330,7 @@ QUERIES = {
     "stream_doc_source_counts": q_stream_doc_source_counts,
     "stream_drift_monitor": q_stream_drift_monitor,
     "stream_psi_monitor": q_stream_psi_monitor,
+    "stream_vocab_drift": q_stream_vocab_drift,
     "stream_doc_dedup": q_stream_doc_dedup,
     "stream_ddsketch_quantiles": q_stream_ddsketch_quantiles,
     "stream_stream_join": q_stream_stream_join,

@@ -308,38 +308,21 @@ def _xlx(c):
     )
 
 
-def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-distribution drift between two corpus snapshots ("old" =
-    even doc_id, "new" = odd — standing in for consecutive crawls):
-    Dunning's G² log-likelihood-ratio per token on the 2×2 contingency
-    table (token-vs-rest × old-vs-new), top movers first. The monitor a
-    pipeline runs before blending a new crawl in; a G² spike on a token
-    family means the source composition changed.
-
-    Same G² formulation as ``bigram_loglik``'s family: all eight cell
-    counts are integers, so every ln() operand and every product is
-    bit-identical cross-engine; the top-k is a TakeOrderedAndProject
-    (no global sort materialization) with (G² desc, token) total
-    order."""
-    doc = read_table(spark, sf_dir, "documents")
-    # NO pre-explode repartition here: the explode is a bare split
-    # (no per-token hashing), so shuffling text bytes first costs more
-    # than the single-scan-task explode saves (A/B measured 0.33 s vs
-    # 0.52 s at sf0.1) — contrast dsir_weights, whose md5-per-token
-    # work DOES pay for the spread
-    tok = doc.select(
-        (F.col("doc_id") % 2 == 1).alias("is_new"),
-        F.explode(_tokens()).alias("w"),
+def vocab_drift_from_cells(cells: DataFrame) -> DataFrame:
+    """Dunning-G² drift report from a compacted per-token cells frame
+    ``(w, k11, k12)`` — k11/k12 = the token's occurrences in the "new" /
+    "old" snapshot. Shared by the batch ``vocab_drift`` and its
+    streaming twin ``stream_vocab_drift`` (r12 verdict item 6): the
+    statistics are a pure function of the cell counts, so both faces
+    share this code AND the batch oracle. The snapshot totals are the
+    cell sums (Σk11, Σk12) — two scalars, the only driver data; every
+    ln() operand is an integer, so the report is bit-identical
+    cross-engine; the top-k is a TakeOrderedAndProject with a
+    (G² desc, token) total order."""
+    totals = cells.groupBy().agg(
+        F.sum("k11").alias("n1"), F.sum("k12").alias("n2")
     )
-    per = tok.groupBy("w").agg(
-        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("k11"),
-        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("k12"),
-    )
-    totals = tok.groupBy().agg(
-        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("n2"),
-    )
-    n1, n2 = totals.collect()[0]  # two scalars — the only driver data
+    n1, n2 = totals.collect()[0]
     k11, k12 = F.col("k11"), F.col("k12")
     k21, k22 = F.lit(int(n1)) - k11, F.lit(int(n2)) - k12
     g2 = (
@@ -356,7 +339,7 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + _xlx(F.lit(int(n1) + int(n2)))
         )
     )
-    ranked = per.select(
+    ranked = cells.select(
         F.col("w").alias("token"),
         k11.cast("long").alias("c_new"),
         k12.cast("long").alias("c_old"),
@@ -376,6 +359,32 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_g2", 6).alias("g2"),
         )
     )
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots ("old" =
+    even doc_id, "new" = odd — standing in for consecutive crawls):
+    Dunning's G² log-likelihood-ratio per token on the 2×2 contingency
+    table (token-vs-rest × old-vs-new), top movers first. The monitor a
+    pipeline runs before blending a new crawl in; a G² spike on a token
+    family means the source composition changed. Statistics shared with
+    the streaming twin via ``vocab_drift_from_cells`` (same G²
+    formulation as ``bigram_loglik``'s family)."""
+    doc = read_table(spark, sf_dir, "documents")
+    # NO pre-explode repartition here: the explode is a bare split
+    # (no per-token hashing), so shuffling text bytes first costs more
+    # than the single-scan-task explode saves (A/B measured 0.33 s vs
+    # 0.52 s at sf0.1) — contrast dsir_weights, whose md5-per-token
+    # work DOES pay for the spread
+    tok = doc.select(
+        (F.col("doc_id") % 2 == 1).alias("is_new"),
+        F.explode(_tokens()).alias("w"),
+    )
+    cells = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("k11"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("k12"),
+    )
+    return vocab_drift_from_cells(cells)
 
 
 _VOCAB_DRIFT_ORACLE = f"""

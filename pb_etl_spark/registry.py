@@ -47,107 +47,101 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Order matters: the driver's correctness harness verifies the FIRST ~50
 # registry entries (registry insertion order) each round. Cumulative
-# r01-r11: every registered name checked at least once, zero
-# latest-status hash-fails (CORRECTNESS_r11 = 50/50 green, no `err`
-# rows). The round-12 window, per the r11 verdict's staged plan plus
-# this round's code changes:
-#   1. slot 0: round-12 new code — stream_psi_monitor, the PSI face of
-#      the streaming retrain-gate family (r11 verdict item 5).
-#   2. slots 1-7: the seven dedup-module queries whose plans changed
-#      this round and are NOT otherwise in the window (r11 verdict
-#      item 2: every fan-out repartition width became
-#      max(shuffle.partitions, defaultParallelism) — 32 -> 200 under
-#      the driver's vanilla session — the LSH pair dedup moved from
-#      F.first to the deterministic F.max, and the LSH verify gained a
-#      sortWithinPartitions + batch-streamed carry): both
-#      embedding_near_dup_lsh faces, minhash_near_dup_pairs, minhash_signatures,
-#      ngram_jaccard_pairs, shingle_containment_pairs,
-#      simhash_fingerprints. All were green in r10/r11; the plan change
-#      means their green must be re-pinned.
-#   3. slots 8-23: the 16 r03-stale carryovers named by the r11 staging
-#      plan (this comment, previous revision).
-#   4. slots 24-26: the three r04-stale names whose plans ALSO changed
-#      with the fan-out width (contamination_check via word_shingles,
-#      fuzzy_match_pairs, span_dedup_rewrite), pulled to the front of
-#      the r04 block.
-#   5. slots 27-49: the next 23 of the r04-stale set, alphabetical.
-#      The remaining 12 r04 names carry to the r13 window head:
-#      stream_doc_dedup, temperature_mixture, topk_hash_sample,
-#      topk_with_others, tpch_q13_custdist, tpch_q16_supplier_cnt,
-#      tpch_q20_part_shippers, tpch_q2_min_cost_supplier,
-#      triangle_count_knn, udtf_chunking, vocab_drift,
-#      weighted_hash_sample — after them, freshness is r05+ everywhere
-#      and the staging reverts to oldest-first rotation.
-# ALSO staged for r13 (deliberately NOT done in r12): the same
-# fan-out-width conversion applied to dedup.py this round is owed at 8
-# more sites (selection.py:203, text.py:218/315/343, multimodal.py:186,
-# retrieval.py:127/597/986). Converting them changes those queries'
-# plans under the driver's vanilla 200-partition session, and the r12
-# window is full with the freshness burn-down — so the conversion + the
-# affected queries' re-pins ride the r13 window together with the 12
-# r04 leftovers (~38 slots remain free there).
+# r01-r12: every registered name checked at least once, zero
+# latest-status hash-fails (CORRECTNESS_r12 = 50/50 green, no `err`
+# rows). Freshness bookkeeping is now SELF-CHECKING: tools/freshness.py
+# derives each name's latest-checked round from the committed
+# CORRECTNESS_r*.json records and tests/test_freshness_ledger.py
+# asserts the window below against it (r12 verdict item 4) — a
+# mis-transcribed name fails pytest instead of silently burning a slot.
+# The round-13 window, per the r12 verdict's staged plan:
+#   1. slots 0-11: the 12 r04-stale leftovers, alphabetical (the tail
+#      of the r04 burn-down staged since r12; after these, nothing is
+#      staler than r06 and staging reverts to oldest-first rotation).
+#      vocab_drift doubles as a plan-change re-pin: its G² math moved
+#      into the shared selection.vocab_drift_from_cells this round.
+#   2. slots 12-20: the 9 queries whose plans changed with the r13
+#      fan-out-width conversion (r12 verdict item 2 — the shared
+#      operators/_width.fanout_width replaced the last hardcoded
+#      defaultParallelism widths at selection.py/text.py/multimodal.py/
+#      retrieval.py; 32 -> 200 under the driver's vanilla session):
+#      cms_token_counts, ddsketch_quantiles, doc_chunking, dsir_weights,
+#      media_decode, media_feature_summary, media_frame_sample,
+#      repetition_ratio, vocab_topk. (retrieval._scan_width keeps
+#      defaultParallelism DELIBERATELY — it models Spark's own
+#      FilePartition maxSplitBytes formula, which divides by
+#      defaultParallelism; converting it would make the model disagree
+#      with the engine. Exemption pinned in tests/test_plan_lint.py's
+#      _WIDTH_SOURCE_WHITELIST.)
+#   3. slot 21: round-13 new code — stream_vocab_drift, the Dunning-G²
+#      face of the streaming retrain-gate family (r12 verdict item 6),
+#      sharing selection.vocab_drift_from_cells and the batch oracle.
+#   4. slots 22-49: the 28 alphabetically-first r06-stale names (the
+#      r06 cohort is 33; ddsketch_quantiles already rides as a re-pin;
+#      theil_sen_trend, time_bounded_funnel, ucb_bandit_scores,
+#      zipf_slope carry to the r14 window head).
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
 # oracle-less sketch/RNG names whose driver check can only report
 # `err: no_oracle`; their hash-checked deterministic twins
 # (kmv_distinct_sketch / bitmap_distinct_counts, ddsketch_quantiles,
-# stratified_hash_sample) carry the correctness evidence instead.
+# stratified_hash_sample) carry the correctness evidence instead
+# (exemption pinned by tests/test_freshness_ledger.py).
 _PRIORITY = [
-    # -- slot 0: round-12 new code --
-    "stream_psi_monitor",
-    # -- slots 1-7: dedup fan-out-width / F.max plan changes --
-    "embedding_near_dup_lsh",
-    "embedding_near_dup_lsh_lowt",
-    "minhash_near_dup_pairs",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "shingle_containment_pairs",
-    "simhash_fingerprints",
-    # -- slots 8-23: the 16 r03-stale carryovers --
-    "rolling_active_users",
-    "scd2_merge_orders",
-    "sequence_anomaly",
-    "source_mix_report",
-    "stream_doc_source_counts",
-    "stream_ohlc_hourly",
-    "strict_funnel",
-    "substring_dup_spans",
-    "table_checksum",
-    "table_profile",
-    "time_interpolate",
-    "tpch_q12_priority_lines",
-    "twap_user_value",
-    "variant_extract_agg",
-    "vector_quantize",
-    "winsorized_stats",
-    # -- slots 24-26: r04-stale names with width-changed plans --
-    "contamination_check",
-    "fuzzy_match_pairs",
-    "span_dedup_rewrite",
-    # -- slots 27-49: next 23 of the r04-stale set, alphabetical --
-    "bm25_topk",
-    "cogroup_time_since",
-    "collated_group",
+    # -- slots 0-11: the 12 r04-stale leftovers --
+    "stream_doc_dedup",
+    "temperature_mixture",
+    "topk_hash_sample",
+    "topk_with_others",
+    "tpch_q13_custdist",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_part_shippers",
+    "tpch_q2_min_cost_supplier",
+    "triangle_count_knn",
+    "udtf_chunking",
+    "vocab_drift",
+    "weighted_hash_sample",
+    # -- slots 12-20: fan-out-width conversion re-pins --
+    "cms_token_counts",
+    "ddsketch_quantiles",
     "doc_chunking",
-    "dup_span_ratio",
-    "dynamic_partition_pruning",
-    "entity_golden_record",
-    "ewma_user_value",
-    "incremental_dedup",
-    "join_cardinality_report",
-    "kfold_assign",
-    "kmv_jaccard_sources",
-    "negative_sampling",
-    "ols2_per_group",
-    "pagerank_knn",
-    "pii_redaction",
-    "pit_join",
-    "quality_filter_chain",
-    "recursive_hierarchy",
-    "rolling_corr_events",
-    "rolling_fingerprint",
-    "seasonal_anomalies",
-    "semantic_dedup",
+    "dsir_weights",
+    "media_decode",
+    "media_feature_summary",
+    "media_frame_sample",
+    "repetition_ratio",
+    "vocab_topk",
+    # -- slot 21: round-13 new code --
+    "stream_vocab_drift",
+    # -- slots 22-49: the 28 oldest (r06) names, alphabetical --
+    "activity_heatmap",
+    "association_rules",
+    "attribution_linear",
+    "benford_digit_test",
+    "bfs_hops_knn",
+    "binaryfile_ingest",
+    "burstiness_stats",
+    "calibration_bins",
+    "cohort_ltv",
+    "dp_noisy_counts",
+    "duplicate_invoice_detector",
+    "entity_resolution",
+    "event_pattern_match",
+    "hard_negative_mining",
+    "holt_forecast",
+    "interval_coverage",
+    "k_core_knn",
+    "kaplan_meier",
+    "label_propagation_knn",
+    "lateral_topk_join",
+    "listagg_per_group",
+    "mmr_diverse_topk",
+    "order_cycle_time",
+    "revenue_bridge",
+    "roc_auc",
+    "sql_scripting_threshold",
+    "stream_ddsketch_quantiles",
+    "target_encoding",
 ]
 
 _MODULES = [

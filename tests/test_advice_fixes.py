@@ -159,3 +159,67 @@ def test_registry_priority_window_shape():
     assert all(n in qs for n in _PRIORITY)
     assert all(n in os_ for n in _PRIORITY), [n for n in _PRIORITY if n not in os_]
     assert list(qs)[:50] == _PRIORITY
+
+
+def test_bench_hl_crc_rejects_zeroed_field():
+    """ADVICE r13: crc32(b'') == 0, so a zeroed/corrupt 'hl' used to
+    pass the reorder guard as "the empty prefix" — only prefixes long
+    enough to cover every recorded index may vouch for a record."""
+    import pytest as _pytest
+
+    from tools.bench_compare import _decode_hl_idx
+
+    with _pytest.raises(SystemExit):
+        _decode_hl_idx({"q": {"0": 1.0, "1": 2.0}, "hl": 0})
+
+
+def test_bench_hl_decode_rejects_out_of_range_index():
+    """ADVICE r13: an index beyond the current HEADLINE must raise the
+    loud diagnostic, not a bare IndexError."""
+    import pytest as _pytest
+
+    from tools.bench_compare import _decode_hl_idx
+
+    with _pytest.raises(SystemExit, match="HEADLINE"):
+        _decode_hl_idx({"q": {"99999": 1.0}})
+
+
+def test_bench_hl_decode_accepts_valid_record():
+    import zlib
+
+    from bench import HEADLINE
+    from tools.bench_compare import _decode_hl_idx
+
+    doc = {
+        "q": {"0": 1.5, str(len(HEADLINE) - 1): 2.5},
+        "hl": zlib.crc32(";".join(HEADLINE).encode()),
+    }
+    out = _decode_hl_idx(dict(doc))
+    assert out["queries"][HEADLINE[0]] == 1.5
+    assert out["queries"][HEADLINE[-1]] == 2.5
+
+
+def test_bench_never_writes_committed_full_mirror():
+    """ADVICE r13: local bench runs write their full-name record to the
+    ignored scratch path (or $SPARK_GRAFT_BENCH_FULL_PATH), never to the
+    committed BENCH_FULL.json — which is refreshed only deliberately by
+    the round workflow."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench)
+    assert '"BENCH_FULL.json"' not in src.replace(
+        "``BENCH_FULL.json``", ""
+    ), "bench.py writes the committed mirror directly again"
+    assert "BENCH_FULL_latest.json" in src
+    assert "SPARK_GRAFT_BENCH_FULL_PATH" in src
+
+
+def test_bench_boot_stamp_shape():
+    from bench import _boot_stamp
+
+    stamp = _boot_stamp()
+    assert stamp == "unknown" or (
+        "+" in stamp and stamp.endswith("h") and len(stamp.split("+")[0]) == 8
+    )

@@ -1,0 +1,78 @@
+"""Self-checking driver-freshness ledger (r12 verdict item 4).
+
+``registry._PRIORITY`` stages which 50 queries the driver's correctness
+harness verifies next round. The staging rule is oldest-first: new code
+and plan-changed queries ride the window immediately; otherwise the
+least-recently-checked oracle-backed names go first. Until r13 that
+ordering lived only in a hand-maintained comment — these tests derive it
+from the committed CORRECTNESS_r*.json records, so mis-transcribing one
+staged name fails pytest instead of silently burning a driver slot.
+"""
+
+from __future__ import annotations
+
+
+def _ledger():
+    from tools.freshness import REPO, latest_checked
+
+    from pb_etl_spark.registry import _PRIORITY, all_oracles, all_queries
+
+    return _PRIORITY, all_queries(), all_oracles(), latest_checked(REPO)
+
+
+def test_never_checked_names_ride_the_next_window():
+    """A newly registered oracle-backed query has no CORRECTNESS record
+    yet — it MUST be staged in the upcoming window (the registry rule
+    every round has followed: new code lands with its driver pin)."""
+    prio, queries, oracles, latest = _ledger()
+    unchecked = [n for n in queries if n in oracles and n not in latest]
+    missing = [n for n in unchecked if n not in prio]
+    assert not missing, f"new oracle-backed queries not staged: {missing}"
+
+
+def test_oldest_cohort_is_fully_staged():
+    """Every oracle-backed registered name tied for the OLDEST
+    latest-checked round must be in the staged window — the burn-down
+    can't leave the stalest names behind. (If an oldest cohort ever
+    exceeds the 50-slot window this assertion needs a split rule; today
+    the cohorts are far smaller — r12's leftover was 12 names.)"""
+    prio, queries, oracles, latest = _ledger()
+    checked = {n: latest[n] for n in queries if n in oracles and n in latest}
+    oldest = min(checked.values())
+    cohort = sorted(n for n, r in checked.items() if r == oldest)
+    assert len(cohort) <= len(prio), (
+        f"oldest cohort ({len(cohort)} names at r{oldest:02d}) no longer "
+        "fits the window — split it explicitly"
+    )
+    left_behind = [n for n in cohort if n not in prio]
+    assert not left_behind, (
+        f"names last checked r{oldest:02d} missing from the staged "
+        f"window: {left_behind}"
+    )
+
+
+def test_oracle_less_exemption_is_tight():
+    """Exactly the oracle-less names are exempt from staging, and each
+    must still be oracle-less — if one gains an oracle, it re-enters the
+    freshness rotation instead of staying invisibly exempt."""
+    prio, queries, oracles, latest = _ledger()
+    oracle_less = {n for n in queries if n not in oracles}
+    staged_oracle_less = oracle_less & set(prio)
+    assert not staged_oracle_less, (
+        f"oracle-less names staged (driver would report err: "
+        f"no_oracle): {sorted(staged_oracle_less)}"
+    )
+    # the known exemption set, pinned so silent growth is visible:
+    assert oracle_less == {
+        "approx_distinct",
+        "approx_percentiles",
+        "hll_mergeable_counts",
+        "stratified_sample",
+    }, f"oracle-less set changed: {sorted(oracle_less)}"
+
+
+def test_ledger_has_no_unknown_registry_names_in_window():
+    """Every staged name resolves in the registry AND carries an oracle
+    (duplicates/shape pinned by test_registry_priority_window_shape)."""
+    prio, queries, oracles, _ = _ledger()
+    assert all(n in queries and n in oracles for n in prio)

@@ -39,16 +39,34 @@ def _decode_hl_idx(doc: dict) -> dict:
     from bench import HEADLINE
 
     idx_q = doc.pop("q")
-    names = HEADLINE[: max(int(i) for i in idx_q) + 1]
+    max_idx = max(int(i) for i in idx_q)
+    if max_idx >= len(HEADLINE):
+        # ADVICE r12: without this check a record from a future/other
+        # HEADLINE raised a bare IndexError below instead of the loud
+        # diagnostic
+        raise SystemExit(
+            f"bench record indexes up to {max_idx} but the current "
+            f"HEADLINE has only {len(HEADLINE)} entries — the record was "
+            "made against a longer list; update HEADLINE (append-only) "
+            "before decoding"
+        )
     if doc.get("hl") is not None:
-        prefixes = {zlib.crc32(";".join(HEADLINE[:n]).encode()) for n in range(len(HEADLINE) + 1)}
+        # only prefixes long enough to cover every recorded index count:
+        # shorter ones (including the empty prefix, whose crc32 is 0 —
+        # ADVICE r12: a zeroed/corrupted 'hl' field passed as "empty
+        # prefix") could not have produced these indexes
+        prefixes = {
+            zlib.crc32(";".join(HEADLINE[:n]).encode())
+            for n in range(max_idx + 1, len(HEADLINE) + 1)
+        }
         if doc["hl"] not in prefixes:
             raise SystemExit(
                 "bench record's HEADLINE crc matches no prefix of the "
-                "current list — HEADLINE was reordered or pruned; "
-                "index decode would mislabel queries"
+                "current list covering its indexes — HEADLINE was "
+                "reordered/pruned or the record is corrupt; index decode "
+                "would mislabel queries"
             )
-    doc["queries"] = {names[int(i)]: v for i, v in idx_q.items()}
+    doc["queries"] = {HEADLINE[int(i)]: v for i, v in idx_q.items()}
     return doc
 
 
