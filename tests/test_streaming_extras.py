@@ -374,3 +374,57 @@ def test_stream_psi_monitor_state_is_bucket_bounded(spark):
     state_rows = sum(o["numRowsTotal"] for o in progress["stateOperators"])
     assert state_rows == n_buckets, (state_rows, n_buckets)
     assert state_rows < n_events / 10, "state should be sketch-sized"
+
+
+def test_stream_vocab_drift_equals_batch_gate(spark):
+    """The streaming Dunning-G² monitor's drained cells must yield the
+    exact same top-k drift report as the batch vocab_drift gate — the
+    property that lets the batch oracle stand in for the stream (both
+    route through selection.vocab_drift_from_cells, so equality here
+    pins the cells compaction, not just the shared scalar math)."""
+    from tests.conftest import SF_DIR
+
+    from pb_etl_spark.operators.events import q_stream_vocab_drift
+    from pb_etl_spark.operators.selection import q_vocab_drift
+
+    got = [r.asDict() for r in q_stream_vocab_drift(spark, SF_DIR).collect()]
+    want = [r.asDict() for r in q_vocab_drift(spark, SF_DIR).collect()]
+    assert got == want
+    assert got, "fixture must produce a drift report"
+
+
+def test_stream_vocab_drift_state_is_vocab_bounded(spark):
+    """The streaming G² gate's scale claim: state is one row per
+    DISTINCT token (Heaps-law sublinear), not per token occurrence.
+    Drain the cells aggregate and assert the state equals the distinct
+    token count and sits far below total occurrences."""
+    from pyspark.sql import functions as F
+
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.corpus import _tokens
+    from pb_etl_spark.operators.events import _read_doc_stream
+    from tests.conftest import SF_DIR
+
+    sdf = _read_doc_stream(spark, SF_DIR)
+    tok = sdf.select(
+        (F.col("doc_id") % 2 == 1).alias("is_new"),
+        F.explode(_tokens()).alias("w"),
+    )
+    cells = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("k11"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("k12"),
+    )
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("t_vocab_state_bound")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = spark.table("t_vocab_state_bound").count()
+    doc = read_table(spark, SF_DIR, "documents")
+    n_distinct = doc.select(F.explode(_tokens()).alias("w")).select("w").distinct().count()
+    n_occurrences = doc.select(F.explode(_tokens()).alias("w")).count()
+    assert state_rows == n_distinct
+    assert state_rows < n_occurrences / 10

@@ -91,6 +91,17 @@ SMOKE = [
     "priority_sample_per_source",
     "ks_mann_whitney",
     "source_drift_matrix",
+    # round-13 additions: the queries whose pre-explode fan-outs moved
+    # onto the shared fanout_width this round (exponents re-measured
+    # post-conversion), plus the new streaming G² face and its batch twin
+    "dsir_weights",
+    "cms_token_counts",
+    "doc_chunking",
+    "repetition_ratio",
+    "vocab_topk",
+    "media_feature_summary",
+    "vocab_drift",
+    "stream_vocab_drift",
 ]
 
 
