@@ -216,3 +216,23 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark):
     df = q_dynamic_partition_pruning(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_vocab_drift_topk_is_take_ordered(spark):
+    """Both G² faces' top-k must stay a TakeOrderedAndProject (per-
+    partition heap + driver merge of k rows), never a global sort of
+    the vocab — the r13 refactor onto vocab_drift_from_cells must not
+    regress this."""
+    plan = _plan(spark, "vocab_drift")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "partial_sum" in plan  # map-side combined token cells
+
+
+def test_dsir_weights_scoring_join_is_broadcast(spark):
+    """DSIR's per-document scoring joins the corpus tokens against the
+    bounded (≤N_DSIR_BUCKETS-row) log-ratio table — that side must
+    BROADCAST; an SMJ here would shuffle the exploded corpus on the
+    bucket id for nothing."""
+    plan = _plan(spark, "dsir_weights")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
