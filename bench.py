@@ -192,7 +192,9 @@ def _boot_stamp() -> str:
         with open("/proc/uptime") as f:
             up_h = float(f.read().split()[0]) / 3600
         return f"{boot}+{up_h:.1f}h"
-    except OSError:
+    except Exception:  # noqa: BLE001 — masked/odd procfs (empty or
+        # non-numeric files raise ValueError/IndexError, not OSError)
+        # must not cost the whole run's timings at summary time
         return "unknown"
 
 

@@ -30,11 +30,34 @@ def fanout_width(spark: SparkSession) -> int:
 
     Non-numeric values of the shuffle knob (e.g. ``"auto"`` on managed
     platforms) degrade to the core-count floor instead of raising — a
-    tunable session must not become a hard crash (ADVICE r12).
+    tunable session must not become a hard crash (ADVICE r12) — but the
+    degrade WARNS: silently reverting to core count would reinstate the
+    exact data/cores-proportional payload pathology this helper removes,
+    with nothing surfacing it on a real cluster.
     """
     core_floor = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        shuffle = int(raw)
     except (TypeError, ValueError):
+        import warnings
+
+        warnings.warn(
+            f"spark.sql.shuffle.partitions={raw!r} is not numeric; "
+            f"fanout_width degrades to defaultParallelism={core_floor} "
+            "(core-count-proportional partition payload — size the "
+            "shuffle knob to data volume for 100 TB-safe fan-outs)",
+            stacklevel=2,
+        )
         shuffle = core_floor
     return max(shuffle, core_floor)
+
+
+def core_count(spark: SparkSession) -> int:
+    """``defaultParallelism`` — for UNDER-PARALLELISM comparisons only
+    ("did this scan arrive in fewer partitions than the machine has
+    cores?"), never as a fan-out width. Keeping the comparison here
+    (the lint-whitelisted module) rather than inline keeps the
+    source-level width lint meaningful: a bare ``defaultParallelism``
+    in an operator module is always a bug."""
+    return spark.sparkContext.defaultParallelism

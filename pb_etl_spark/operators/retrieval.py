@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pb_etl_spark.catalog import read_table
-from pb_etl_spark.operators._width import fanout_width
+from pb_etl_spark.operators._width import core_count, fanout_width
 
 # BM25 free parameters (the universal defaults from Robertson & Zaragoza)
 BM25_K1 = 1.2
@@ -988,10 +988,15 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real scale the fact arrives in thousands of partitions and an
     # unconditional repartition would shuffle the whole fact for nothing
     # (unlike word_shingles' small-doc-table case, this input IS the
-    # fact).
-    par = fanout_width(spark)
-    if _scan_width(spark, li) < par:
-        li = li.repartition(par)
+    # fact). The GUARD threshold is the core count — "is the scan
+    # under-parallel for this machine?" — while the repartition TARGET
+    # is the data-proportional fanout_width: comparing against
+    # fanout_width instead would re-shuffle any fact narrower than the
+    # shuffle knob (e.g. a 160-partition scan under a 2000-partition
+    # session), exactly the full-fact shuffle this branch exists to
+    # avoid (r13 review finding).
+    if _scan_width(spark, li) < core_count(spark):
+        li = li.repartition(fanout_width(spark))
     hist = li.groupBy(dd_bucket_expr(F.col("cents")).alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )

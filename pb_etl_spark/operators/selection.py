@@ -384,7 +384,13 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("k11"),
         F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("k12"),
     )
-    return vocab_drift_from_cells(cells)
+    # materialize the vocab-sized cells ONCE (same pattern as
+    # dsir_weights' model frame): the helper's totals collect() and the
+    # ranked output both read the checkpoint, so the corpus is exploded
+    # and token-shuffled exactly once per run instead of twice (r13
+    # review finding; the streaming twin gets this for free — its cells
+    # live in the drained memory table)
+    return vocab_drift_from_cells(cells.localCheckpoint(eager=True))
 
 
 _VOCAB_DRIFT_ORACLE = f"""

@@ -144,6 +144,31 @@ _PRIORITY = [
     "target_encoding",
 ]
 
+# Machine-readable staging annotation (consumed by
+# tests/test_freshness_ledger.py): the window entries staged for
+# PLAN-CHANGE / NEW-CODE reasons rather than staleness. Every other
+# _PRIORITY slot must be exactly the oldest-first (staleness, name)
+# prefix of the non-repin oracle-backed names — so a mis-transcribed
+# stale name anywhere in the window (not just the oldest cohort) fails
+# pytest. Reset this set each round when restaging.
+_REPINS = {
+    # r13 fan-out-width conversion (operators/_width.fanout_width):
+    "cms_token_counts",
+    "ddsketch_quantiles",
+    "doc_chunking",
+    "dsir_weights",
+    "media_decode",
+    "media_feature_summary",
+    "media_frame_sample",
+    "repetition_ratio",
+    "vocab_topk",
+    # r13 refactor onto selection.vocab_drift_from_cells (also r04-stale,
+    # so it would ride the window either way):
+    "vocab_drift",
+    # r13 new code:
+    "stream_vocab_drift",
+}
+
 _MODULES = [
     affinity,
     governance,

@@ -327,7 +327,11 @@ def test_lsh_verify_width_independent(spark):
 def test_fanout_width_defensive_parse():
     """ADVICE r12: a non-numeric ``spark.sql.shuffle.partitions`` (e.g.
     a managed platform's ``"auto"``) must degrade fanout_width to the
-    core-count floor, not crash every dedup query with ValueError."""
+    core-count floor, not crash every dedup query with ValueError — and
+    the degrade must WARN (r13 review finding: a silent fallback would
+    reinstate the core-count-proportional width with no trace)."""
+    import pytest as _pytest
+
     from pb_etl_spark.operators._width import fanout_width
 
     class _Conf:
@@ -341,7 +345,8 @@ def test_fanout_width_defensive_parse():
         conf = _Conf()
         sparkContext = _SC()
 
-    assert fanout_width(_Spark()) == 7
+    with _pytest.warns(UserWarning, match="not numeric"):
+        assert fanout_width(_Spark()) == 7
 
 
 # The source-level no-hardcoded-fanout guard (formerly the dedup-only

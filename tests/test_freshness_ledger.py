@@ -76,3 +76,30 @@ def test_ledger_has_no_unknown_registry_names_in_window():
     (duplicates/shape pinned by test_registry_priority_window_shape)."""
     prio, queries, oracles, _ = _ledger()
     assert all(n in queries and n in oracles for n in prio)
+
+
+def test_staged_tail_is_the_oldest_first_prefix():
+    """Beyond the oldest cohort: every window slot NOT annotated as a
+    re-pin/new-code entry (registry._REPINS) must be exactly the
+    oldest-first prefix — sorted by (latest-green round, name) — of the
+    non-repin oracle-backed names. This catches a mis-transcribed stale
+    name in ANY cohort, e.g. swapping one r06 name for an r07 one in
+    this round's 28-of-33 split (r13 review finding; the oldest-cohort
+    test alone would miss it)."""
+    from pb_etl_spark.registry import _REPINS
+
+    prio, queries, oracles, latest = _ledger()
+    assert _REPINS <= set(prio), (
+        f"_REPINS entries not staged: {sorted(_REPINS - set(prio))}"
+    )
+    extras = [n for n in prio if n not in _REPINS]
+    candidates = sorted(
+        (latest.get(n, 0), n)
+        for n in queries
+        if n in oracles and n not in _REPINS
+    )
+    want = {n for _, n in candidates[: len(extras)]}
+    assert set(extras) == want, (
+        f"staged-but-fresher: {sorted(set(extras) - want)}; "
+        f"older-but-left-behind: {sorted(want - set(extras))}"
+    )

@@ -338,18 +338,9 @@ def test_no_core_count_sized_exchange_in_any_registered_plan(spark):
     exchange whose explicit width equals the core count — the signature
     of a hardcoded ``repartition(defaultParallelism, ...)`` that a
     data-proportional deployment knob can no longer reach."""
-    import re as _re
-
     dp = spark.sparkContext.defaultParallelism
     sentinel = "37"  # differs from dp=4 and from any fixture width
     assert str(dp) != sentinel
-    pat = _re.compile(
-        r"(?:hashpartitioning|rangepartitioning)\([^)]*?,\s*"
-        + str(dp)
-        + r"\)|RoundRobinPartitioning\("
-        + str(dp)
-        + r"\)"
-    )
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     offenders = {}
@@ -362,12 +353,52 @@ def test_no_core_count_sized_exchange_in_any_registered_plan(spark):
         spark.catalog.clearCache()
         for name, fn in _batch_queries().items():
             plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-            hit = pat.search(plan)
+            hit = next(
+                (w for w in _partitioning_widths(plan) if w[1] == dp), None
+            )
             if hit:
-                offenders[name] = hit.group(0)
+                offenders[name] = hit[0]
     finally:
         spark.conf.set(key, prev)
     assert not offenders, (
         f"core-count-sized exchange under a {sentinel}-partition session "
         f"(route the width through operators._width.fanout_width): {offenders}"
     )
+
+
+def _partitioning_widths(plan: str) -> list[tuple[str, int]]:
+    """(snippet, explicit partition count) for every partitioning node
+    in a physical-plan string. Paren-balanced last-argument extraction
+    rather than a `[^)]*?` regex: a partitioning key containing its own
+    parens (e.g. ``hashpartitioning(abs(x#1)#5, 200)``) would hide the
+    trailing count from a non-nesting regex (r13 review finding)."""
+    import re as _re
+
+    out = []
+    for m in _re.finditer(
+        r"(?:hashpartitioning|rangepartitioning|RoundRobinPartitioning)\(", plan
+    ):
+        depth, i = 1, m.end()
+        while i < len(plan) and depth:
+            if plan[i] == "(":
+                depth += 1
+            elif plan[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:  # truncated plan string — nothing to extract
+            continue
+        inner = plan[m.end() : i - 1]
+        last = inner.rsplit(",", 1)[-1].strip()
+        if last.isdigit():
+            out.append((plan[m.start() : i], int(last)))
+    return out
+
+
+def test_partitioning_width_extractor_handles_nested_parens():
+    got = _partitioning_widths(
+        "Exchange hashpartitioning(abs(x#1)#5, 37), REPARTITION\n"
+        "Exchange rangepartitioning(y#2 ASC NULLS FIRST, 4), ...\n"
+        "Exchange RoundRobinPartitioning(4), REPARTITION_BY_NUM\n"
+        "Exchange hashpartitioning(coalesce(a#3, b#4), 200), ..."
+    )
+    assert [w for _, w in got] == [37, 4, 4, 200]

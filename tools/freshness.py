@@ -20,8 +20,24 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _row_green(row: object) -> bool:
+    """A record row counts toward freshness only if the check PASSED:
+    a failed/errored driver check must leave the name stale so staging
+    re-forces it next round (r13 review finding — counting mere
+    presence would let a timeout or hash-fail rotate a never-verified
+    name to the back of the burn-down). ``hash_match`` may be absent/
+    null for rows-only checks; an explicit False fails."""
+    return (
+        isinstance(row, dict)
+        and row.get("err") is None
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") in (True, None)
+    )
+
+
 def latest_checked(repo: Path = REPO) -> dict[str, int]:
-    """name -> newest round whose CORRECTNESS record contains it.
+    """name -> newest round whose CORRECTNESS record shows it GREEN.
 
     Includes names that have since been renamed/unregistered; callers
     intersect with the live registry.
@@ -29,8 +45,9 @@ def latest_checked(repo: Path = REPO) -> dict[str, int]:
     latest: dict[str, int] = {}
     for f in sorted(repo.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", f.name).group(1))
-        for name in json.loads(f.read_text()):
-            latest[name] = max(latest.get(name, 0), rnd)
+        for name, row in json.loads(f.read_text()).items():
+            if _row_green(row):
+                latest[name] = max(latest.get(name, 0), rnd)
     return latest
 
 
