@@ -221,11 +221,13 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark):
 def test_vocab_drift_topk_is_take_ordered(spark):
     """Both G² faces' top-k must stay a TakeOrderedAndProject (per-
     partition heap + driver merge of k rows), never a global sort of
-    the vocab — the r13 refactor onto vocab_drift_from_cells must not
-    regress this."""
+    the vocab — and the registered plan must read the ONE-shot
+    checkpointed cells (Scan ExistingRDD), proving the corpus is
+    exploded/shuffled once per run, not once per consumer (the r13
+    review finding's fix)."""
     plan = _plan(spark, "vocab_drift")
     assert "TakeOrderedAndProject" in plan, plan[:1500]
-    assert "partial_sum" in plan  # map-side combined token cells
+    assert "Scan ExistingRDD" in plan  # the localCheckpointed cells
 
 
 def test_dsir_weights_scoring_join_is_broadcast(spark):
