@@ -24,6 +24,10 @@ CASES = [
     ("text", "doc_chunking"),
     ("multimodal", "media_feature_summary"),
     ("retrieval", "cms_token_counts"),
+    # the conditional-rebalance site: the core-count guard fires on the
+    # single-row-group fixture at every width, and the repartition
+    # target (fanout_width) must not change the quantile report
+    ("retrieval-guarded", "ddsketch_quantiles"),
 ]
 
 
