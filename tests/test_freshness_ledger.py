@@ -103,3 +103,15 @@ def test_staged_tail_is_the_oldest_first_prefix():
         f"staged-but-fresher: {sorted(set(extras) - want)}; "
         f"older-but-left-behind: {sorted(want - set(extras))}"
     )
+
+
+def test_stage_helper_reproduces_current_window():
+    """tools/freshness.stage (the r14+ window generator) must agree
+    with the hand-staged current window given the same re-pin set —
+    tool, test, and registry stay one convention."""
+    from tools.freshness import stage
+
+    from pb_etl_spark.registry import _PRIORITY, _REPINS
+
+    got = stage(len(_PRIORITY), sorted(_REPINS))
+    assert set(got) == set(_PRIORITY)

@@ -72,7 +72,41 @@ def cohorts(repo: Path = REPO) -> dict[int, list[str]]:
     return {r: sorted(names) for r, names in sorted(out.items())}
 
 
+def stage(n_slots: int, repins: list[str] | None = None, repo: Path = REPO) -> list[str]:
+    """Propose the next ``_PRIORITY`` window: the given re-pin/new-code
+    names first (they must ride the window regardless of staleness),
+    then the oldest-first (latest-green round, name) prefix of the
+    remaining oracle-backed names — exactly the ordering
+    ``tests/test_freshness_ledger.py`` asserts, so a window built here
+    is green by construction."""
+    repins = list(repins or [])
+    latest = latest_checked(repo)
+    import sys
+
+    sys.path.insert(0, str(repo))
+    from pb_etl_spark.registry import all_oracles, all_queries
+
+    oracles = all_oracles()
+    unknown = [n for n in repins if n not in oracles]
+    if unknown:
+        raise SystemExit(f"repins not registered/oracle-backed: {unknown}")
+    rest = sorted(
+        (latest.get(n, 0), n)
+        for n in all_queries()
+        if n in oracles and n not in set(repins)
+    )
+    return repins + [n for _, n in rest[: n_slots - len(repins)]]
+
+
 if __name__ == "__main__":
-    for rnd, names in cohorts().items():
-        label = f"r{rnd:02d}" if rnd else "NEW"
-        print(f"{label} ({len(names)}): {' '.join(names)}")
+    import sys as _sys
+
+    if len(_sys.argv) > 1 and _sys.argv[1] == "--stage":
+        # --stage [N] [repin ...] -> a ready-to-paste window proposal
+        n = int(_sys.argv[2]) if len(_sys.argv) > 2 else 50
+        for name in stage(n, _sys.argv[3:]):
+            print(f'    "{name}",')
+    else:
+        for rnd, names in cohorts().items():
+            label = f"r{rnd:02d}" if rnd else "NEW"
+            print(f"{label} ({len(names)}): {' '.join(names)}")
