@@ -119,6 +119,7 @@ def parquet_ts_unit(path: str, column: str = "ts", glob_pat: str | None = None) 
     run (the driver regenerates testdata only BETWEEN rounds/processes,
     never while a session is open — so no mtime keying needed).
     """
+    import fnmatch
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -126,15 +127,44 @@ def parquet_ts_unit(path: str, column: str = "ts", glob_pat: str | None = None) 
     _UNIT_SAMPLE = 8
     p = path
     if os.path.isdir(p):
-        pat = os.path.join(p, glob_pat or "*.parquet")
-        matches = sorted(_glob.glob(pat)) or sorted(
+        all_files = sorted(
             _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
         )
+        if glob_pat is not None:
+            # mirror Spark's pathGlobFilter EXACTLY: it matches LEAF
+            # file names at any depth, so the unit must be sampled from
+            # the same files the stream/read will actually touch. (r13
+            # review finding: the old top-level-only glob fell back to
+            # ALL files on a miss — it could pick the unit from files
+            # the read never sees, a silent 1000× ts corruption — and a
+            # zero-match glob returned some unit instead of failing.)
+            matches = [
+                m
+                for m in all_files
+                if fnmatch.fnmatch(os.path.basename(m), glob_pat)
+            ]
+            if not matches:
+                raise FileNotFoundError(
+                    f"no parquet files matching {glob_pat!r} under {p}"
+                )
+        else:
+            matches = all_files
         if not matches:
             raise FileNotFoundError(f"no parquet files under {p}")
+        # evenly-spaced sample including first AND last: a mixed dir
+        # whose odd-unit files all sort after a prefix-only sample would
+        # otherwise be silently decoded with the wrong unit (r13 review
+        # finding). Not exhaustive (footer reads cost an object-store
+        # request each at 10⁵-file scale) — the spread catches the
+        # realistic mixed case, two writers' contiguous sorted blocks.
+        if len(matches) <= _UNIT_SAMPLE:
+            sample = matches
+        else:
+            step = (len(matches) - 1) / (_UNIT_SAMPLE - 1)
+            sample = [matches[round(i * step)] for i in range(_UNIT_SAMPLE)]
         units = {
             pq.ParquetFile(m).schema_arrow.field(column).type.unit
-            for m in matches[:_UNIT_SAMPLE]
+            for m in sample
         }
         if len(units) > 1:
             raise ValueError(
@@ -157,21 +187,17 @@ def read_events_parquet(spark: SparkSession, path: str, unit: str | None = None)
       same truncation DuckDB applies). `div`, not `/`: nanos ≈ 1.7e18
       exceeds double's exact integer range (2^53).
     """
-    from pyspark.sql import functions as F
-
-    from pb_etl_spark.streaming.windows import EVENTS_SCHEMA
+    from pb_etl_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        decode_nanos_ts,
+        events_nanos_schema,
+    )
 
     if unit is None:
         unit = parquet_ts_unit(path)
     if unit == "ns":
-        nanos_schema = T.StructType(
-            [
-                f if f.name != "ts" else T.StructField("ts", T.LongType())
-                for f in EVENTS_SCHEMA.fields
-            ]
-        )
-        df = spark.read.schema(nanos_schema).parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = spark.read.schema(events_nanos_schema()).parquet(path)
+        return decode_nanos_ts(df)
     return spark.read.schema(EVENTS_SCHEMA).parquet(path)
 
 

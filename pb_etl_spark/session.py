@@ -62,6 +62,19 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate IGNORES every builder.config when a session already
+    # exists in the JVM — which would silently drop the runtime-settable
+    # confs this engine's correctness depends on (UTC session timezone:
+    # the oracle parity of every timestamp-rendered column; Arrow;
+    # AQE; shuffle sizing). Re-apply them on the live session: a no-op
+    # on a fresh session, the fix on a reused one. Static (JVM-start)
+    # confs like driver.memory genuinely cannot change — skip those
+    # silently (Spark raises CANNOT_MODIFY_CONFIG). (r13 review finding)
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: PERF203 — static conf on a live JVM
+            pass
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

@@ -21,6 +21,56 @@ SUCCESS_FLAG = "_SUCCESS"
 _LOCK_STALE_S = 3600.0
 
 
+def _take_dir_lock(target: str, who: str) -> str:
+    """O_EXCL lockfile with race-safe stale-break — the same rename-aside
+    protocol as ``versioned.VersionedTable._take_lock`` (r13 review
+    finding: the previous unlink-in-place break was a TOCTOU that could
+    destroy a rival's FRESH lock and admit two writers, whose stale
+    sweeps then delete each other's live staging dirs). The stale lock
+    is RENAMED to a unique name first (atomic: exactly one contender
+    wins; losers get FileNotFoundError and fall through to the create
+    attempt, which then fails loudly on the winner's fresh lock)."""
+    import time
+    import uuid
+
+    lock = f"{target}__lock"
+    try:
+        try:
+            stale = time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
+        except FileNotFoundError:
+            stale = False  # no lock (or a rival just broke it)
+        if stale:
+            try:
+                os.rename(lock, f"{lock}.stale.{uuid.uuid4().hex[:8]}")
+            except FileNotFoundError:
+                pass  # a rival broke it first; fall through to create
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+    except FileExistsError:
+        raise RuntimeError(
+            f"{who}: {target} is locked by a concurrent writer ({lock}); "
+            "writes are single-writer per target"
+        ) from None
+    return lock
+
+
+def _recover_interrupted_swap(target: str) -> None:
+    """Restore a table whose writer crashed mid-swap. The swap protocol
+    is rename(target, old) then rename(staging, target); a crash between
+    the two leaves NO target but a complete ``{target}__old_{token}``
+    copy. Caller must hold the lock. Restores the newest old dir (at
+    most one can be live — every completed run sweeps on entry) and
+    leaves the rest for the caller's sweep. No-op when target exists."""
+    import glob
+
+    if os.path.isdir(target):
+        return
+    olds = sorted(glob.glob(f"{target}__old_*"), key=os.path.getmtime)
+    if olds:
+        os.rename(olds[-1], target)
+
+
 def dataset_exists(path: str, flag: str | None = SUCCESS_FLAG) -> bool:
     """True when the dataset at ``path`` is complete.
 
@@ -180,27 +230,16 @@ def compact_dataset(
     import glob
     import math
     import shutil
-    import time
     import uuid
 
-    total = sum(
-        os.path.getsize(f)
-        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    )
-    n_files = max(1, math.ceil(total / (target_file_mb << 20)))
-
-    lock = f"{path}__lock"
+    lock = _take_dir_lock(path, "compact_dataset")
     try:
-        if os.path.exists(lock) and time.time() - os.path.getmtime(lock) > _LOCK_STALE_S:
-            os.unlink(lock)
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
-    except FileExistsError:
-        raise RuntimeError(
-            f"compact_dataset: {path} is locked by a concurrent writer"
-        ) from None
-    try:
+        _recover_interrupted_swap(path)
+        total = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        n_files = max(1, math.ceil(total / (target_file_mb << 20)))
         df = spark.read.parquet(path)
         if cluster_by:
             df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
@@ -269,7 +308,6 @@ def upsert_parquet(
     """
     import glob
     import shutil
-    import time
     import uuid
 
     from pyspark.sql import functions as F
@@ -288,23 +326,15 @@ def upsert_parquet(
             "key — pre-compact with keep-latest before merging"
         )
 
-    lock = f"{target}__lock"
     os.makedirs(os.path.dirname(os.path.abspath(target)), exist_ok=True)
+    lock = _take_dir_lock(target, "upsert_parquet")
     try:
-        if (
-            os.path.exists(lock)
-            and time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
-        ):
-            os.unlink(lock)  # crashed writer; break its lock
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
-    except FileExistsError:
-        raise RuntimeError(
-            f"upsert_parquet: {target} is locked by a concurrent writer "
-            f"({lock}); upserts are single-writer per target"
-        ) from None
-    try:
+        # crash recovery BEFORE the stale-dir sweep: a writer that died
+        # between its two swap renames left no target but a complete
+        # __old_ copy — sweeping first would delete the only surviving
+        # data and silently shrink the table to the update batch (r13
+        # review finding)
+        _recover_interrupted_swap(target)
         for stale in glob.glob(f"{target}__staging_*") + glob.glob(f"{target}__old_*"):
             shutil.rmtree(stale, ignore_errors=True)
         if dataset_exists(target):

@@ -179,12 +179,20 @@ class VersionedTable:
     # -- retention ---------------------------------------------------------
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots; returns the
-        removed version numbers. Never removes the latest."""
-        vs = self.versions()
-        keep = set(vs[-max(1, keep_last):])
+        removed version numbers. Never removes the version ``_LATEST``
+        points to — retention is anchored on the COMMITTED latest, not
+        the directory listing (r13 review finding: a crash between the
+        v-dir write and the ``_LATEST`` flip leaves an orphan v-dir
+        NEWER than latest; keeping by listing alone would then vacuum
+        the live version and break every subsequent read). The orphan
+        itself is removable (it was never committed)."""
         removed = []
         lock = self._take_lock()
         try:
+            vs = self.versions()
+            latest = self.latest_version()  # what _LATEST actually says
+            committed = [v for v in vs if v <= latest]
+            keep = set(committed[-max(1, keep_last):]) | {latest}
             for v in vs:
                 if v not in keep:
                     shutil.rmtree(self._vdir(v), ignore_errors=True)

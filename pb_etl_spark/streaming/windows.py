@@ -34,6 +34,28 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def events_nanos_schema() -> "T.StructType":
+    """EVENTS_SCHEMA with ``ts`` as raw INT64 — the only schema Spark
+    4.x can use to scan TIMESTAMP(NANOS) parquet (PARQUET_TYPE_ILLEGAL
+    otherwise). ONE definition for batch and stream (r13 review: the
+    rewrite was copy-pasted in catalog.read_events_parquet and
+    read_event_stream — a future decode fix would have had to land in
+    both or batch and stream silently diverge)."""
+    return T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+
+
+def decode_nanos_ts(df: DataFrame) -> DataFrame:
+    """Raw INT64 nanos -> TimestampType micros. Integer ``div``, not
+    ``/``: nanos ≈ 1.7e18 exceed double's exact range (2^53); the
+    truncation direction matches DuckDB's."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def read_event_stream(
     spark: SparkSession,
     events_dir: str,
@@ -52,21 +74,13 @@ def read_event_stream(
         from pb_etl_spark.catalog import parquet_ts_unit
 
         ts_unit = parquet_ts_unit(events_dir, glob_pat=glob)
-    if ts_unit == "ns":
-        schema = T.StructType(
-            [
-                f if f.name != "ts" else T.StructField("ts", T.LongType())
-                for f in EVENTS_SCHEMA.fields
-            ]
-        )
-    else:
-        schema = EVENTS_SCHEMA
+    schema = events_nanos_schema() if ts_unit == "ns" else EVENTS_SCHEMA
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     sdf = reader.parquet(events_dir)
     if ts_unit == "ns":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        sdf = decode_nanos_ts(sdf)
     return sdf
 
 

@@ -138,15 +138,28 @@ def _entity_labels(con) -> None:
     raise RuntimeError("entity CC label loop did not converge in 64 rounds")
 
 
+def _entity_labels_memo(con) -> None:
+    """Build ``_er_lab`` once per connection: both entity queries need
+    the same edge build + pointer-jumping loop — the dominant big-SF
+    oracle cost — so a full sweep selecting both would otherwise run it
+    twice (r13 review finding)."""
+    have = con.execute(
+        "SELECT COUNT(*) FROM information_schema.tables "
+        "WHERE table_name = '_er_lab'"
+    ).fetchone()[0]
+    if not have:
+        _entity_labels(con)
+
+
 def _entity_resolution_big(con):
-    _entity_labels(con)
+    _entity_labels_memo(con)
     return con.execute(
         "SELECT id AS c_custkey, lab AS entity_id FROM _er_lab"
     ).fetchdf()
 
 
 def _entity_golden_record_big(con):
-    _entity_labels(con)
+    _entity_labels_memo(con)
     return con.execute("""
         SELECT e.lab AS entity_id,
                COUNT(*) AS n_members,
