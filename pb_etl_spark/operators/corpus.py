@@ -166,9 +166,17 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch and the rest as the existing corpus; drop new docs whose content
     fingerprint already exists in the corpus, then collapse duplicates
     within the batch keeping the smallest doc_id. Anti-join on md5
-    digests — the shuffle carries 16 bytes + id per doc, not bodies."""
-    doc = read_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(F.col("text")).alias("fp")
+    digests — the shuffle carries 16 bytes + id per doc, not bodies.
+
+    NULL text is excluded up front ON BOTH ENGINES (r13 review finding:
+    md5(NULL) = NULL, and a NULL key means KEEP under Spark's anti-join
+    but poisons DuckDB's ``NOT IN`` into dropping every row — the one
+    input class where the two formulations disagree; a null-body doc
+    has no content fingerprint to dedup on)."""
+    doc = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5(F.col("text")).alias("fp"))
     )
     new = doc.filter(F.col("doc_id") % 5 == 0)
     corpus = doc.filter(F.col("doc_id") % 5 != 0)
@@ -187,7 +195,15 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pattern redaction: emails → <EMAIL>, long digit runs → <NUM>, a
     sensitive-term list (stand-in: 'customer') → <PII>, applied in a
     fixed order. Emits the redaction count and the md5 of the redacted
-    text (so the check verifies the rewrite without shipping bodies)."""
+    text (so the check verifies the rewrite without shipping bodies).
+
+    ``n_redacted`` counts each pattern's matches on the ORIGINAL text
+    (a detection count), while the rewrite is sequential — a match
+    nested inside an earlier pattern (digits within an email) is
+    counted once but produces no separate placeholder, so n_redacted ≥
+    the number of placeholders inserted. Deliberate and mirrored in the
+    oracle (r13 review): the audit question the column answers is "how
+    many PII hits were found", not "how many tokens were rewritten"."""
     doc = read_table(spark, sf_dir, "documents")
     n_red = (
         F.regexp_count(F.col("text"), F.lit(PAT_EMAIL))
@@ -323,6 +339,15 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines' pow() results quantize to the same 1e-6 grid before any
     comparison.
 
+    Known residual float risk (r13 review, accepted): the rate passes
+    through engine-specific pow() and a float Σw before the 6-dp
+    round — a raw rate landing within ~1 ulp of a 0.5e-6 half-boundary
+    could round differently across engines and flip that language's
+    borderline docs. Unlike the money layer there is no integer grid
+    for pow(); the 6-dp round is the mitigation, the residual window is
+    ~1e-10 per language, and a flip would surface as a loud hash
+    mismatch (not silent corruption) in the driver gate.
+
     Scale shape: two bounded grouped aggs (one row per language) with
     broadcast 1-row totals (BNLJ-whitelisted), then a shuffle-free
     row-wise keep projection — same shape as ``mixture_resample``."""
@@ -415,12 +440,21 @@ def global_positions(
     leak is one bounded frame per invocation, reclaimed at session end."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keyed = df.repartitionByRange(nparts, *order_cols).persist()
-    counts = {
-        r["pid"]: r["n"]
-        for r in keyed.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    try:
+        counts = {
+            r["pid"]: r["n"]
+            for r in keyed.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    except Exception:
+        # success-path persistence is deliberate (offset literals tied
+        # to this frame's sampled range boundaries — see docstring);
+        # a FAILED counts job must still not leak a materialized copy
+        # per retry (r13 review finding, same discipline as
+        # grouped_running_sum)
+        keyed.unpersist()
+        raise
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -594,17 +628,21 @@ def grouped_running_sum(
             )
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keyed = df.repartitionByRange(nparts, *group_cols, *order_cols).persist()
-    rows = (
-        keyed.groupBy(F.spark_partition_id().alias("pid"), *group_cols)
-        .agg(
-            F.sum(value_col).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-            F.count(value_col).alias("nv"),
-        )
-        .collect()
-    )
     by_group: dict[tuple, list] = {}
     try:
+        # the collect is INSIDE the guard (r13 review finding): a
+        # task failure / interrupt during the counts job is exactly the
+        # retried-pipeline case where a leaked materialized copy per
+        # attempt hurts most
+        rows = (
+            keyed.groupBy(F.spark_partition_id().alias("pid"), *group_cols)
+            .agg(
+                F.sum(value_col).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.count(value_col).alias("nv"),
+            )
+            .collect()
+        )
         for r in rows:
             raw = tuple(r[c] for c in group_cols)
             for c, v in zip(group_cols, raw):
@@ -715,8 +753,12 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: EXACT ntile semantics, fully distributed. NTILE(k)
     over a total order is a pure function of the global row position:
-    bin = floor((pos-1)·k / n) + 1 (the first n mod k bins get the
-    extra row — the standard NTILE split). Positions come from
+    with q = n div k and r = n mod k, the first r buckets hold q+1 rows
+    and the rest hold q (the FRONT-LOADED standard split — NOT the
+    Bresenham floor((pos-1)·k/n)+1 spread, which distributes the r
+    extra rows evenly and diverges from NTILE whenever n mod k ≥ 2;
+    r13 review finding — the fixtures' doc counts are all ≡ 0 mod 10,
+    so only a non-multiple corpus exposed it). Positions come from
     ``global_positions`` (range partition + per-partition row_number +
     driver offset prefix-sum), so unlike a bare ntile window NOTHING
     funnels through one task; the grouped report after binning is
@@ -727,16 +769,23 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(_tokens()).cast("long")
     keyed = doc.select("doc_id", n_tok.alias("n_tokens"))
     pos, n_total = global_positions(spark, keyed, ["n_tokens", "doc_id"])
+    k = N_CURRICULUM_BINS
+    q, r = divmod(max(n_total, 1), k)
+    # rows 1..r(q+1) land in the r big buckets; the rest in q-row ones
+    # (q can be 0 when n < k: the first branch then covers every row,
+    # and the guarded max(q, 1) keeps the dead branch well-defined)
+    big_span = r * (q + 1)
+    p = F.col("pos")
     binned = pos.withColumn(
         "bin",
-        (
-            F.floor(
-                (F.col("pos") - F.lit(1))
-                * F.lit(N_CURRICULUM_BINS)
-                / F.lit(max(n_total, 1))
-            )
-            + F.lit(1)
-        ).cast("long"),
+        F.when(
+            p <= F.lit(big_span),
+            F.floor((p - 1) / F.lit(q + 1)) + 1,
+        )
+        .otherwise(
+            F.lit(r) + F.floor((p - F.lit(big_span) - 1) / F.lit(max(q, 1))) + 1
+        )
+        .cast("long"),
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -986,7 +1035,14 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs over the dense doc_id space. Self-pairs are impossible by
     construction (offset ∈ [1, n-1]); the draw is reproducible on
     retry, which a resumable pipeline needs. Shuffle-free: one row-wise
-    explode (the corpus count is a 1-row broadcast)."""
+    explode (the corpus count is a 1-row broadcast).
+
+    PRECONDITIONS (r13 review): doc_ids must be DENSE [0, n) — a sparse
+    or 1-based id space makes neg_doc_id name nonexistent documents on
+    both engines alike (remap ids first, e.g. via global_positions);
+    and the batch must have ≥ 2 docs (n_docs = 1 makes the ring's
+    ``mod (n-1)`` degenerate — Spark's non-ANSI mod-by-zero yields NULL
+    where DuckDB errors; a 1-doc corpus has no negatives to sample)."""
     doc = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     n = doc.agg(F.count(F.lit(1)).alias("n_docs"))
     negs = F.transform(
@@ -994,15 +1050,9 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda j: (
             F.col("doc_id")
             + 1
-            + F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), j.cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
+            + md5_u32(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"), j.cast("string"))
+            )
             % (F.col("n_docs") - 1)
         )
         % F.col("n_docs"),
@@ -1117,7 +1167,7 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     tok = doc.select("doc_id", F.explode(_tokens()).alias("tok"))
     bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        md5_u32(F.col("tok"))
         % N_HASH_BUCKETS
     )
     return (
@@ -1511,7 +1561,8 @@ ORACLES: dict[str, str] = {
         FROM c WHERE cum_chars <= {TOP_P} * lang_chars
     """,
     "incremental_dedup": """
-        WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents
+                   WHERE text IS NOT NULL),
         new AS (SELECT * FROM f WHERE doc_id % 5 = 0),
         corpus AS (SELECT fp FROM f WHERE doc_id % 5 <> 0)
         SELECT MIN(doc_id) AS keep_doc_id, fp, COUNT(*) AS n_batch_copies

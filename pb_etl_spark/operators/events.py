@@ -26,6 +26,7 @@ from pb_etl_spark.operators.selection import (
 )
 
 FUNNEL_GAP_HOURS = 24  # per-step max gap for the time-bounded funnel
+PM_JOURNEY_CAP = 10_000  # max events per user journey (state bound)
 WALLET_SIGNUP_BONUS_CENTS = 10_000  # signup credit for the wallet scan
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -42,18 +43,30 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts per pattern over all users.
 
     Scale shape: one per-user ordered string aggregation (shuffle on
-    user_id; journey length = that user's event count), then regex
-    classification + a 3-row rollup. The journey string is the per-key
-    state — the same boundedness argument as any sessionizer."""
+    user_id), then regex classification + a 3-row rollup. Journeys are
+    CAPPED at the user's first ``PM_JOURNEY_CAP`` events (mirrored in
+    the oracle): an uncapped per-user lifetime string is unbounded
+    aggregation state — a bot/integration user with 50M events would
+    build a ~50MB single aggregation buffer in one task (r13 review
+    finding; the earlier "same boundedness as a sessionizer" claim was
+    wrong — sessionizer state is gap-bounded, a lifetime journey is
+    not). The cap is a WindowGroupLimit-style rank filter, far above
+    any real fixture journey, so fixture values are unchanged."""
     ev = read_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__pm_events")
     return spark.sql(
-        """
-        WITH journeys AS (
+        f"""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM __pm_events
+        ),
+        journeys AS (
             SELECT user_id,
                    listagg(substr(event_type, 1, 1), '')
-                       WITHIN GROUP (ORDER BY ts, event_id) AS j
-            FROM __pm_events GROUP BY user_id
+                       WITHIN GROUP (ORDER BY rn) AS j
+            FROM ranked WHERE rn <= {PM_JOURNEY_CAP} GROUP BY user_id
         )
         SELECT pattern, n_matching, n_users,
                ROUND(CAST(n_matching AS DOUBLE) / n_users, 6) AS share
@@ -799,12 +812,17 @@ def q_variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
-    "event_pattern_match": """
-        WITH journeys AS (
+    "event_pattern_match": f"""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        journeys AS (
             SELECT user_id,
-                   string_agg(substr(event_type, 1, 1), ''
-                              ORDER BY ts, event_id) AS j
-            FROM events GROUP BY user_id
+                   string_agg(substr(event_type, 1, 1), '' ORDER BY rn) AS j
+            FROM ranked WHERE rn <= {PM_JOURNEY_CAP} GROUP BY user_id
         )
         SELECT pattern, n_matching, n_users,
                ROUND(CAST(n_matching AS DOUBLE) / n_users, 6) AS share

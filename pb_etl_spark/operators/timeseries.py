@@ -497,8 +497,13 @@ def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: weights are integer milliseconds, values integer cents —
     Σ cents·ms is pure int64 (max ~8.6e15 at 30-day spans, far inside
-    int64), so the only float op is one final division. Scale shape: one
-    lead() window pass and one hash aggregate, both keyed on user_id."""
+    int64), so the only float op is one final division. A user whose
+    intervals all have ZERO duration (events batch-ingested with
+    colliding timestamps) gets an explicit NULL twap on BOTH engines —
+    unguarded, Spark's double 0/0 is NaN while DuckDB's is NULL, the
+    engine divergence this module guards everywhere (r13 review
+    finding; same class as time_bounded_funnel's guard). Scale shape:
+    one lead() window pass and one hash aggregate, keyed on user_id."""
     ev = read_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     spans = (
@@ -513,10 +518,11 @@ def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spans.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
-        (
+        F.when(
+            F.sum("dt_ms") > 0,
             F.sum(F.col("cents") * F.col("dt_ms")).cast("double")
             / F.sum("dt_ms").cast("double")
-            / F.lit(100.0)
+            / F.lit(100.0),
         ).alias("twap_value"),
     )
 
@@ -1367,9 +1373,11 @@ ORACLES: dict[str, str] = {
         )
         SELECT user_id,
                COUNT(*) AS n_intervals,
-               CAST(CAST(SUM(cents * dt_ms) AS BIGINT) AS DOUBLE)
-                   / CAST(CAST(SUM(dt_ms) AS BIGINT) AS DOUBLE)
-                   / 100.0 AS twap_value
+               CASE WHEN SUM(dt_ms) > 0 THEN
+                   CAST(CAST(SUM(cents * dt_ms) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(SUM(dt_ms) AS BIGINT) AS DOUBLE)
+                       / 100.0
+               END AS twap_value
         FROM spans WHERE dt_ms IS NOT NULL
         GROUP BY user_id
     """,

@@ -76,10 +76,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   3. slot 21: round-13 new code — stream_vocab_drift, the Dunning-G²
 #      face of the streaming retrain-gate family (r12 verdict item 6),
 #      sharing selection.vocab_drift_from_cells and the batch oracle.
-#   4. slots 22-49: the 28 alphabetically-first r06-stale names (the
-#      r06 cohort is 33; ddsketch_quantiles already rides as a re-pin;
-#      theil_sen_trend, time_bounded_funnel, ucb_bandit_scores,
-#      zipf_slope carry to the r14 window head).
+#   4. slots 22-24: the r13 review-pass re-pins — curriculum_buckets
+#      (Spark bin formula corrected to exact front-loaded NTILE),
+#      twap_user_value (zero-duration NULL guard, both engines),
+#      incremental_dedup (NULL-text exclusion, both engines).
+#   5. remaining slots: the 25 alphabetically-first r06-stale names
+#      (the r06 cohort is 33; ddsketch_quantiles and event_pattern_match
+#      ride as re-pins; sql_scripting_threshold,
+#      stream_ddsketch_quantiles, target_encoding, theil_sen_trend,
+#      time_bounded_funnel, ucb_bandit_scores, zipf_slope carry to the
+#      r14 window head).
+# ALSO staged for r14 (r13 review finding, deliberately deferred): the
+# global_positions / global_running_sum / grouped_running_sum offset
+# lookup is a CreateMap LITERAL probed per row — GetMapValue on a
+# literal map is a linear scan, so every output row pays
+# O(shuffle.partitions) key comparisons (invisible at the 32-partition
+# fixture; real at a 20k-partition deployment). The fix for the
+# pid-keyed variants is an array literal indexed by spark_partition_id
+# (O(1) GetArrayItem); the grouped variant wants an array-of-struct per
+# pid. Deferred because it changes the plan of every helper consumer
+# (seq_packing, exact_stratified_split, grouped_running_revenue,
+# pps_systematic_sample, deterministic_shuffle, rfm_segments,
+# gini_by_group, abc_classification, curriculum_buckets, ...) — a
+# ~12-name re-pin burden this round's window cannot absorb.
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
 # oracle-less sketch/RNG names whose driver check can only report
@@ -113,6 +132,13 @@ _PRIORITY = [
     "vocab_topk",
     # -- slot 21: round-13 new code --
     "stream_vocab_drift",
+    # -- slots 22-24: r13 review-fix re-pins (plans/oracles changed:
+    #    curriculum moved to exact front-loaded NTILE; twap gained the
+    #    zero-duration NULL guard; incremental_dedup excludes NULL text
+    #    on both engines) --
+    "curriculum_buckets",
+    "twap_user_value",
+    "incremental_dedup",
     # -- slots 22-49: the 28 oldest (r06) names, alphabetical --
     "activity_heatmap",
     "association_rules",
@@ -139,9 +165,6 @@ _PRIORITY = [
     "order_cycle_time",
     "revenue_bridge",
     "roc_auc",
-    "sql_scripting_threshold",
-    "stream_ddsketch_quantiles",
-    "target_encoding",
 ]
 
 # Machine-readable staging annotation (consumed by
@@ -167,6 +190,13 @@ _REPINS = {
     "vocab_drift",
     # r13 new code:
     "stream_vocab_drift",
+    # r13 review-fix plan changes (same-round re-pins; event_pattern_match
+    # was already staged as r06-stale and moved here when its plan gained
+    # the PM_JOURNEY_CAP rank filter):
+    "curriculum_buckets",
+    "twap_user_value",
+    "incremental_dedup",
+    "event_pattern_match",
 }
 
 _MODULES = [

@@ -105,6 +105,10 @@ GLOBAL_WINDOW_WHITELIST = {
     # KEYED (or bounded); the SinglePartition exchange is the final
     # global COUNT/SUM aggregate emitting one row:
     "strict_funnel",  # per-user windows; 1-row funnel summary agg
+    "event_pattern_match",  # false positive of the co-occurrence
+    #   heuristic (r13): the PM_JOURNEY_CAP rank window is KEYED on
+    #   user_id; the SinglePartition exchanges are the 3-row pattern
+    #   rollup's 1-row summary aggregates
     "chi2_independence",  # row/col windows over the ≤r·c cell frame;
     #   1-row total union leg
     "histogram_quantiles",  # cumulative window over the ≤100-bucket

@@ -465,3 +465,98 @@ def test_stream_ddsketch_matches_batch_extraction_on_same_hist(spark):
             batch[q].est_price,
             batch[q].n_rows,
         )
+
+
+def test_curriculum_buckets_matches_ntile_on_non_multiple_count(spark, tmp_path):
+    """r13 review finding: the old bin formula floor((pos-1)k/n)+1 is
+    the Bresenham EVEN spread, which diverges from NTILE's front-loaded
+    split whenever n mod k >= 2 — and every fixture doc count is a
+    multiple of 10, so the tri-scale oracle check could never see it.
+    Pin the query against DuckDB NTILE on a 497-doc corpus."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    from pb_etl_spark.catalog import read_table
+    from pb_etl_spark.operators.corpus import q_curriculum_buckets
+
+    n = 497  # 497 % 10 == 7: seven front-loaded big buckets under NTILE
+    sub = str(tmp_path / "documents.parquet")
+    read_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") < n
+    ).coalesce(1).write.parquet(sub)
+
+    got = {
+        r["bin"]: (r["n_docs"], r["min_tokens"], r["max_tokens"], r["bin_tokens"])
+        for r in q_curriculum_buckets(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        int(b): (int(nd), int(mn), int(mx), int(bt))
+        for b, nd, mn, mx, bt in con.execute(f"""
+            WITH binned AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                       NTILE(10) OVER (ORDER BY len(string_split(text, ' ')) ASC,
+                                       doc_id ASC) AS bin
+                FROM '{sub}/*.parquet'
+            )
+            SELECT bin, COUNT(*), MIN(n_tokens), MAX(n_tokens),
+                   CAST(SUM(n_tokens) AS BIGINT)
+            FROM binned GROUP BY bin
+        """).fetchall()
+    }
+    con.close()
+    assert got == want
+    # the front-loading signature itself: first n mod k buckets are big
+    sizes = [got[b][0] for b in sorted(got)]
+    assert sizes == [50] * 7 + [49] * 3
+
+
+def test_twap_zero_duration_user_is_null_on_both_engines(spark, tmp_path):
+    """r13 review finding: a user whose intervals all have zero
+    duration (colliding timestamps) hit 0/0 — NaN on Spark, NULL on
+    DuckDB — the exact engine divergence the module guards elsewhere.
+    Both legs must now emit NULL for that user."""
+    import datetime as dt
+
+    import duckdb
+
+    from pb_etl_spark.operators.timeseries import q_twap_user_value
+    from pb_etl_spark.registry import all_oracles
+    from pb_etl_spark.streaming.windows import EVENTS_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two events at the IDENTICAL timestamp -> dt_ms = 0
+        (1, t0, 1, "view", 10.0, "{}"),
+        (2, t0, 1, "click", 20.0, "{}"),
+        # user 2: a normal pair one minute apart
+        (3, t0, 2, "view", 10.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=1), 2, "click", 30.0, "{}"),
+    ]
+    # write micros (the fixture format): the session default INT96
+    # would be reported as 'ns' by the footer probe and then fail the
+    # LongType nanos read loudly
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(
+            str(tmp_path / "events.parquet")
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    got = {r["user_id"]: r["twap_value"] for r in q_twap_user_value(spark, str(tmp_path)).collect()}
+    assert got[1] is None, "zero-duration user must be NULL, not NaN"
+    assert got[2] == 10.0  # value 10 held for the whole interval
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    want = {
+        int(u): v
+        for u, _n, v in con.execute(all_oracles()["twap_user_value"]).fetchall()
+    }
+    con.close()
+    assert want[1] is None and want[2] == 10.0
+    assert got == want
