@@ -54,51 +54,33 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CORRECTNESS_r*.json records and tests/test_freshness_ledger.py
 # asserts the window below against it (r12 verdict item 4) — a
 # mis-transcribed name fails pytest instead of silently burning a slot.
-# The round-13 window, per the r12 verdict's staged plan:
-#   1. slots 0-11: the 12 r04-stale leftovers, alphabetical (the tail
-#      of the r04 burn-down staged since r12; after these, nothing is
-#      staler than r06 and staging reverts to oldest-first rotation).
-#      vocab_drift doubles as a plan-change re-pin: its G² math moved
-#      into the shared selection.vocab_drift_from_cells this round.
-#   2. slots 12-20: the 9 queries whose plans changed with the r13
-#      fan-out-width conversion (r12 verdict item 2 — the shared
-#      operators/_width.fanout_width replaced the last hardcoded
-#      defaultParallelism widths at selection.py/text.py/multimodal.py/
-#      retrieval.py; 32 -> 200 under the driver's vanilla session):
-#      cms_token_counts, ddsketch_quantiles, doc_chunking, dsir_weights,
-#      media_decode, media_feature_summary, media_frame_sample,
-#      repetition_ratio, vocab_topk. (retrieval._scan_width keeps
-#      defaultParallelism DELIBERATELY — it models Spark's own
-#      FilePartition maxSplitBytes formula, which divides by
-#      defaultParallelism; converting it would make the model disagree
-#      with the engine. Exemption pinned in tests/test_plan_lint.py's
-#      _WIDTH_SOURCE_WHITELIST.)
-#   3. slot 21: round-13 new code — stream_vocab_drift, the Dunning-G²
-#      face of the streaming retrain-gate family (r12 verdict item 6),
-#      sharing selection.vocab_drift_from_cells and the batch oracle.
-#   4. slots 22-24: the r13 review-pass re-pins — curriculum_buckets
-#      (Spark bin formula corrected to exact front-loaded NTILE),
-#      twap_user_value (zero-duration NULL guard, both engines),
-#      incremental_dedup (NULL-text exclusion, both engines).
-#   5. remaining slots: the 25 alphabetically-first r06-stale names
-#      (the r06 cohort is 33; ddsketch_quantiles and event_pattern_match
-#      ride as re-pins; sql_scripting_threshold,
-#      stream_ddsketch_quantiles, target_encoding, theil_sen_trend,
-#      time_bounded_funnel, ucb_bandit_scores, zipf_slope carry to the
-#      r14 window head).
-# ALSO staged for r14 (r13 review finding, deliberately deferred): the
-# global_positions / global_running_sum / grouped_running_sum offset
-# lookup is a CreateMap LITERAL probed per row — GetMapValue on a
-# literal map is a linear scan, so every output row pays
-# O(shuffle.partitions) key comparisons (invisible at the 32-partition
-# fixture; real at a 20k-partition deployment). The fix for the
-# pid-keyed variants is an array literal indexed by spark_partition_id
-# (O(1) GetArrayItem); the grouped variant wants an array-of-struct per
-# pid. Deferred because it changes the plan of every helper consumer
-# (seq_packing, exact_stratified_split, grouped_running_revenue,
-# pps_systematic_sample, deterministic_shuffle, rfm_segments,
-# gini_by_group, abc_classification, curriculum_buckets, ...) — a
-# ~12-name re-pin burden this round's window cannot absorb.
+# The round-14 window, per the r13 verdict's staged plan:
+#   1. slots 0-17: the 18 offset-literal conversion re-pins (r13
+#      verdict item 1). The global_positions / global_running_sum /
+#      grouped_running_sum primitives now bake their per-partition
+#      offsets as an ARRAY literal indexed by spark_partition_id
+#      (O(1) GetArrayItem; empty-at-count-time pids hold NULL so the
+#      boundary-drift miss detection survives the conversion) instead
+#      of a CreateMap literal probed per output row (GetMapValue on a
+#      literal map is a linear scan — O(shuffle.partitions) key
+#      comparisons per row, invisible at the 32-partition fixture,
+#      real at a 20k-partition deployment). The grouped variant keys
+#      an outer pid array whose elements are per-pid group maps
+#      (bounded by groups-per-partition, small by range-partition
+#      contiguity under the documented low-cardinality contract).
+#      Every registered consumer's plan changes and rides the window:
+#      sprt_decision, quantile_normalize, shard_manifest,
+#      gini_by_group, gini_concentration, segment_migration,
+#      rfm_segments, abc_classification, weighted_median_by_group,
+#      grouped_quantiles_exact, window_ranking, seq_packing,
+#      top_p_quality_sample, deterministic_shuffle, curriculum_buckets,
+#      exact_stratified_split, pps_systematic_sample,
+#      grouped_running_revenue.
+#   2. slots 18-24: the 7 r06-stale leftovers, alphabetical (displaced
+#      from the r13 window by its review-fix re-pins; after these,
+#      nothing oracle-backed is staler than r07).
+#   3. slots 25-49: the next 25 r07-stale names, alphabetical (the r07
+#      cohort is 43; the remaining 18 carry to the r15 window head).
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
 # oracle-less sketch/RNG names whose driver check can only report
@@ -106,65 +88,70 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (kmv_distinct_sketch / bitmap_distinct_counts, ddsketch_quantiles,
 # stratified_hash_sample) carry the correctness evidence instead
 # (exemption pinned by tests/test_freshness_ledger.py).
+
+# The driver round this window is staged FOR: the ledger tests evaluate
+# _PRIORITY against CORRECTNESS records STRICTLY OLDER than this round,
+# so pytest stays green after the driver drops CORRECTNESS_r14.json
+# (r13 verdict item 3 — previously the post-round record turned the
+# ledger red until the next round's first commit). One newer record is
+# tolerated with a warning naming it; two means a round went by without
+# restaging, which fails.
+_STAGED_FOR = 14
+
 _PRIORITY = [
-    # -- slots 0-11: the 12 r04-stale leftovers --
-    "stream_doc_dedup",
-    "temperature_mixture",
-    "topk_hash_sample",
-    "topk_with_others",
-    "tpch_q13_custdist",
-    "tpch_q16_supplier_cnt",
-    "tpch_q20_part_shippers",
-    "tpch_q2_min_cost_supplier",
-    "triangle_count_knn",
-    "udtf_chunking",
-    "vocab_drift",
-    "weighted_hash_sample",
-    # -- slots 12-20: fan-out-width conversion re-pins --
-    "cms_token_counts",
-    "ddsketch_quantiles",
-    "doc_chunking",
-    "dsir_weights",
-    "media_decode",
-    "media_feature_summary",
-    "media_frame_sample",
-    "repetition_ratio",
-    "vocab_topk",
-    # -- slot 21: round-13 new code --
-    "stream_vocab_drift",
-    # -- slots 22-24: r13 review-fix re-pins (plans/oracles changed:
-    #    curriculum moved to exact front-loaded NTILE; twap gained the
-    #    zero-duration NULL guard; incremental_dedup excludes NULL text
-    #    on both engines) --
+    # -- slots 0-17: offset-literal conversion re-pins --
+    "sprt_decision",
+    "quantile_normalize",
+    "shard_manifest",
+    "gini_by_group",
+    "gini_concentration",
+    "segment_migration",
+    "rfm_segments",
+    "abc_classification",
+    "weighted_median_by_group",
+    "grouped_quantiles_exact",
+    "window_ranking",
+    "seq_packing",
+    "top_p_quality_sample",
+    "deterministic_shuffle",
     "curriculum_buckets",
-    "twap_user_value",
-    "incremental_dedup",
-    # -- slots 22-49: the 28 oldest (r06) names, alphabetical --
-    "activity_heatmap",
-    "association_rules",
-    "attribution_linear",
-    "benford_digit_test",
-    "bfs_hops_knn",
-    "binaryfile_ingest",
-    "burstiness_stats",
-    "calibration_bins",
-    "cohort_ltv",
-    "dp_noisy_counts",
-    "duplicate_invoice_detector",
-    "entity_resolution",
-    "event_pattern_match",
-    "hard_negative_mining",
-    "holt_forecast",
-    "interval_coverage",
-    "k_core_knn",
-    "kaplan_meier",
-    "label_propagation_knn",
-    "lateral_topk_join",
-    "listagg_per_group",
-    "mmr_diverse_topk",
-    "order_cycle_time",
-    "revenue_bridge",
-    "roc_auc",
+    "exact_stratified_split",
+    "pps_systematic_sample",
+    "grouped_running_revenue",
+    # -- slots 18-24: the 7 r06-stale leftovers --
+    "sql_scripting_threshold",
+    "stream_ddsketch_quantiles",
+    "target_encoding",
+    "theil_sen_trend",
+    "time_bounded_funnel",
+    "ucb_bandit_scores",
+    "zipf_slope",
+    # -- slots 25-49: the next 25 r07-stale names, alphabetical --
+    "array_funcs",
+    "bigram_loglik",
+    "bitwise_funcs",
+    "bool_aggs",
+    "bpe_token_count",
+    "case_bucketing",
+    "centroid_assign",
+    "date_funcs",
+    "dim_stats",
+    "exists_correlated",
+    "feature_hashing",
+    "hash_funcs",
+    "in_subquery",
+    "item_item_cosine",
+    "k_anonymity_report",
+    "kmv_distinct_sketch",
+    "map_funcs",
+    "math_funcs",
+    "matryoshka_knn",
+    "min_max_by",
+    "mode_per_group",
+    "new_vs_returning_daily",
+    "not_exists_correlated",
+    "null_handling",
+    "null_safe_join",
 ]
 
 # Machine-readable staging annotation (consumed by
@@ -175,28 +162,27 @@ _PRIORITY = [
 # stale name anywhere in the window (not just the oldest cohort) fails
 # pytest. Reset this set each round when restaging.
 _REPINS = {
-    # r13 fan-out-width conversion (operators/_width.fanout_width):
-    "cms_token_counts",
-    "ddsketch_quantiles",
-    "doc_chunking",
-    "dsir_weights",
-    "media_decode",
-    "media_feature_summary",
-    "media_frame_sample",
-    "repetition_ratio",
-    "vocab_topk",
-    # r13 refactor onto selection.vocab_drift_from_cells (also r04-stale,
-    # so it would ride the window either way):
-    "vocab_drift",
-    # r13 new code:
-    "stream_vocab_drift",
-    # r13 review-fix plan changes (same-round re-pins; event_pattern_match
-    # was already staged as r06-stale and moved here when its plan gained
-    # the PM_JOURNEY_CAP rank filter):
+    # r14 offset-literal conversion (corpus.global_positions /
+    # global_running_sum / grouped_running_sum — every registered
+    # consumer, direct or via affinity.exact_quintile):
+    "sprt_decision",
+    "quantile_normalize",
+    "shard_manifest",
+    "gini_by_group",
+    "gini_concentration",
+    "segment_migration",
+    "rfm_segments",
+    "abc_classification",
+    "weighted_median_by_group",
+    "grouped_quantiles_exact",
+    "window_ranking",
+    "seq_packing",
+    "top_p_quality_sample",
+    "deterministic_shuffle",
     "curriculum_buckets",
-    "twap_user_value",
-    "incremental_dedup",
-    "event_pattern_match",
+    "exact_stratified_split",
+    "pps_systematic_sample",
+    "grouped_running_revenue",
 }
 
 _MODULES = [

@@ -13,11 +13,47 @@ from __future__ import annotations
 
 
 def _ledger():
-    from tools.freshness import REPO, latest_checked
+    """Window state evaluated AS OF the round it was staged for.
 
-    from pb_etl_spark.registry import _PRIORITY, all_oracles, all_queries
+    Records >= ``registry._STAGED_FOR`` are excluded: the driver drops
+    CORRECTNESS_r{_STAGED_FOR}.json at the END of the round this window
+    rides, and that record must not turn the ledger red before the next
+    round's restaging commit (r13 verdict item 3). Exactly ONE such
+    newer record is tolerated — with a warning naming it, so the
+    restaging obligation stays visible — two means a full round went by
+    without restaging, which fails here.
+    """
+    import warnings
 
-    return _PRIORITY, all_queries(), all_oracles(), latest_checked(REPO)
+    from tools.freshness import REPO, latest_checked, record_rounds
+
+    from pb_etl_spark.registry import (
+        _PRIORITY,
+        _STAGED_FOR,
+        all_oracles,
+        all_queries,
+    )
+
+    newer = [r for r in record_rounds(REPO) if r >= _STAGED_FOR]
+    assert len(newer) <= 1, (
+        f"CORRECTNESS records r{newer} are at/after the staged round "
+        f"r{_STAGED_FOR} — the window was not restaged for a full "
+        "round; restage _PRIORITY (tools/freshness.py --stage 50 "
+        "<repins...>) and bump registry._STAGED_FOR"
+    )
+    if newer:
+        warnings.warn(
+            f"CORRECTNESS_r{newer[0]:02d}.json has landed — restage "
+            f"_PRIORITY for r{newer[0] + 1} and bump "
+            "registry._STAGED_FOR (first commit of the round)",
+            stacklevel=2,
+        )
+    return (
+        _PRIORITY,
+        all_queries(),
+        all_oracles(),
+        latest_checked(REPO, before=_STAGED_FOR),
+    )
 
 
 def test_never_checked_names_ride_the_next_window():
@@ -111,7 +147,7 @@ def test_stage_helper_reproduces_current_window():
     tool, test, and registry stay one convention."""
     from tools.freshness import stage
 
-    from pb_etl_spark.registry import _PRIORITY, _REPINS
+    from pb_etl_spark.registry import _PRIORITY, _REPINS, _STAGED_FOR
 
-    got = stage(len(_PRIORITY), sorted(_REPINS))
+    got = stage(len(_PRIORITY), sorted(_REPINS), as_of=_STAGED_FOR)
     assert set(got) == set(_PRIORITY)

@@ -36,15 +36,30 @@ def _row_green(row: object) -> bool:
     )
 
 
-def latest_checked(repo: Path = REPO) -> dict[str, int]:
+def record_rounds(repo: Path = REPO) -> list[int]:
+    """Sorted driver rounds with a committed CORRECTNESS record."""
+    return sorted(
+        int(re.search(r"r(\d+)", f.name).group(1))
+        for f in repo.glob("CORRECTNESS_r*.json")
+    )
+
+
+def latest_checked(repo: Path = REPO, before: int | None = None) -> dict[str, int]:
     """name -> newest round whose CORRECTNESS record shows it GREEN.
 
     Includes names that have since been renamed/unregistered; callers
-    intersect with the live registry.
+    intersect with the live registry. ``before`` restricts to records
+    STRICTLY OLDER than that round — the ledger tests pass
+    ``registry._STAGED_FOR`` so a window stays green after the driver
+    drops the record of the round it was staged for (r13 verdict
+    item 3); the CLI passes nothing (staging the NEXT round wants every
+    record).
     """
     latest: dict[str, int] = {}
     for f in sorted(repo.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        if before is not None and rnd >= before:
+            continue
         for name, row in json.loads(f.read_text()).items():
             if _row_green(row):
                 latest[name] = max(latest.get(name, 0), rnd)
@@ -72,15 +87,22 @@ def cohorts(repo: Path = REPO) -> dict[int, list[str]]:
     return {r: sorted(names) for r, names in sorted(out.items())}
 
 
-def stage(n_slots: int, repins: list[str] | None = None, repo: Path = REPO) -> list[str]:
+def stage(
+    n_slots: int,
+    repins: list[str] | None = None,
+    repo: Path = REPO,
+    as_of: int | None = None,
+) -> list[str]:
     """Propose the next ``_PRIORITY`` window: the given re-pin/new-code
     names first (they must ride the window regardless of staleness),
     then the oldest-first (latest-green round, name) prefix of the
     remaining oracle-backed names — exactly the ordering
     ``tests/test_freshness_ledger.py`` asserts, so a window built here
-    is green by construction."""
+    is green by construction. ``as_of`` replays the staging decision
+    against records strictly older than that round (the ledger test
+    passes ``registry._STAGED_FOR``)."""
     repins = list(repins or [])
-    latest = latest_checked(repo)
+    latest = latest_checked(repo, before=as_of)
     import sys
 
     sys.path.insert(0, str(repo))
