@@ -395,12 +395,15 @@ SHUFFLE_SALT = "epoch0"  # = shuffle_key(..., epoch=0)'s salt, used in oracles
 
 
 def _require_map_hit(lookup, key_expr, label: str):
-    """A plan-literal offset/total map miss (cache eviction + range
+    """A plan-literal offset/total lookup miss (cache eviction + range
     boundary resample between the collect job and the output job) must
     fail LOUDLY — a bare NULL pos/cum/gtot would silently corrupt
     downstream math (ADVICE r09, applied to all three running-sum
     primitives). Coalesce short-circuits, so raise_error only evaluates
-    on an actual miss."""
+    on an actual miss. Since r14 the pid-keyed lookups are array
+    literals whose empty-at-count-time slots hold NULL — a row landing
+    in such a partition IS boundary drift (the counts job saw zero rows
+    there), so the NULL-means-miss contract is unchanged."""
     return F.coalesce(
         lookup.cast("long"),
         F.raise_error(
@@ -429,7 +432,7 @@ def global_positions(
     (include a tiebreak column).
 
     DELIBERATELY NOT cache.swap_persist (r08 review adjudication): the
-    offset map is a plan LITERAL keyed to THIS persisted frame's sampled
+    offset array is a plan LITERAL keyed to THIS persisted frame's sampled
     boundaries — evicting the cache before the consuming action would
     recompute the range exchange with RESAMPLED boundaries under the
     stale literals and silently corrupt positions. A call-site swap key
@@ -455,13 +458,20 @@ def global_positions(
         # grouped_running_sum)
         keyed.unpersist()
         raise
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_map = F.create_map(
-        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
-    )
+    # Offsets bake as an ARRAY literal indexed by spark_partition_id —
+    # O(1) GetArrayItem per row. The previous CreateMap literal paid an
+    # O(shuffle.partitions) linear key scan per output row (GetMapValue
+    # on a literal map has no hash index): invisible at the 32-partition
+    # fixture, real at a 20k-partition deployment (r13 verdict item 1).
+    # Partitions EMPTY at count time hold NULL so a row landing there
+    # (= boundary drift) still trips _require_map_hit, exactly like the
+    # old absent-key map miss.
+    arr, acc = [], 0
+    for pid in range(nparts):
+        n = counts.get(pid)
+        arr.append(F.lit(acc if n is not None else None).cast("long"))
+        acc += n or 0
+    off_arr = F.array(*arr)
     w = W.partitionBy("pid").orderBy(*order_cols)
     out = (
         keyed.withColumn("pid", F.spark_partition_id())
@@ -469,7 +479,7 @@ def global_positions(
             "pos",
             F.row_number().over(w).cast("long")
             + _require_map_hit(
-                off_map[F.col("pid")],
+                F.get(off_arr, F.col("pid")),
                 F.col("pid"),
                 "global_positions offset",
             ),
@@ -528,18 +538,19 @@ def global_running_sum(
                     f"{r['pid']} (non-null contract)"
                 )
             totals[r["pid"]] = r["s"]
-        offsets, acc = {}, 0
-        for pid in sorted(totals):
-            offsets[pid] = acc
-            acc += totals[pid]
     except Exception:
         # same discipline as grouped_running_sum: any failure past
         # persist must not leak a fully-materialized cached copy
         keyed.unpersist()
         raise
-    off_map = F.create_map(
-        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
-    )
+    # same array-literal shape as global_positions (O(1) GetArrayItem,
+    # NULL slot for count-time-empty pids = drift trip-wire)
+    arr, acc = [], 0
+    for pid in range(nparts):
+        t = totals.get(pid)
+        arr.append(F.lit(acc if t is not None else None).cast("long"))
+        acc += t or 0
+    off_arr = F.array(*arr)
     w = (
         W.partitionBy("pid")
         .orderBy(*order_cols)
@@ -551,7 +562,7 @@ def global_running_sum(
             "cum",
             F.sum(value_col).over(w).cast("long")
             + _require_map_hit(
-                off_map[F.col("pid")],
+                F.get(off_arr, F.col("pid")),
                 F.col("pid"),
                 "global_running_sum offset",
             ),
@@ -605,7 +616,7 @@ def grouped_running_sum(
     (driver prefix-sum and windowed sum must agree exactly),
     ``order_cols`` a total order WITHIN each group, group/order columns
     non-null. Group columns must be string / integer / date typed — the
-    offset-map literal is keyed by Python ``str()`` on the driver and
+    per-pid offset maps are keyed by Python ``str()`` on the driver and
     ``cast('string')`` on executors, and only those types render
     identically on both sides (booleans: 'True' vs 'true'; doubles:
     repr vs Java formatting) — ENFORCED below, as are the non-null
@@ -674,25 +685,45 @@ def grouped_running_sum(
         # a fully-materialized copy of the input per retry
         keyed.unpersist()
         raise
-    offsets: dict[str, int] = {}
+    per_pid_off: dict[int, dict[str, int]] = {}
+    per_pid_tot: dict[int, dict[str, int]] = {}
     totals: dict[tuple, int] = {}
     for g, lst in by_group.items():
         acc = 0
-        gs = tuple(str(v) for v in g)
+        gs = _GRS_SEP.join(str(v) for v in g)
         for pid, s in sorted(lst):
-            offsets[_GRS_SEP.join((str(pid), *gs))] = acc
+            per_pid_off.setdefault(pid, {})[gs] = acc
             acc += s
         totals[g] = acc
-    off_map = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    )
-    tot_map = F.create_map(
-        *[
-            F.lit(v)
-            for g, t in totals.items()
-            for v in (_GRS_SEP.join(str(x) for x in g), t)
-        ]
-    )
+        for pid, _s in lst:
+            per_pid_tot.setdefault(pid, {})[gs] = acc
+    # Both lookups bake as an outer ARRAY literal indexed by
+    # spark_partition_id (O(1) GetArrayItem) whose elements are per-pid
+    # group maps — the probe inside is bounded by groups-per-PARTITION
+    # (small by range contiguity under the documented low-cardinality
+    # contract), never by |partitions|·|groups| as the old flat
+    # CreateMap was (O(shuffle.partitions) linear key scan per output
+    # row — r13 verdict item 1). A group's grand total repeats in every
+    # pid the group spans, so the gtot probe is per-pid too. Pids empty
+    # at count time hold NULL (boundary-drift trip-wire, same contract
+    # as global_positions); a group missing from its own pid's map is
+    # likewise drift.
+    def _pid_map_array(per_pid: dict[int, dict[str, int]]):
+        elems = []
+        for pid in range(nparts):
+            m = per_pid.get(pid)
+            if m:
+                pairs = []
+                for k, v in m.items():
+                    pairs.append(F.lit(k))
+                    pairs.append(F.lit(v).cast("long"))
+                elems.append(F.create_map(*pairs))
+            else:
+                elems.append(F.lit(None).cast("map<string,bigint>"))
+        return F.array(*elems)
+
+    off_arr = _pid_map_array(per_pid_off)
+    tot_arr = _pid_map_array(per_pid_tot)
     gkey = F.concat_ws(
         _GRS_SEP, *[F.col(c).cast("string") for c in group_cols]
     )
@@ -708,11 +739,19 @@ def grouped_running_sum(
         .withColumn(
             "cum",
             F.sum(value_col).over(w).cast("long")
-            + _require_map_hit(off_map[pkey], pkey, "grouped_running_sum offset"),
+            + _require_map_hit(
+                F.get(off_arr, F.col("pid"))[gkey],
+                pkey,
+                "grouped_running_sum offset",
+            ),
         )
         .withColumn(
             "gtot",
-            _require_map_hit(tot_map[gkey], gkey, "grouped_running_sum total"),
+            _require_map_hit(
+                F.get(tot_arr, F.col("pid"))[gkey],
+                pkey,
+                "grouped_running_sum total",
+            ),
         )
         .drop("pid")
     )

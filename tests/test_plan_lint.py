@@ -334,6 +334,41 @@ def test_width_source_whitelist_is_not_stale():
     assert "defaultParallelism" in inspect.getsource(windows.run_to_memory)
 
 
+# One full-registry plan walk under a sentinel shuffle-partitions
+# setting serves BOTH width rules below (building ~300 plans — some of
+# which run driver-side offset-collect jobs — is the expensive part;
+# the rule checks are string scans). 96 is chosen to (a) differ from
+# defaultParallelism and every fixture width, and (b) exceed the
+# 64-entry literal-map threshold, so a reintroduced
+# O(shuffle.partitions)-wide CreateMap probe (the r13→r14 verdict
+# item 1 class) is visible at the sentinel width.
+_SENTINEL = "96"
+_sentinel_plans_cache: dict[str, str] = {}
+
+
+def _sentinel_plans(spark) -> dict[str, str]:
+    if _sentinel_plans_cache:
+        return _sentinel_plans_cache
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, _SENTINEL)
+        # drop InMemoryRelations registered by earlier tests' sessions:
+        # a .persist() frame cached under the 4-partition conf would be
+        # re-served here with its old hashpartitioning(..., 4) — a false
+        # positive of the width lint, not a hardcoded width
+        spark.catalog.clearCache()
+        for name, fn in _batch_queries().items():
+            _sentinel_plans_cache[name] = (
+                fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            )
+    finally:
+        spark.conf.set(key, prev)
+        # symmetric: don't serve sentinel-width caches to later tests
+        spark.catalog.clearCache()
+    return _sentinel_plans_cache
+
+
 def test_no_core_count_sized_exchange_in_any_registered_plan(spark):
     """Plan-level twin of the source lint (r12 verdict item 3): build
     every registered batch plan under a shuffle-partitions setting that
@@ -343,31 +378,92 @@ def test_no_core_count_sized_exchange_in_any_registered_plan(spark):
     of a hardcoded ``repartition(defaultParallelism, ...)`` that a
     data-proportional deployment knob can no longer reach."""
     dp = spark.sparkContext.defaultParallelism
-    sentinel = "37"  # differs from dp=4 and from any fixture width
-    assert str(dp) != sentinel
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
+    assert str(dp) != _SENTINEL
     offenders = {}
-    try:
-        spark.conf.set(key, sentinel)
-        # drop InMemoryRelations registered by earlier tests' sessions:
-        # a .persist() frame cached under the 4-partition conf would be
-        # re-served here with its old hashpartitioning(..., 4) — a false
-        # positive of this lint, not a hardcoded width
-        spark.catalog.clearCache()
-        for name, fn in _batch_queries().items():
-            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-            hit = next(
-                (w for w in _partitioning_widths(plan) if w[1] == dp), None
-            )
-            if hit:
-                offenders[name] = hit[0]
-    finally:
-        spark.conf.set(key, prev)
+    for name, plan in _sentinel_plans(spark).items():
+        hit = next((w for w in _partitioning_widths(plan) if w[1] == dp), None)
+        if hit:
+            offenders[name] = hit[0]
     assert not offenders, (
-        f"core-count-sized exchange under a {sentinel}-partition session "
+        f"core-count-sized exchange under a {_SENTINEL}-partition session "
         f"(route the width through operators._width.fanout_width): {offenders}"
     )
+
+
+# No registered plan may probe a literal map wider than this: GetMapValue
+# on a literal map is a LINEAR key scan per evaluation (no hash index),
+# so a map sized to shuffle.partitions costs O(P) per output row at a
+# 20k-partition deployment. Legitimately-bounded maps (|variants|-row
+# sprt offsets, raise_error's 1-entry message map, per-pid group maps
+# inside array literals) all sit far below the threshold.
+_MAP_LITERAL_MAX = 64
+WIDE_MAP_WHITELIST: dict[str, str] = {}
+
+
+def test_no_wide_literal_map_in_any_registered_plan(spark):
+    """r13 verdict item 1 regression guard: the global_positions-family
+    offset lookups were converted from CreateMap literals probed per
+    output row to array literals indexed by spark_partition_id (O(1)
+    GetArrayItem; count-time-empty pids hold NULL so the drift
+    trip-wire survives; the grouped variant nests per-pid group maps
+    bounded by groups-per-partition). This lint scans every registered
+    plan built under the {_SENTINEL}-partition sentinel — wider than
+    the threshold, so the banned shape cannot hide at fixture width —
+    and flags any map expression with more than 64 entries."""
+    offenders = {}
+    for name, plan in _sentinel_plans(spark).items():
+        widths = [w for w in _map_literal_widths(plan) if w > _MAP_LITERAL_MAX]
+        if widths and name not in WIDE_MAP_WHITELIST:
+            offenders[name] = max(widths)
+    assert not offenders, (
+        f"literal map wider than {_MAP_LITERAL_MAX} entries in a "
+        "registered plan (O(width) linear scan per row — bake a "
+        "pid-indexed array literal instead, see corpus.global_positions): "
+        f"{offenders}"
+    )
+
+
+def _map_literal_widths(plan: str) -> list[int]:
+    """Entry count of every ``map(...)`` expression printed in a
+    physical-plan string. Folded literals print
+    ``map(keys: [k1,k2,...], values: [...])`` (count the keys);
+    unfolded CreateMap prints ``map(k1, v1, k2, v2, ...)`` (entries =
+    top-level args / 2). Balanced-delimiter extraction for the same
+    reason as ``_partitioning_widths``; truncated plans skip. Maps
+    nested inside folded ARRAY literals print bare
+    ``keys: [...], values: [...]`` with no ``map(`` prefix and are
+    deliberately not counted — those are the sanctioned per-pid bounded
+    maps."""
+    out = []
+    i = 0
+    while True:
+        m = plan.find("map(", i)
+        if m < 0:
+            return out
+        i = m + 4
+        if m and (plan[m - 1].isalnum() or plan[m - 1] == "_"):
+            continue  # map_from_entries( / *_map( — a different function
+        depth, j, commas = 1, i, 0
+        while j < len(plan) and depth:
+            ch = plan[j]
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                commas += 1
+            j += 1
+        if depth:  # truncated plan string — nothing to extract
+            continue
+        inner = plan[i : j - 1]
+        if inner.startswith("keys: ["):
+            close = inner.find("]", len("keys: ["))
+            if close < 0:
+                continue
+            keys = inner[len("keys: [") : close]
+            out.append(0 if not keys.strip() else keys.count(",") + 1)
+        else:
+            out.append((commas + 1) // 2)
 
 
 def _partitioning_widths(plan: str) -> list[tuple[str, int]]:
@@ -406,3 +502,22 @@ def test_partitioning_width_extractor_handles_nested_parens():
         "Exchange hashpartitioning(coalesce(a#3, b#4), 200), ..."
     )
     assert [w for _, w in got] == [37, 4, 4, 200]
+
+
+def test_map_literal_width_extractor():
+    got = _map_literal_widths(
+        # folded literal: count the keys list
+        "Project [map(keys: [0,1,2], values: [10,20,30])[pid#1] AS x#9]\n"
+        # unfolded CreateMap: top-level args / 2 (nested parens ignored)
+        "Project [map(a#1, concat(b#2, c#3), d#4, e#5)[k#6]]\n"
+        # raise_error's internal 1-entry message map
+        "cast(raise_error(USER_RAISED_EXCEPTION, map(errorMessage, m#7)))\n"
+        # different functions sharing the suffix must not match
+        "map_from_entries(arr#8)\n"
+        # maps nested in a folded ARRAY literal print WITHOUT map( —
+        # deliberately not counted (sanctioned per-pid bounded maps)
+        "[keys: [a,b], values: [1,2],keys: [c], values: [3]][pid#1]\n"
+        # truncated tail: skipped, no crash
+        "Project [map(q#1, r#2"
+    )
+    assert got == [3, 2, 1]
