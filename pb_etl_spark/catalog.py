@@ -131,13 +131,29 @@ def parquet_ts_unit(path: str, column: str = "ts", glob_pat: str | None = None) 
             _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
         )
         if glob_pat is not None:
-            # mirror Spark's pathGlobFilter EXACTLY: it matches LEAF
-            # file names at any depth, so the unit must be sampled from
-            # the same files the stream/read will actually touch. (r13
-            # review finding: the old top-level-only glob fell back to
-            # ALL files on a miss — it could pick the unit from files
-            # the read never sees, a silent 1000× ts corruption — and a
-            # zero-match glob returned some unit instead of failing.)
+            # mirror Spark's pathGlobFilter on the fnmatch-compatible
+            # subset: both match LEAF file names at any depth, so the
+            # unit is sampled from the same files the stream/read will
+            # actually touch. (r13 review finding: the old
+            # top-level-only glob fell back to ALL files on a miss — it
+            # could pick the unit from files the read never sees, a
+            # silent 1000× ts corruption — and a zero-match glob
+            # returned some unit instead of failing.) The two glob
+            # dialects DIVERGE beyond that subset — Hadoop supports
+            # {a,b} alternation and [^...] negation which fnmatch
+            # rejects or reads differently ([!...]) — so such patterns
+            # are refused outright rather than silently sampling units
+            # from different files than the read touches (ADVICE r13).
+            hadoop_only = [
+                t for t in ("{", "}", "[^", "[!") if t in glob_pat
+            ]
+            if hadoop_only:
+                raise ValueError(
+                    f"glob {glob_pat!r} uses syntax ({hadoop_only}) where "
+                    "Hadoop and fnmatch globs diverge; parquet_ts_unit "
+                    "supports only the common subset (* ? and "
+                    "non-negated [...] classes)"
+                )
             matches = [
                 m
                 for m in all_files

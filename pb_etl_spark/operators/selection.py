@@ -323,6 +323,16 @@ def vocab_drift_from_cells(cells: DataFrame) -> DataFrame:
         F.sum("k11").alias("n1"), F.sum("k12").alias("n2")
     )
     n1, n2 = totals.collect()[0]
+    if not n1 and not n2:
+        # SUM over zero rows is NULL — an empty/missing snapshot (e.g. a
+        # stream drain that produced no state) must yield an empty
+        # report, not an int(None) TypeError below (ADVICE r13)
+        return cells.sparkSession.createDataFrame(
+            [],
+            "token string, c_new long, c_old long, "
+            "rate_new double, rate_old double, g2 double",
+        )
+    n1, n2 = int(n1 or 0), int(n2 or 0)
     k11, k12 = F.col("k11"), F.col("k12")
     k21, k22 = F.lit(int(n1)) - k11, F.lit(int(n2)) - k12
     g2 = (

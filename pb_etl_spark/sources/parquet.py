@@ -40,13 +40,31 @@ def _take_dir_lock(target: str, who: str) -> str:
         except FileNotFoundError:
             stale = False  # no lock (or a rival just broke it)
         if stale:
+            aside = f"{lock}.stale.{uuid.uuid4().hex[:8]}"
             try:
-                os.rename(lock, f"{lock}.stale.{uuid.uuid4().hex[:8]}")
+                os.rename(lock, aside)
             except FileNotFoundError:
                 pass  # a rival broke it first; fall through to create
+            else:
+                # the rename-aside exists only to make the break atomic;
+                # once this contender owns the aside name it can delete
+                # it, or crashed-writer locks accumulate forever on
+                # frequently-compacted targets (ADVICE r13)
+                os.unlink(aside)
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         os.write(fd, str(os.getpid()).encode())
         os.close(fd)
+        # single writer now holds the lock: sweep asides orphaned by
+        # contenders that crashed between their rename and unlink
+        # (nothing ever reads an aside — the unique name only made the
+        # break atomic)
+        import glob as _glob
+
+        for orphan in _glob.glob(f"{lock}.stale.*"):
+            try:
+                os.unlink(orphan)
+            except FileNotFoundError:
+                pass
     except FileExistsError:
         raise RuntimeError(
             f"{who}: {target} is locked by a concurrent writer ({lock}); "
@@ -234,7 +252,15 @@ def compact_dataset(
 
     lock = _take_dir_lock(path, "compact_dataset")
     try:
+        # crash recovery BEFORE the stale-dir sweep, then the same
+        # leftover sweep upsert_parquet performs — without it, repeated
+        # crashes on a compaction-only target accumulate orphan
+        # __staging_/__old_ dirs indefinitely (ADVICE r13)
         _recover_interrupted_swap(path)
+        for leftover in glob.glob(f"{path}__staging_*") + glob.glob(
+            f"{path}__old_*"
+        ):
+            shutil.rmtree(leftover, ignore_errors=True)
         total = sum(
             os.path.getsize(f)
             for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)

@@ -37,6 +37,24 @@ def test_zero_match_glob_raises_instead_of_guessing(tmp_path):
         parquet_ts_unit(str(tmp_path), glob_pat="events-*.parquet")
 
 
+def test_dialect_divergent_glob_syntax_is_refused(tmp_path):
+    """ADVICE r13: Hadoop's pathGlobFilter supports {a,b} alternation
+    and [^...] negation which fnmatch rejects or reads differently
+    ([!...]) — such patterns could sample units from DIFFERENT files
+    than the read touches, so they must be refused, not approximated.
+    The common subset (* ? non-negated [...]) still works."""
+    _write(str(tmp_path / "part-0.parquet"), "us")
+    for pat in (
+        "{events,part}-*.parquet",
+        "part-[^a]*.parquet",
+        "part-[!a]*.parquet",
+    ):
+        with pytest.raises(ValueError, match="diverge"):
+            parquet_ts_unit(str(tmp_path), glob_pat=pat)
+    # non-negated character class: identical in both dialects, allowed
+    assert parquet_ts_unit(str(tmp_path), glob_pat="part-[0-9].parquet") == "us"
+
+
 def test_mixed_units_detected_beyond_the_first_eight_files(tmp_path):
     # 12 micros files sorting first, 2 nanos files sorting last: a
     # prefix-only sample of 8 would see only micros and silently decode

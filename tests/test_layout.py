@@ -95,6 +95,36 @@ def test_compaction_shrinks_files_and_preserves_content(spark, tmp_path):
     assert not glob.glob(f"{path}__*")  # lock and staging cleaned up
 
 
+def test_compaction_sweeps_crash_leftovers_and_recovers_swap(spark, tmp_path):
+    """ADVICE r13: compact_dataset (unlike upsert_parquet) never swept
+    __staging_/__old_ leftovers from crashed runs, so repeated crashes
+    accumulated orphan dirs indefinitely on compaction-only targets. And
+    a crash BETWEEN the two swap renames (no target, complete __old_
+    copy) must be recovered before that sweep, same as the upsert path."""
+    import shutil
+
+    from pb_etl_spark.sources.parquet import compact_dataset
+
+    path = str(tmp_path / "crashy")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string"
+    ).repartition(4).write.parquet(path)
+
+    # crashed-run leftovers from two earlier attempts
+    os.makedirs(f"{path}__staging_dead1")
+    shutil.copytree(path, f"{path}__old_dead2")
+    compact_dataset(spark, path, target_file_mb=512)
+    assert not glob.glob(f"{path}__*"), "leftovers must be swept"
+    assert spark.read.parquet(path).count() == 100
+
+    # crash between rename(target, old) and rename(staging, target):
+    # the __old_ copy is the only surviving data and must be restored
+    os.rename(path, f"{path}__old_crash")
+    compact_dataset(spark, path, target_file_mb=512)
+    assert spark.read.parquet(path).count() == 100
+    assert not glob.glob(f"{path}__*")
+
+
 def test_compaction_with_recluster_sorts_files(spark, tmp_path):
     from pb_etl_spark.sources.parquet import compact_dataset
 

@@ -216,10 +216,21 @@ def test_upsert_single_writer_lock(spark, tmp_path):
         upsert_parquet(spark, target, df, "id")
     assert os.path.exists(lock), "a live foreign lock must not be removed"
 
-    # stale lock (older than the threshold) is broken and the upsert runs
+    # stale lock (older than the threshold) is broken and the upsert
+    # runs; the rename-aside used for the atomic break and any asides
+    # orphaned by previously crashed contenders are both cleaned up
+    # (ADVICE r13: they accumulated forever on crash-prone targets)
     os.utime(lock, (time.time() - 7200, time.time() - 7200))
+    orphan = f"{lock}.stale.deadbeef"
+    with open(orphan, "w") as f:
+        f.write("999998")
     upsert_parquet(spark, target, df, "id")
     assert not os.path.exists(lock), "lock must be released on success"
+    import glob as _glob
+
+    assert not _glob.glob(f"{lock}.stale.*"), (
+        "rename-aside / orphaned stale locks must be deleted"
+    )
 
 
 def test_scd2_merge_tracks_history(spark):

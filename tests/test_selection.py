@@ -92,6 +92,23 @@ def test_vocab_drift_g2_formula(spark):
     assert top["rate_new"] == pytest.approx(k11 / n1, abs=1e-6)
 
 
+def test_vocab_drift_from_cells_empty_input(spark):
+    """SUM over zero cells is NULL — an empty snapshot pair (e.g. a
+    stream drain that produced no state) must yield an EMPTY report
+    with the normal schema, not an int(None) TypeError (ADVICE r13)."""
+    from pb_etl_spark.operators.selection import vocab_drift_from_cells
+
+    cells = spark.createDataFrame([], "w string, k11 long, k12 long")
+    out = vocab_drift_from_cells(cells)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "token", "c_new", "c_old", "rate_new", "rate_old", "g2",
+    ]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string", "bigint", "bigint", "double", "double", "double",
+    ]
+
+
 def test_shard_manifest_partitions_the_corpus_exactly(spark):
     """Shards must tile the corpus: token/doc totals match the raw
     corpus, ids are contiguous from 0, every shard except the last
