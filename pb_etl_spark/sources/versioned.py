@@ -86,13 +86,28 @@ class VersionedTable:
                 os.path.exists(lock)
                 and time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
             ):
+                aside = f"{lock}.stale.{uuid.uuid4().hex[:8]}"
                 try:
-                    os.rename(lock, f"{lock}.stale.{uuid.uuid4().hex[:8]}")
+                    os.rename(lock, aside)
                 except FileNotFoundError:
                     pass  # a rival broke it first; fall through to create
+                else:
+                    # the aside only made the break atomic; delete it or
+                    # crashed-writer locks accumulate forever (same
+                    # ADVICE-r13 fix as parquet._take_dir_lock)
+                    os.unlink(aside)
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, str(os.getpid()).encode())
             os.close(fd)
+            # single writer now: sweep asides orphaned by contenders
+            # that crashed between their rename and unlink
+            import glob as _glob
+
+            for orphan in _glob.glob(f"{lock}.stale.*"):
+                try:
+                    os.unlink(orphan)
+                except FileNotFoundError:
+                    pass
         except FileExistsError:
             raise RuntimeError(
                 f"VersionedTable: {self.path} is locked by a concurrent "

@@ -135,7 +135,9 @@ def test_stale_lock_break_is_rename_aside(tmp_path):
     """r13 review finding: breaking a stale lock by unlink-in-place is
     a TOCTOU that can destroy a rival's FRESH lock. The shared helper
     must (a) break a genuinely stale lock and take it, (b) refuse a
-    fresh one."""
+    fresh one. ADVICE r13 tightened (a): the rename-aside exists only
+    to make the break atomic — the winner unlinks it (and any orphans
+    from crashed contenders) so asides don't accumulate forever."""
     import os as _os
     import time as _time
 
@@ -148,11 +150,17 @@ def test_stale_lock_break_is_rename_aside(tmp_path):
         f.write("999")
     old = _time.time() - _LOCK_STALE_S - 10
     _os.utime(lock, (old, old))
+    # plus an aside orphaned by a contender that crashed mid-break
+    with open(f"{lock}.stale.deadbeef", "w") as f:
+        f.write("998")
     got = _take_dir_lock(target, "test")
     assert got == lock and _os.path.exists(lock)
     import glob as _glob
 
-    assert _glob.glob(f"{lock}.stale.*"), "stale lock renamed aside, not unlinked"
+    assert not _glob.glob(f"{lock}.stale.*"), (
+        "rename-aside and orphaned asides must be unlinked after the "
+        "break (ADVICE r13: they accumulated forever)"
+    )
     # fresh lock: refused loudly
     with pytest.raises(RuntimeError, match="locked by a concurrent writer"):
         _take_dir_lock(target, "test")

@@ -28,6 +28,14 @@ CASES = [
     # single-row-group fixture at every width, and the repartition
     # target (fanout_width) must not change the quantile report
     ("retrieval-guarded", "ddsketch_quantiles"),
+    # r14 offset-literal conversion: the pid-indexed offset ARRAYS are
+    # sized to shuffle.partitions (8/64/200-wide literals across this
+    # sweep), so these pin that positions/cumsums — and everything
+    # downstream of them — are invariant to the array width, including
+    # the NULL slots empty partitions leave at widths >> |rows-ranges|
+    ("corpus-offset-pos", "seq_packing"),
+    ("corpus-offset-shuffle", "deterministic_shuffle"),
+    ("corpus-offset-ntile", "curriculum_buckets"),
 ]
 
 

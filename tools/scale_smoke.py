@@ -102,6 +102,11 @@ SMOKE = [
     "media_feature_summary",
     "vocab_drift",
     "stream_vocab_drift",
+    # round-14 additions: the two heaviest offset-literal-conversion
+    # consumers not already listed (seq_packing is above) — exponents
+    # re-measured after the CreateMap→array-literal plan change
+    "deterministic_shuffle",
+    "curriculum_buckets",
 ]
 
 
