@@ -313,7 +313,16 @@ def q_binaryfile_ingest(spark, sf_dir: str) -> DataFrame:
     octet_length of the encoded blob — encoding-aware, so non-ASCII
     text still matches; md5(content) = md5 of the same UTF-8 bytes),
     so a hash match proves the file materialization, the binaryFile
-    scan, and the content bytes all round-trip exactly."""
+    scan, and the content bytes all round-trip exactly.
+
+    EMPTY files are excluded on both legs: Spark's ``binaryFile``
+    source emits NO row for a 0-byte file (FilePartition splits are
+    size-based, so an empty file contributes no slice — verified
+    empirically; found by the adversarial-fixture sweep's empty
+    document). The oracle filters ``octet_length = 0`` to match. A
+    production ingest that must SURFACE truncated/empty uploads pairs
+    the scan with a file-listing anti-join — the binaryFile scan alone
+    cannot see them."""
     path = binary_docs_path(spark, sf_dir)
     files = spark.read.format("binaryFile").load(path + "/*.bin")
     return files.select(
@@ -328,19 +337,24 @@ def q_binaryfile_ingest(spark, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "binaryfile_ingest": f"""
         SELECT doc_id,
-               -- UTF-8 BYTE length (octet_length of the encoded blob),
-               -- not character count: matches Spark binaryFile's file
-               -- length even if the fixture text ever goes non-ASCII
-               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               -- UTF-8 BYTE length: octet_length over encode(text), not a
+               -- BLOB cast (DuckDB's VARCHAR->BLOB cast REJECTS
+               -- non-ASCII bytes; encode() is the encoding-aware
+               -- conversion) and not character count — matches Spark
+               -- binaryFile's file length on any unicode text
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_md5
-        FROM documents WHERE doc_id < {BIN_DOCS}
+        FROM documents
+        -- empty files excluded: Spark binaryFile emits no row for a
+        -- 0-byte file (see q_binaryfile_ingest docstring)
+        WHERE doc_id < {BIN_DOCS} AND octet_length(encode(text)) > 0
     """,
     "media_decode": """
         SELECT doc_id AS media_id,
                CAST(doc_id % 64 + 16 AS BIGINT) AS width,
                CAST(doc_id % 48 + 16 AS BIGINT) AS height,
                CAST(doc_id % 3 + 1 AS BIGINT) AS channels,
-               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_payload_bytes
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_payload_bytes
         FROM documents
     """,
     "media_feature_summary": """
@@ -349,7 +363,7 @@ ORACLES: dict[str, str] = {
                    CASE doc_id % 3 WHEN 0 THEN 'image'
                                    WHEN 1 THEN 'audio'
                                    ELSE 'video' END AS kind,
-                   octet_length(CAST(text AS BLOB)) AS payload_bytes
+                   octet_length(encode(text)) AS payload_bytes
             FROM documents
         )
         SELECT kind, COUNT(*) AS n_items,
@@ -365,35 +379,46 @@ def q_media_frame_sample(spark, sf_dir: str) -> DataFrame:
     """Row-count-changing frame sampling registered end-to-end: 1 media
     row → ≤4 frame rows via ``mapInPandas`` (the video-frame-extraction
     shape). ORACLE-CHECKED: the fake payload is the document's UTF-8
-    text (ASCII), so DuckDB reproduces each frame's bytes with string
-    slicing; frames are compared by (length, md5) rather than shipping
-    raw bytes through the harness."""
+    text, and frames are compared by (byte length, md5 of the HEX
+    rendering of the bytes). The hex indirection is what makes the
+    digest byte-true cross-engine: the sampler strides over BYTES, a
+    stride can split a multibyte UTF-8 character, and DuckDB can
+    neither slice nor md5 BLOBs — but it CAN slice the hex string
+    (2 chars per byte) and md5 that. The previous md5-of-raw-bytes
+    digest only matched while every document was pure ASCII (found by
+    the adversarial-fixture sweep, tools/adversarial_fixture.py);
+    md5∘hex is injective in the bytes, so the check is exactly as
+    strong."""
     media = media_table_from_documents(spark, sf_dir)
     frames = sample_frames(media)
     return frames.select(
         "media_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.length("frame_bytes").cast("long").alias("n_bytes"),
-        F.md5("frame_bytes").alias("frame_md5"),
+        F.md5(F.hex("frame_bytes")).alias("frame_md5"),
     )
 
 
 ORACLES["media_frame_sample"] = """
     WITH d AS (
-        SELECT doc_id AS media_id, text, length(text) AS L
+        -- hex(encode(text)) = 2 chars per UTF-8 BYTE, so byte slicing
+        -- becomes hex slicing: byte [a, a+n) == hex [2a+1, 2n]
+        SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS L
         FROM documents
     ), f AS (
-        SELECT media_id, text, L,
+        SELECT media_id, hx, L,
                GREATEST(1, L // 4) AS stride,
                unnest(generate_series(0, 3)) AS frame_idx
         FROM d
     )
     SELECT media_id, frame_idx,
-           CAST(length(substring(text, frame_idx * stride + 1, stride))
-                AS BIGINT) AS n_bytes,
-           md5(substring(text, frame_idx * stride + 1, stride)) AS frame_md5
+           CAST(length(substring(hx, frame_idx * stride * 2 + 1, stride * 2))
+                // 2 AS BIGINT) AS n_bytes,
+           md5(substring(hx, frame_idx * stride * 2 + 1, stride * 2))
+               AS frame_md5
     FROM f
-    WHERE length(substring(text, frame_idx * stride + 1, stride)) > 0
+    WHERE length(substring(hx, frame_idx * stride * 2 + 1, stride * 2)) > 0
 """
 
 QUERIES = {

@@ -49,6 +49,23 @@ def _norm(a):
     )
 
 
+def _cos_or_zero(dot, nrm_prod):
+    """Cosine with an explicit zero-norm guard: similarity 0.0 (treat as
+    orthogonal) when either norm is zero, instead of 0/0. Without the
+    guard a zero-norm vector CRASHES under Spark 4's default ANSI mode
+    (DIVIDE_BY_ZERO) and silently diverges under DuckDB
+    (list_cosine_similarity returns -1.0 for a zero vector). Found by
+    the adversarial-fixture sweep (tools/adversarial_fixture.py): a
+    one-hot embedding whose lit dimension lies OUTSIDE the Matryoshka
+    prefix is a perfectly valid non-degenerate vector whose TRUNCATED
+    prefix is zero-norm — so the guard is matryoshka-specific by
+    contract (full-vector consumers may assume non-zero-norm
+    embeddings; truncation breaks that assumption internally). The
+    CASE short-circuits per row, so the division never executes on
+    guarded rows."""
+    return F.when(nrm_prod == 0, F.lit(0.0)).otherwise(dot / nrm_prod)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -135,7 +152,9 @@ def q_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_id",
             "q_vec",
             "n_vec",
-            (_dot(qt, nt) / (F.col("qt_nrm") * F.col("nt_nrm"))).alias("cos_t"),
+            _cos_or_zero(
+                _dot(qt, nt), F.col("qt_nrm") * F.col("nt_nrm")
+            ).alias("cos_t"),
         )
     )
     w1 = W.partitionBy("q_id").orderBy(F.col("cos_t").desc(), F.col("n_id").asc())
@@ -145,9 +164,9 @@ def q_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank = cand.select(
         "q_id",
         "n_id",
-        (
-            _dot(F.col("q_vec"), F.col("n_vec"))
-            / (_norm(F.col("q_vec")) * _norm(F.col("n_vec")))
+        _cos_or_zero(
+            _dot(F.col("q_vec"), F.col("n_vec")),
+            _norm(F.col("q_vec")) * _norm(F.col("n_vec")),
         ).alias("cos"),
     )
     w2 = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
@@ -505,14 +524,28 @@ ORACLES: dict[str, str] = {
     """,
     "matryoshka_knn": f"""
         WITH pairs AS (
+            -- cosine with the SAME zero-norm guard as the Spark leg
+            -- (similarity 0.0 when either norm is zero): DuckDB's
+            -- list_cosine_similarity returns -1.0 for a zero vector,
+            -- and a one-hot embedding can have a zero-norm Matryoshka
+            -- PREFIX while being perfectly valid at full width
             SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-                   list_cosine_similarity(
-                       CAST(q.embedding[1:{MAT_DIM}] AS DOUBLE[]),
-                       CAST(c.embedding[1:{MAT_DIM}] AS DOUBLE[])) AS cos_t,
-                   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                          CAST(c.embedding AS DOUBLE[])) AS cos
-            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-            WHERE q.vec_id < {N_QUERY_VECS}
+                   CASE WHEN list_dot_product(qt, qt) = 0
+                          OR list_dot_product(ct, ct) = 0 THEN 0.0
+                        ELSE list_dot_product(qt, ct)
+                             / (sqrt(list_dot_product(qt, qt))
+                                * sqrt(list_dot_product(ct, ct))) END AS cos_t,
+                   CASE WHEN list_dot_product(qv, qv) = 0
+                          OR list_dot_product(cv, cv) = 0 THEN 0.0
+                        ELSE list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))) END AS cos
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv,
+                         CAST(embedding[1:{MAT_DIM}] AS DOUBLE[]) AS qt
+                  FROM embeddings WHERE vec_id < {N_QUERY_VECS}) q
+            JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+                         CAST(embedding[1:{MAT_DIM}] AS DOUBLE[]) AS ct
+                  FROM embeddings) c ON q.vec_id != c.vec_id
         ), cand AS (
             SELECT q_id, n_id, cos,
                    ROW_NUMBER() OVER (PARTITION BY q_id

@@ -76,11 +76,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      top_p_quality_sample, deterministic_shuffle, curriculum_buckets,
 #      exact_stratified_split, pps_systematic_sample,
 #      grouped_running_revenue.
-#   2. slots 18-24: the 7 r06-stale leftovers, alphabetical (displaced
+#   1b. slots 18-22: the adversarial-fixture review re-pins (found by
+#      tools/adversarial_fixture.py mid-round): matryoshka_knn (zero-
+#      norm Matryoshka-prefix cosine — ANSI DIVIDE_BY_ZERO crash on
+#      Spark, silent -1.0 on DuckDB; both legs now guard cos=0.0),
+#      media_frame_sample (byte-true md5∘hex frame digest — the old
+#      raw-bytes md5 only matched while text was pure ASCII),
+#      binaryfile_ingest (empty-file exclusion documented + oracle
+#      filter; Spark binaryFile emits no row for 0-byte files), and
+#      media_decode / media_feature_summary (oracle encode(text)
+#      instead of the non-ASCII-rejecting VARCHAR->BLOB cast).
+#   2. slots 23-29: the 7 r06-stale leftovers, alphabetical (displaced
 #      from the r13 window by its review-fix re-pins; after these,
 #      nothing oracle-backed is staler than r07).
-#   3. slots 25-49: the next 25 r07-stale names, alphabetical (the r07
-#      cohort is 43; the remaining 18 carry to the r15 window head).
+#   3. slots 30-49: the next 20 r07-stale names, alphabetical (the r07
+#      cohort is 43, minus matryoshka_knn which rides as a re-pin; the
+#      remaining 22 carry to the r15 window head).
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
 # oracle-less sketch/RNG names whose driver check can only report
@@ -118,7 +129,13 @@ _PRIORITY = [
     "exact_stratified_split",
     "pps_systematic_sample",
     "grouped_running_revenue",
-    # -- slots 18-24: the 7 r06-stale leftovers --
+    # -- slots 18-22: adversarial-fixture review re-pins --
+    "matryoshka_knn",
+    "media_frame_sample",
+    "binaryfile_ingest",
+    "media_decode",
+    "media_feature_summary",
+    # -- slots 23-29: the 7 r06-stale leftovers --
     "sql_scripting_threshold",
     "stream_ddsketch_quantiles",
     "target_encoding",
@@ -126,7 +143,7 @@ _PRIORITY = [
     "time_bounded_funnel",
     "ucb_bandit_scores",
     "zipf_slope",
-    # -- slots 25-49: the next 25 r07-stale names, alphabetical --
+    # -- slots 30-49: the next 20 r07-stale names, alphabetical --
     "array_funcs",
     "bigram_loglik",
     "bitwise_funcs",
@@ -145,13 +162,8 @@ _PRIORITY = [
     "kmv_distinct_sketch",
     "map_funcs",
     "math_funcs",
-    "matryoshka_knn",
     "min_max_by",
     "mode_per_group",
-    "new_vs_returning_daily",
-    "not_exists_correlated",
-    "null_handling",
-    "null_safe_join",
 ]
 
 # Machine-readable staging annotation (consumed by
@@ -183,6 +195,13 @@ _REPINS = {
     "exact_stratified_split",
     "pps_systematic_sample",
     "grouped_running_revenue",
+    # r14 adversarial-fixture review fixes (tools/adversarial_fixture.py
+    # sweep findings; see the _PRIORITY staging comment, slots 18-22):
+    "matryoshka_knn",
+    "media_frame_sample",
+    "binaryfile_ingest",
+    "media_decode",
+    "media_feature_summary",
 }
 
 _MODULES = [
