@@ -236,3 +236,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every benchmark table as a temp view for spark.sql use."""
     for name in BENCH_TABLES:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def derived_cache_needs_rebuild(marker, src) -> bool:
+    """True when a ``_SUCCESS``-gated derived copy of a fixture table
+    (hive-partitioned events, ORC orders, binary doc files) is missing
+    OR predates its source parquet. The derived-layout materializers
+    key their cache dir by md5(sf_dir) and used to gate reuse on the
+    marker's existence alone — which silently serves STALE data
+    whenever a fixture is regenerated in place at the same path (the
+    driver has re-shipped fixtures between rounds — the events ts-unit
+    change — and tools/adversarial_fixture.py rebuilds its dir every
+    edit; the r14 extension caught orc_roundtrip_agg reading the
+    previous fixture's orders through exactly this gate). The mtime_ns
+    comparison costs two stats, changes no scan path (so no registered
+    plan changes), and makes rebuild-in-place correct."""
+    try:
+        return os.stat(str(src)).st_mtime_ns > os.stat(str(marker)).st_mtime_ns
+    except FileNotFoundError:
+        return True

@@ -50,7 +50,10 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     sf_dir; the _SUCCESS flag gates reuse so a torn write re-runs)."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = _WAREHOUSE / f"events_by_date_{tag}"
-    if not os.path.exists(path / "_SUCCESS"):
+    from pb_etl_spark.catalog import derived_cache_needs_rebuild
+
+    src = os.path.join(sf_dir, "events.parquet")
+    if derived_cache_needs_rebuild(path / "_SUCCESS", src):
         ev = read_table(spark, sf_dir, "events").withColumn(
             "event_date", F.to_date("ts")
         )
@@ -208,7 +211,10 @@ def orc_orders_path(spark: SparkSession, sf_dir: str) -> str:
     JSONL / Parquet / ORC) matches what a lakehouse actually contains."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = _WAREHOUSE / f"orders_orc_{tag}"
-    if not os.path.exists(path / "_SUCCESS"):
+    from pb_etl_spark.catalog import derived_cache_needs_rebuild
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    if derived_cache_needs_rebuild(path / "_SUCCESS", src):
         read_table(spark, sf_dir, "orders").write.mode("overwrite").orc(str(path))
     return str(path)
 

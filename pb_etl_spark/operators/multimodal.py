@@ -288,7 +288,15 @@ def binary_docs_path(spark, sf_dir: str) -> str:
     root = Path(__file__).resolve().parents[2] / "spark-warehouse" / "layout"
     path = root / f"bin_docs_{tag}"
     marker = path / "_SUCCESS"
-    if not marker.exists():
+    from pb_etl_spark.catalog import derived_cache_needs_rebuild
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    if derived_cache_needs_rebuild(marker, src):
+        # full rebuild: a shrunken regenerated fixture must not leave
+        # the old build's extra .bin files behind
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
         rows = (
             read_table(spark, sf_dir, "documents")

@@ -48,6 +48,17 @@ ADV_NAMES = [
     "dedup_exact",
     "sessionize_lag",
     "event_transition_matrix",
+    # relational edges (r14 TPC-H extension): max-revenue TIE (both
+    # suppliers must come back), customers with no orders / idle
+    # balances, BETWEEN-boundary discounts, half-cent money products,
+    # and the stale-derived-cache gate (orc copy rebuilt on fixture
+    # regeneration — the one failure the extension's first sweep caught)
+    "tpch_q15_top_supplier",
+    "tpch_q13_custdist",
+    "tpch_q22_idle_balances",
+    "tpch_q6_revenue",
+    "tpch_q1_pricing",
+    "orc_roundtrip_agg",
 ]
 
 

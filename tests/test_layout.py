@@ -222,3 +222,31 @@ def test_zorder_three_dims_beats_single_sort_on_secondary_dims(spark, tmp_path):
         assert z < 0.9 * s, (c, z, s)
     # and the z-layout still orders the primary dim far better than random
     assert avg_frac(zdir, "l_orderkey") < 0.95
+
+
+def test_derived_cache_rebuilds_when_source_regenerated(tmp_path):
+    """The _SUCCESS-gated derived-layout caches (ORC orders, partitioned
+    events, binary docs) must rebuild when the fixture parquet is
+    regenerated IN PLACE — existence of the marker alone served stale
+    data (caught by the r14 adversarial-fixture extension: the driver
+    re-ships fixtures between rounds, and the tag is md5(sf_dir))."""
+    import os
+    import time
+
+    from pb_etl_spark.catalog import derived_cache_needs_rebuild
+
+    src = tmp_path / "orders.parquet"
+    marker = tmp_path / "_SUCCESS"
+    src.write_bytes(b"v1")
+    # no marker yet -> rebuild
+    assert derived_cache_needs_rebuild(marker, src)
+    marker.touch()
+    # marker newer than source -> fresh
+    assert not derived_cache_needs_rebuild(marker, src)
+    # source regenerated after the marker -> stale -> rebuild
+    future = time.time() + 5
+    os.utime(src, (future, future))
+    assert derived_cache_needs_rebuild(marker, src)
+    # source deleted entirely -> rebuild path must not crash the gate
+    src.unlink()
+    assert derived_cache_needs_rebuild(marker, src)

@@ -48,9 +48,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC_SF = "/root/testdata/sf0.001"
-TPCH = (
-    "region nation customer supplier part orders lineitem".split()
-)
+# region + nation are copied verbatim (they are the bounded dimension
+# domain queries filter by name); the five FACT-side TPC-H tables are
+# SYNTHESIZED with relational edge classes — see _tpch_tables().
+TPCH_COPY = "region nation".split()
 
 # the driver generator's vocabulary (observed in its text column) — the
 # filler docs reuse it so vocab/BM25/bigram queries keep realistic mass
@@ -186,10 +187,209 @@ def _event_rows() -> tuple[list, list, list, list, list, list]:
     return event_id, ts, user_id, event_type, value, props
 
 
+def _tpch_tables() -> dict[str, pa.Table]:
+    """Adversarial fact-side TPC-H: the relational edge classes a
+    benchmark generator's smooth distributions never produce —
+
+    - customers with NO orders (q13's c_count=0 bucket, q22's idle
+      balances), negative / zero / EXACTLY-TIED account balances;
+    - orders with NO lineitems (EXISTS/anti-join semantics), orders at
+      exact date cutoffs (1996-01-01 midnight — BETWEEN/`<` boundary),
+      one skew customer holding ~20% of all orders;
+    - lineitems at every quantity/discount/tax boundary (1, 50; 0.0,
+      0.05, 0.06, 0.07, 0.1 — the tpch_q6 BETWEEN edges; 0.0, 0.08),
+      all six (returnflag, linestatus) combos, one FK-orphan lineitem
+      (parent order deleted — inner joins must drop it identically),
+      and prices chosen so price·(100−disc)·qty products land ON
+      half-cent boundaries (the exact class the integer-cents money
+      layer exists for — any residual ROUND(SUM(double)) leg diverges);
+    - two suppliers with IDENTICAL total revenue in integer cents
+      (the tpch_q15 max-revenue tie: both engines must emit BOTH);
+    - parts supplied by nobody, parts with identical retailprice
+      (order-by ties), p_size at both domain edges.
+
+    Seeded filler rows (same value domains as the driver generator)
+    keep every filter family populated."""
+    rng = random.Random(7171)
+    t0 = datetime(1995, 1, 1)
+
+    # -- customer: ids 0..39 --
+    cust = []
+    segs = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+    for k in range(40):
+        bal = round(rng.uniform(-999.99, 9999.99), 2)
+        cust.append((k, f"Customer#{k:09d}", k % 25, bal, segs[k % 5]))
+    # deliberate edges: 35-39 get NO orders; exact balance ties; zeros
+    cust[35] = (35, "Customer#000000035", 3, 1234.56, "MACHINERY")
+    cust[36] = (36, "Customer#000000036", 3, 1234.56, "MACHINERY")  # tie
+    cust[37] = (37, "Customer#000000037", 7, 0.00, "BUILDING")
+    cust[38] = (38, "Customer#000000038", 7, -0.01, "BUILDING")
+    cust[39] = (39, "Customer#000000039", 9, 9999.99, "FURNITURE")
+
+    # -- supplier: ids 0..11 (11 supplies nothing) --
+    supp = [
+        (s, f"Supplier#{s:09d}", (s * 7) % 25, round(rng.uniform(-99.99, 999.99), 2))
+        for s in range(12)
+    ]
+
+    # -- part: ids 0..23 (20-23 never ordered; retailprice ties; size edges) --
+    nouns = ["widget", "bolt", "gear", "cog"]
+    adjs = ["cold", "small", "large", "red"]
+    types = ["ECONOMY", "PROMO", "STANDARD"]
+    part = []
+    for p in range(24):
+        part.append(
+            (
+                p,
+                f"{adjs[p % 4]} {nouns[p % 4]}",
+                f"Brand#{p % 20 + 1}",
+                types[p % 3],
+                1 if p == 0 else 50 if p == 1 else (p % 49) + 1,
+                901.00 if p in (2, 3) else round(100 + p * 37.13, 2),
+            )
+        )
+
+    # -- orders: ids 0..69 (60-64 have NO lineitems; 65-69 belong to the
+    #    skew customer 0; exact date cutoffs; totalprice recomputed from
+    #    lineitems below for the orders that have them) --
+    statuses = ["P", "O", "F"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders = []
+    for o in range(70):
+        ck = 0 if o >= 65 else o % 35  # customers 35-39 stay orderless
+        if o == 0:
+            dt = datetime(1996, 1, 1)  # exact cutoff midnight
+        elif o == 1:
+            dt = datetime(1995, 12, 31, 23, 59, 59)
+        else:
+            dt = t0 + timedelta(days=rng.randint(0, 2400), hours=rng.randint(0, 23))
+        orders.append(
+            [o, ck, statuses[o % 3], 0.0, dt, prios[o % 5]]
+        )
+
+    # -- lineitem --
+    li = []
+    flags = [("N", "O"), ("A", "F"), ("R", "O"), ("R", "F"), ("A", "O"), ("N", "F")]
+
+    def add_li(okey, pkey, skey, qty, price, disc, tax, ship=None):
+        ln = sum(1 for r in li if r[0] == okey) + 1
+        li.append(
+            (
+                okey,
+                pkey,
+                skey,
+                ln,
+                float(qty),
+                round(price, 2),
+                disc,
+                tax,
+                *flags[(okey + ln) % 6],
+                ship or (t0 + timedelta(days=rng.randint(0, 2400))),
+            )
+        )
+
+    # boundary rows: quantity edges, q6 discount BETWEEN edges, tax edges
+    add_li(2, 0, 0, 1, 0.01, 0.0, 0.0)
+    add_li(2, 1, 1, 50, 99999.99, 0.1, 0.08)
+    for i, disc in enumerate((0.05, 0.06, 0.07)):
+        add_li(3, 2 + i, 2, 10, 1000.00, disc, 0.04)
+    # half-cent product: 0.25 * (1 - 0.06) = 0.2350 → cents 23.50 exact;
+    # 33.35 * 0.85 qty? keep it direct: price 0.15, disc 0.03 →
+    # 0.15*0.97 = 0.1455 → ROUND(...,2) sits on a half-cent boundary
+    add_li(4, 6, 3, 3, 0.15, 0.03, 0.02)
+    add_li(4, 7, 3, 7, 33.35, 0.05, 0.0)
+    # tpch_q15 tie: suppliers 9 and 10 each sell exactly 90000.00 of
+    # revenue inside the q15 window (1996Q1), far above any filler line
+    # (≤ ~2000 × 5), and nothing else — the max-revenue tie MUST return
+    # both suppliers identically on both engines
+    add_li(5, 8, 9, 10, 90000.00, 0.0, 0.0, ship=t0 + timedelta(days=400))
+    add_li(6, 9, 10, 10, 90000.00, 0.0, 0.0, ship=t0 + timedelta(days=401))
+    # FK orphan: an order key that exists in no orders row
+    add_li(9999, 10, 4, 2, 100.00, 0.01, 0.01)
+    # seeded filler over orders 7..59 (60-64 stay childless)
+    for okey in range(7, 60):
+        for _ in range(rng.randint(1, 5)):
+            add_li(
+                okey,
+                rng.randint(0, 19),  # parts 20-23 stay unordered
+                rng.randint(0, 10),  # supplier 11 stays idle
+                rng.randint(1, 50),
+                rng.uniform(1, 2000),
+                round(rng.randint(0, 10) / 100, 2),
+                round(rng.randint(0, 8) / 100, 2),
+            )
+
+    # recompute o_totalprice = Σ round_cents(price·qty·(1+tax)) like a
+    # generator would; childless orders keep a nonzero synthetic total
+    totals: dict[int, float] = {}
+    for r in li:
+        cents = round(r[5] * 100) * int(r[4]) * (100 + round(r[7] * 100))
+        totals[r[0]] = totals.get(r[0], 0) + cents / 10000.0
+    for o in orders:
+        o[3] = round(totals.get(o[0], rng.uniform(100, 5000)), 2)
+
+    return {
+        "customer": pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in cust], pa.int64()),
+                "c_name": pa.array([r[1] for r in cust], pa.string()),
+                "c_nationkey": pa.array([r[2] for r in cust], pa.int32()),
+                "c_acctbal": pa.array([r[3] for r in cust], pa.float64()),
+                "c_mktsegment": pa.array([r[4] for r in cust], pa.string()),
+            }
+        ),
+        "supplier": pa.table(
+            {
+                "s_suppkey": pa.array([r[0] for r in supp], pa.int64()),
+                "s_name": pa.array([r[1] for r in supp], pa.string()),
+                "s_nationkey": pa.array([r[2] for r in supp], pa.int32()),
+                "s_acctbal": pa.array([r[3] for r in supp], pa.float64()),
+            }
+        ),
+        "part": pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in part], pa.int64()),
+                "p_name": pa.array([r[1] for r in part], pa.string()),
+                "p_brand": pa.array([r[2] for r in part], pa.string()),
+                "p_type": pa.array([r[3] for r in part], pa.string()),
+                "p_size": pa.array([r[4] for r in part], pa.int32()),
+                "p_retailprice": pa.array([r[5] for r in part], pa.float64()),
+            }
+        ),
+        "orders": pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in orders], pa.string()),
+                "o_totalprice": pa.array([r[3] for r in orders], pa.float64()),
+                "o_orderdate": pa.array([r[4] for r in orders], pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[5] for r in orders], pa.string()),
+            }
+        ),
+        "lineitem": pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in li], pa.int32()),
+                "l_quantity": pa.array([r[4] for r in li], pa.float64()),
+                "l_extendedprice": pa.array([r[5] for r in li], pa.float64()),
+                "l_discount": pa.array([r[6] for r in li], pa.float64()),
+                "l_tax": pa.array([r[7] for r in li], pa.float64()),
+                "l_returnflag": pa.array([r[8] for r in li], pa.string()),
+                "l_linestatus": pa.array([r[9] for r in li], pa.string()),
+                "l_shipdate": pa.array([r[10] for r in li], pa.timestamp("us")),
+            }
+        ),
+    }
+
+
 def build(out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
-    for t in TPCH:
+    for t in TPCH_COPY:
         shutil.copyfile(f"{SRC_SF}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    for t, tbl in _tpch_tables().items():
+        pq.write_table(tbl, f"{out_dir}/{t}.parquet")
 
     doc_id, text, lang, source, n_chars = _doc_rows()
     pq.write_table(
