@@ -144,15 +144,18 @@ def parquet_ts_unit(path: str, column: str = "ts", glob_pat: str | None = None) 
             # rejects or reads differently ([!...]) — so such patterns
             # are refused outright rather than silently sampling units
             # from different files than the read touches (ADVICE r13).
+            # "\\" included: Hadoop treats backslash as an ESCAPE
+            # (\* matches a literal star) while fnmatch treats it as a
+            # literal character — the same silent wrong-files class
             hadoop_only = [
-                t for t in ("{", "}", "[^", "[!") if t in glob_pat
+                t for t in ("{", "}", "[^", "[!", "\\") if t in glob_pat
             ]
             if hadoop_only:
                 raise ValueError(
                     f"glob {glob_pat!r} uses syntax ({hadoop_only}) where "
                     "Hadoop and fnmatch globs diverge; parquet_ts_unit "
                     "supports only the common subset (* ? and "
-                    "non-negated [...] classes)"
+                    "non-negated, non-escaped [...] classes)"
                 )
             matches = [
                 m
@@ -238,20 +241,55 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def _src_stamp(src: str) -> str:
+    st = os.stat(src)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
 def derived_cache_needs_rebuild(marker, src) -> bool:
     """True when a ``_SUCCESS``-gated derived copy of a fixture table
     (hive-partitioned events, ORC orders, binary doc files) is missing
-    OR predates its source parquet. The derived-layout materializers
-    key their cache dir by md5(sf_dir) and used to gate reuse on the
-    marker's existence alone — which silently serves STALE data
-    whenever a fixture is regenerated in place at the same path (the
-    driver has re-shipped fixtures between rounds — the events ts-unit
-    change — and tools/adversarial_fixture.py rebuilds its dir every
-    edit; the r14 extension caught orc_roundtrip_agg reading the
-    previous fixture's orders through exactly this gate). The mtime_ns
-    comparison costs two stats, changes no scan path (so no registered
-    plan changes), and makes rebuild-in-place correct."""
+    OR its recorded source fingerprint no longer matches the source
+    parquet. The derived-layout materializers key their cache dir by
+    md5(sf_dir) and used to gate reuse on the marker's existence alone
+    — which silently serves STALE data whenever a fixture is
+    regenerated in place at the same path (the driver has re-shipped
+    fixtures between rounds — the events ts-unit change — and
+    tools/adversarial_fixture.py rebuilds its dir every edit; the r14
+    extension caught orc_roundtrip_agg reading the previous fixture's
+    orders through exactly this gate).
+
+    The fingerprint is the source's ``mtime_ns:size``, written to a
+    ``_SRC_STAT`` sidecar by ``record_derived_cache_src`` after the
+    build — compared for EQUALITY, not ordering, so a regenerated
+    fixture shipped with PRESERVED timestamps (tar -x / rsync -a keep
+    mtimes, which can land the new source OLDER than the marker) still
+    triggers the rebuild as long as either mtime or size moved. A
+    cache predating the sidecar protocol rebuilds once. Costs two
+    stats + a ≤32-byte read; changes no scan path, so no registered
+    plan changes."""
+    marker, src = str(marker), str(src)
     try:
-        return os.stat(str(src)).st_mtime_ns > os.stat(str(marker)).st_mtime_ns
+        want = _src_stamp(src)
+    except FileNotFoundError:
+        return True  # source gone: let the build path raise loudly
+    if not os.path.exists(marker):
+        return True
+    try:
+        with open(os.path.join(os.path.dirname(marker), "_SRC_STAT")) as f:
+            return f.read().strip() != want
     except FileNotFoundError:
         return True
+
+
+def record_derived_cache_src(marker, src) -> None:
+    """Write the ``_SRC_STAT`` sidecar binding a freshly built derived
+    cache to its source parquet's fingerprint (see
+    ``derived_cache_needs_rebuild``). Call AFTER the build completes —
+    the sidecar is the commit point of the freshness protocol (a crash
+    before it simply rebuilds next time)."""
+    path = os.path.join(os.path.dirname(str(marker)), "_SRC_STAT")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(_src_stamp(str(src)))
+    os.replace(tmp, path)

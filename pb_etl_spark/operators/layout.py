@@ -50,14 +50,26 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     sf_dir; the _SUCCESS flag gates reuse so a torn write re-runs)."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = _WAREHOUSE / f"events_by_date_{tag}"
-    from pb_etl_spark.catalog import derived_cache_needs_rebuild
+    from pb_etl_spark.catalog import (
+        derived_cache_needs_rebuild,
+        record_derived_cache_src,
+    )
 
     src = os.path.join(sf_dir, "events.parquet")
     if derived_cache_needs_rebuild(path / "_SUCCESS", src):
+        # full rmtree first: partitioned overwrite under
+        # partitionOverwriteMode=dynamic only replaces dates present in
+        # the NEW fixture, so a shrunken regeneration would leave stale
+        # date partitions behind — the rmtree makes the rebuild
+        # conf-independent (review finding, same rule as binary docs)
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         ev = read_table(spark, sf_dir, "events").withColumn(
             "event_date", F.to_date("ts")
         )
         ev.write.mode("overwrite").partitionBy("event_date").parquet(str(path))
+        record_derived_cache_src(path / "_SUCCESS", src)
     return str(path)
 
 
@@ -211,11 +223,15 @@ def orc_orders_path(spark: SparkSession, sf_dir: str) -> str:
     JSONL / Parquet / ORC) matches what a lakehouse actually contains."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = _WAREHOUSE / f"orders_orc_{tag}"
-    from pb_etl_spark.catalog import derived_cache_needs_rebuild
+    from pb_etl_spark.catalog import (
+        derived_cache_needs_rebuild,
+        record_derived_cache_src,
+    )
 
     src = os.path.join(sf_dir, "orders.parquet")
     if derived_cache_needs_rebuild(path / "_SUCCESS", src):
         read_table(spark, sf_dir, "orders").write.mode("overwrite").orc(str(path))
+        record_derived_cache_src(path / "_SUCCESS", src)
     return str(path)
 
 

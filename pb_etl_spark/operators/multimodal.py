@@ -288,7 +288,10 @@ def binary_docs_path(spark, sf_dir: str) -> str:
     root = Path(__file__).resolve().parents[2] / "spark-warehouse" / "layout"
     path = root / f"bin_docs_{tag}"
     marker = path / "_SUCCESS"
-    from pb_etl_spark.catalog import derived_cache_needs_rebuild
+    from pb_etl_spark.catalog import (
+        derived_cache_needs_rebuild,
+        record_derived_cache_src,
+    )
 
     src = os.path.join(sf_dir, "documents.parquet")
     if derived_cache_needs_rebuild(marker, src):
@@ -308,6 +311,7 @@ def binary_docs_path(spark, sf_dir: str) -> str:
             with open(path / f"doc_{r['doc_id']:06d}.bin", "wb") as f:
                 f.write(r["text"].encode("utf-8"))
         marker.touch()
+        record_derived_cache_src(marker, src)
     return str(path)
 
 

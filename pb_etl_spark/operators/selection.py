@@ -349,12 +349,29 @@ def vocab_drift_from_cells(cells: DataFrame) -> DataFrame:
             + _xlx(F.lit(int(n1) + int(n2)))
         )
     )
+    # ONE-SIDED empty snapshot (n of one side 0, the other's tokens all
+    # present): the rate over the empty side is undefined — emit NULL,
+    # which is also what the batch oracle computes (DuckDB division by
+    # zero is NULL). A literal 0.0 divisor would otherwise be a
+    # PLAN-BUILD-time DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    # (constant folding evaluates it before any row runs) — the same
+    # ADVICE-r13 class as the both-empty guard above, found by review.
+    rate_new = (
+        F.round(k11 / F.lit(float(n1)), 9)
+        if n1
+        else F.lit(None).cast("double")
+    )
+    rate_old = (
+        F.round(k12 / F.lit(float(n2)), 9)
+        if n2
+        else F.lit(None).cast("double")
+    )
     ranked = cells.select(
         F.col("w").alias("token"),
         k11.cast("long").alias("c_new"),
         k12.cast("long").alias("c_old"),
-        F.round(k11 / F.lit(float(n1)), 9).alias("rate_new"),
-        F.round(k12 / F.lit(float(n2)), 9).alias("rate_old"),
+        rate_new.alias("rate_new"),
+        rate_old.alias("rate_old"),
         g2.alias("_g2"),
     )
     return (

@@ -49,8 +49,16 @@ def _take_dir_lock(target: str, who: str) -> str:
                 # the rename-aside exists only to make the break atomic;
                 # once this contender owns the aside name it can delete
                 # it, or crashed-writer locks accumulate forever on
-                # frequently-compacted targets (ADVICE r13)
-                os.unlink(aside)
+                # frequently-compacted targets (ADVICE r13). GUARDED: a
+                # rival that won the subsequent lock create may have
+                # already swept this aside (its sweep globs every
+                # {lock}.stale.*) — losing that race must surface as
+                # the designed 'locked by a concurrent writer' error
+                # from our own create attempt, not a FileNotFoundError
+                try:
+                    os.unlink(aside)
+                except FileNotFoundError:
+                    pass
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         os.write(fd, str(os.getpid()).encode())
         os.close(fd)

@@ -31,12 +31,9 @@ from __future__ import annotations
 
 import os
 import shutil
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-_LOCK_STALE_S = 3600
 
 
 class VersionedTable:
@@ -71,49 +68,20 @@ class VersionedTable:
 
     # -- locking (single writer, stale-break) ------------------------------
     def _take_lock(self) -> str:
-        """O_EXCL lockfile. Stale-break is race-safe: the stale lock is
-        first RENAMED to a unique name (atomic — exactly one contender
-        wins; the loser's rename raises FileNotFoundError and it simply
-        proceeds to the create attempt). Never unlink-in-place: between
-        an unlink and the create, a rival's FRESH lock could land and be
-        destroyed, silently admitting two writers."""
-        import uuid
+        """Delegates to the ONE shared lock protocol
+        (``parquet._take_dir_lock``): O_EXCL lockfile, race-safe
+        rename-aside stale break, aside unlink + orphan sweep, guarded
+        mtime probe. This and the parquet writers previously carried
+        two hand-synced copies of the ~25-line protocol, and they had
+        already drifted (the parquet copy guarded the
+        exists→getmtime TOCTOU and the aside-unlink race; this one did
+        not — a rival releasing or sweeping in either window crashed a
+        commit with FileNotFoundError instead of acquiring or raising
+        the designed locked-by-a-concurrent-writer error)."""
+        from pb_etl_spark.sources.parquet import _take_dir_lock
 
-        lock = f"{self.path}__lock"
         os.makedirs(self.path, exist_ok=True)
-        try:
-            if (
-                os.path.exists(lock)
-                and time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
-            ):
-                aside = f"{lock}.stale.{uuid.uuid4().hex[:8]}"
-                try:
-                    os.rename(lock, aside)
-                except FileNotFoundError:
-                    pass  # a rival broke it first; fall through to create
-                else:
-                    # the aside only made the break atomic; delete it or
-                    # crashed-writer locks accumulate forever (same
-                    # ADVICE-r13 fix as parquet._take_dir_lock)
-                    os.unlink(aside)
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            # single writer now: sweep asides orphaned by contenders
-            # that crashed between their rename and unlink
-            import glob as _glob
-
-            for orphan in _glob.glob(f"{lock}.stale.*"):
-                try:
-                    os.unlink(orphan)
-                except FileNotFoundError:
-                    pass
-        except FileExistsError:
-            raise RuntimeError(
-                f"VersionedTable: {self.path} is locked by a concurrent "
-                "writer; commits are single-writer per table"
-            ) from None
-        return lock
+        return _take_dir_lock(self.path, "VersionedTable")
 
     # -- commits -----------------------------------------------------------
     def _commit_locked(self, df: DataFrame) -> int:

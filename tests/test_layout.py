@@ -231,9 +231,11 @@ def test_derived_cache_rebuilds_when_source_regenerated(tmp_path):
     data (caught by the r14 adversarial-fixture extension: the driver
     re-ships fixtures between rounds, and the tag is md5(sf_dir))."""
     import os
-    import time
 
-    from pb_etl_spark.catalog import derived_cache_needs_rebuild
+    from pb_etl_spark.catalog import (
+        derived_cache_needs_rebuild,
+        record_derived_cache_src,
+    )
 
     src = tmp_path / "orders.parquet"
     marker = tmp_path / "_SUCCESS"
@@ -241,11 +243,21 @@ def test_derived_cache_rebuilds_when_source_regenerated(tmp_path):
     # no marker yet -> rebuild
     assert derived_cache_needs_rebuild(marker, src)
     marker.touch()
-    # marker newer than source -> fresh
+    # marker but no recorded fingerprint (pre-protocol cache) -> rebuild
+    assert derived_cache_needs_rebuild(marker, src)
+    record_derived_cache_src(marker, src)
     assert not derived_cache_needs_rebuild(marker, src)
-    # source regenerated after the marker -> stale -> rebuild
-    future = time.time() + 5
-    os.utime(src, (future, future))
+    # regenerated source with PRESERVED (older) mtime but different
+    # size -> stale (the tar -x / rsync -a case a pure mtime ordering
+    # would miss)
+    src.write_bytes(b"v2 longer")
+    past = os.stat(marker).st_mtime - 100
+    os.utime(src, (past, past))
+    assert derived_cache_needs_rebuild(marker, src)
+    record_derived_cache_src(marker, src)
+    assert not derived_cache_needs_rebuild(marker, src)
+    # same size, different mtime -> stale too
+    os.utime(src, None)
     assert derived_cache_needs_rebuild(marker, src)
     # source deleted entirely -> rebuild path must not crash the gate
     src.unlink()

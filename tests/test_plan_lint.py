@@ -358,10 +358,16 @@ def _sentinel_plans(spark) -> dict[str, str]:
         # re-served here with its old hashpartitioning(..., 4) — a false
         # positive of the width lint, not a hardcoded width
         spark.catalog.clearCache()
+        # build into a LOCAL dict and publish only when the walk
+        # completed: a mid-loop failure would otherwise leave a partial
+        # cache that the OTHER width lint silently accepts as complete,
+        # never linting the unbuilt remainder (review finding)
+        built: dict[str, str] = {}
         for name, fn in _batch_queries().items():
-            _sentinel_plans_cache[name] = (
+            built[name] = (
                 fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
             )
+        _sentinel_plans_cache.update(built)
     finally:
         spark.conf.set(key, prev)
         # symmetric: don't serve sentinel-width caches to later tests

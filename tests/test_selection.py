@@ -177,3 +177,42 @@ def test_kmv_jaccard_tracks_exact_jaccard(spark):
         errs.append(abs(j_est - j_exact))
     assert max(errs) < 0.2
     assert float(np.mean(errs)) < 0.06
+
+
+def test_vocab_drift_from_cells_one_sided_empty_snapshot():
+    """EXACTLY ONE empty snapshot (a first-ever drain, or a window with
+    no new traffic) must not crash: the empty side's rate divides by a
+    LITERAL zero, which Spark 4's default ANSI mode raises at PLAN
+    BUILD time (constant folding), before any row runs. The guarded
+    rate emits NULL — the same thing the batch oracle computes (DuckDB
+    division by zero is NULL). Runs on a dedicated ANSI session: the
+    shared test session may carry non-vanilla confs, and the driver's
+    harness is ANSI-default."""
+    from pyspark.sql import SparkSession
+
+    from pb_etl_spark.operators.selection import vocab_drift_from_cells
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("ansi_drift_probe")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        cells = spark.createDataFrame(
+            [("a", 3, 0), ("b", 1, 0)], "w string, k11 long, k12 long"
+        )
+        rows = {r["token"]: r for r in vocab_drift_from_cells(cells).collect()}
+        assert rows["a"]["rate_new"] is not None
+        assert rows["a"]["rate_old"] is None and rows["b"]["rate_old"] is None
+        # and the mirrored case (empty NEW snapshot)
+        cells2 = spark.createDataFrame(
+            [("a", 0, 5)], "w string, k11 long, k12 long"
+        )
+        r2 = vocab_drift_from_cells(cells2).collect()[0]
+        assert r2["rate_new"] is None and r2["rate_old"] is not None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
