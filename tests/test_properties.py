@@ -341,3 +341,49 @@ def test_exact_long_sum_equals_python_integer_sum(spark, rows):
         assert got is None
     else:
         assert int(got) == sum(rows)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=9),
+)
+@settings(**SETTINGS)
+def test_global_positions_and_running_sum_equal_python_model(
+    spark, rows, nparts
+):
+    """The ungrouped siblings (range partition + pid-indexed offset
+    ARRAY literals since r14): pos must be exactly 1..n in (k, i)
+    order and cum the inclusive prefix sum, for duplicate keys and ANY
+    partition count — including widths larger than the row count,
+    where most offset-array slots are the NULL drift trip-wires."""
+    from pb_etl_spark.operators.corpus import (
+        global_positions,
+        global_running_sum,
+    )
+
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, i long, v long")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+        pos_out, n = global_positions(spark, df, ["k", "i"])
+        got_pos = {r["i"]: r["pos"] for r in pos_out.collect()}
+        cum_out, total = global_running_sum(spark, df, ["k", "i"], "v")
+        got_cum = {r["i"]: r["cum"] for r in cum_out.collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    ordered = sorted(data)
+    assert n == len(data)
+    assert total == sum(v for _, _, v in data)
+    acc = 0
+    for p, (k, i, v) in enumerate(ordered, start=1):
+        acc += v
+        assert got_pos[i] == p
+        assert got_cum[i] == acc
