@@ -391,7 +391,7 @@ def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge subtree is referenced once PER ITERATION in the final plan,
     # and without truncation the kNN build would run PR_ITERS times
     edges = (
-        cosine_topk(emb, emb, k=PR_K)
+        cosine_topk(emb, emb, k=PR_K, corpus_bound=PR_NODES)
         .select(F.col("q_id").alias("src"), F.col("n_id").alias("dst"))
         .localCheckpoint(eager=True)
     )
@@ -588,7 +588,7 @@ def q_triangle_count_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pb_etl_spark.operators.similarity import cosine_topk
 
     emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < PR_NODES)
-    edges = cosine_topk(emb, emb, k=PR_K).select(
+    edges = cosine_topk(emb, emb, k=PR_K, corpus_bound=PR_NODES).select(
         F.col("q_id").alias("src"), F.col("n_id").alias("dst")
     )
     # checkpoint: ``und`` is self-joined three times — without lineage
@@ -681,15 +681,23 @@ def q_k_core_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
     )
+    from pb_etl_spark.operators._width import pair_build_width
     from pb_etl_spark.operators.similarity import _dot, _norm
 
-    a, b = v.alias("a"), v.alias("b")
+    # Spread the bounded quadratic pair build across cores: the fixture
+    # parquet is a single row group, so the scan (and therefore the
+    # whole 200×200 cosine pass) otherwise runs as ONE task — measured
+    # 0.55 s of this query's 2.3 s at sf0.1 on local[32] (r14 profile).
+    # Width capped at the slice bound so a wide deployment knob can't
+    # shatter 200 rows into thousands of empty tasks.
+    a = v.repartition(pair_build_width(spark, PR_NODES)).alias("a")
+    b = v.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (
         _norm(F.col("a.v")) * _norm(F.col("b.v"))
     )
-    # bounded 200×200 pair build; eager checkpoint both truncates the
-    # lineage for the 12-round loop and keeps the BNLJ out of the
-    # registered plan (the pagerank_knn/triangle pattern)
+    # bounded 200×200 pair build; eager checkpoint keeps the BNLJ out
+    # of the registered plan (the pagerank_knn/triangle pattern) and
+    # materializes the ≤|slice|² edge list every round reads
     und = (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("lo"), F.col("b.id").alias("hi"), cos.alias("c"))
@@ -697,51 +705,70 @@ def q_k_core_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lo", "hi")
         .localCheckpoint(eager=True)
     )
-    nodes = emb.select(F.col("vec_id").alias("node")).localCheckpoint(eager=True)
+    nodes = emb.select(F.col("vec_id").alias("node"))
 
-    active = nodes
-    prev_n = active.count()
+    # Driver-bounded peel (r14 optimization): the active set is ≤
+    # PR_NODES rows BY CONSTRUCTION (a compile-time constant), so it
+    # rides the same bounded-scalar channel as the early-exit count the
+    # loop already collected — one ≤200-id collect per round, membership
+    # pushed back as an IN-set literal (InSet: O(1) hash probe per row).
+    # The previous formulation spent ~6 Spark jobs per round (two
+    # broadcast builds for the semi-joins + an eager checkpoint + a
+    # count, each with AQE re-planning latency): 76 jobs / 4.5 s wall at
+    # sf0.1, of which 2.2 s was driver-side gaps between 10-60 ms jobs.
+    # This shape is 1 job per round and needs NO per-round checkpoint
+    # because each round's plan restarts from the checkpointed edge
+    # list plus a literal. On an UNBOUNDED graph the distributed
+    # formulation (per-round semi-joins against the live set, edge list
+    # pre-partitioned by node id — distributed bucket peeling) remains
+    # the right algorithm; this operator's contract is the bounded
+    # slice, where shipping ≤200 ids beats shipping two broadcasts.
+    # the checkpointed pair list is ≤ PR_NODES² rows in 32 cached block
+    # partitions; reading it 1-wide per round costs nothing (cached
+    # blocks, no recompute) and halves the per-round stage overhead
+    und = und.coalesce(1)
+
+    def _live(id_list: list[int]) -> "DataFrame":
+        # one F.expr per round instead of Column.isin(ids): isin ships
+        # each element through its own py4j lit() (~0.25 s of driver
+        # time per round at 174 ids — measured r14); a rendered IN list
+        # is a single roundtrip and plans to the same InSet. [-1]
+        # sentinel: no vec_id is negative, so an emptied active set
+        # keeps the "no edge survives" semantics without a degenerate
+        # empty IN ().
+        in_list = ",".join(map(str, id_list or [-1]))
+        return und.filter(F.expr(f"lo IN ({in_list}) AND hi IN ({in_list})"))
+
+    ids = sorted(r[0] for r in nodes.collect())
+    prev_n = len(ids)
     for _ in range(KC_ROUNDS):
-        live = (
-            und.join(active.withColumnRenamed("node", "lo"), "lo", "left_semi")
-            .join(active.withColumnRenamed("node", "hi"), "hi", "left_semi")
-        )
         deg = (
-            live.select(F.explode(F.array("lo", "hi")).alias("node"))
+            _live(ids)
+            .select(F.explode(F.array("lo", "hi")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        active = (
-            deg.filter(F.col("deg") >= KC_K)
-            .select("node")
-            .localCheckpoint(eager=True)
+        ids = sorted(
+            r[0] for r in deg.filter(F.col("deg") >= KC_K).select("node").collect()
         )
         # peeling only REMOVES nodes, so an unchanged count IS the
-        # fixpoint — stop early (the checkpoint was an action anyway,
-        # the count on it is free); the oracle's extra unrolled rounds
-        # past the fixpoint are identity steps, so results agree
-        n = active.count()
-        if n == prev_n:
+        # fixpoint; the oracle's extra unrolled rounds past the
+        # fixpoint are identity steps, so results agree
+        if len(ids) == prev_n:
             break
-        prev_n = n
+        prev_n = len(ids)
     # final in-core degree, recomputed on the fixpoint set
-    core_edges = (
-        und.join(active.withColumnRenamed("node", "lo"), "lo", "left_semi")
-        .join(active.withColumnRenamed("node", "hi"), "hi", "left_semi")
-    )
     core_deg = (
-        core_edges.select(F.explode(F.array("lo", "hi")).alias("node"))
+        _live(ids)
+        .select(F.explode(F.array("lo", "hi")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
-    return (
-        nodes.join(active.withColumn("in_core", F.lit(True)), "node", "left")
-        .join(core_deg, "node", "left")
-        .select(
-            "node",
-            F.coalesce("in_core", F.lit(False)).alias("in_core"),
-            F.coalesce("core_degree", F.lit(0)).alias("core_degree"),
-        )
+    in_core = F.expr(f"node IN ({','.join(map(str, ids or [-1]))})")
+    return nodes.join(F.broadcast(core_deg), "node", "left").select(
+        "node",
+        in_core.alias("in_core"),
+        F.coalesce("core_degree", F.lit(0)).alias("core_degree"),
     )
 
 

@@ -277,12 +277,29 @@ BFS_SEED_MOD = 40  # seeds: vec_id % 40 == 0 (5 seeds in the slice)
 BFS_INF = 1_000_000  # unreached sentinel inside the relaxation
 
 
+def _id_indexed_array_sql(values: dict[int, int]) -> str:
+    """SQL text of a BIGINT array literal indexed by node id (the
+    bounded slices' vec_ids are 0-based), rendered as ONE string so the
+    whole literal costs a single py4j roundtrip — a ``F.lit``-per-
+    element array costs one roundtrip each (~0.25 s per round at 200
+    entries, measured r14). Ids absent from ``values`` hold NULL; reads
+    go through ``F.get`` (OOB/NULL-safe under ANSI, unlike ``arr[i]``)."""
+    size = (max(values) + 1) if values else 0
+    items = ",".join(
+        f"{values[i]}L" if i in values else "CAST(NULL AS BIGINT)"
+        for i in range(size)
+    )
+    return f"array({items})"
+
+
 def _threshold_graph(spark: SparkSession, sf_dir: str):
     """(nodes, und) of the cosine-threshold graph over the bounded
     slice; both eagerly checkpointed — truncates lineage for the
     round loops and keeps the bounded BNLJ pair build out of the
     registered plan (the k_core_knn pattern, clustering.py:660)."""
     from pb_etl_spark.operators.similarity import _dot, _norm
+
+    from pb_etl_spark.operators._width import pair_build_width
 
     emb = read_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < LP_NODES
@@ -291,7 +308,11 @@ def _threshold_graph(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    a, b = v.alias("a"), v.alias("b")
+    # spread the bounded quadratic pair build across cores (the fixture
+    # scan is one row group = one task; measured 0.46-0.57 s single-task
+    # at sf0.1), width capped at the slice bound (k_core pattern)
+    a = v.repartition(pair_build_width(spark, LP_NODES)).alias("a")
+    b = v.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (
         _norm(F.col("a.v")) * _norm(F.col("b.v"))
     )
@@ -303,10 +324,11 @@ def _threshold_graph(spark: SparkSession, sf_dir: str):
         .filter(F.col("c") >= LP_TAU)
         .select("lo", "hi")
         .localCheckpoint(eager=True)
+        # ≤ LP_NODES² rows in cached blocks: read 1-wide per round (no
+        # recompute — parent is checkpointed), halving stage overhead
+        .coalesce(1)
     )
-    nodes = emb.select(F.col("vec_id").alias("node")).localCheckpoint(
-        eager=True
-    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
     nbr = und.select(
         F.col("lo").alias("a"), F.col("hi").alias("b")
     ).unionAll(und.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
@@ -328,11 +350,23 @@ def q_label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade-off: right for the bounded slice, and the same per-round plan
     is the full-corpus variant)."""
     nodes, nbr = _threshold_graph(spark, sf_dir)
-    labels = nodes.select("node", F.col("node").alias("label"))
+    # Driver-bounded label state (r14, the k_core_knn pattern): the
+    # label map is ≤ LP_NODES entries BY CONSTRUCTION (compile-time
+    # constant), so each round collects the ≤200-row argmax result and
+    # pushes the labels back as an id-indexed ARRAY literal (O(1)
+    # GetArrayItem per edge) instead of a join + eager checkpoint. The
+    # frequency count and the argmax window stay distributed; only
+    # membership state rides the driver. Replaces ~5 Spark jobs +
+    # checkpoint bookkeeping per round (measured 35 jobs / 2.4 s wall
+    # at sf0.1, half of it driver-side gaps). On an UNBOUNDED graph the
+    # label join + checkpoint formulation remains the right algorithm.
+    labels = {r[0]: r[0] for r in nodes.collect()}
     for _ in range(LP_ROUNDS):
-        neigh = nbr.join(
-            labels.withColumnRenamed("node", "b"), "b"
-        ).select(F.col("a").alias("node"), "label")
+        arr = F.expr(_id_indexed_array_sql(labels))
+        neigh = nbr.select(
+            F.col("a").alias("node"),
+            F.get(arr, F.col("b").cast("int")).alias("label"),
+        )
         counted = neigh.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("c")
         )
@@ -340,16 +374,13 @@ def q_label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = (
             counted.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("node", F.col("label").alias("best"))
+            .select("node", "label")
         )
-        labels = (
-            labels.join(best, "node", "left")
-            .select(
-                "node", F.coalesce("best", "label").alias("label")
-            )
-            .localCheckpoint(eager=True)
-        )
-    return labels
+        labels.update({r[0]: r[1] for r in best.collect()})
+    out = F.expr(_id_indexed_array_sql(labels))
+    return nodes.select(
+        "node", F.get(out, F.col("node").cast("int")).alias("label")
+    )
 
 
 def q_bfs_hops_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,35 +395,36 @@ def q_bfs_hops_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused throughout, checkpoint per round (bounded slice; same
     per-round plan is the full-graph variant)."""
     nodes, nbr = _threshold_graph(spark, sf_dir)
-    dist = nodes.select(
-        "node",
-        F.when(F.col("node") % BFS_SEED_MOD == 0, F.lit(0))
-        .otherwise(F.lit(BFS_INF))
-        .cast("long")
-        .alias("dist"),
-    )
+    # driver-bounded distance state (r14, the k_core_knn /
+    # label_propagation pattern — see q_label_propagation_knn): the
+    # grouped MIN over neighbor distances stays distributed; the ≤
+    # BFS-slice-bounded relaxation combine (pure int64 min, engine-
+    # neutral) rides the driver, killing the per-round join + eager
+    # checkpoint jobs
+    dist = {
+        r[0]: (0 if r[0] % BFS_SEED_MOD == 0 else BFS_INF)
+        for r in nodes.collect()
+    }
     for _ in range(BFS_ROUNDS):
+        arr = F.expr(_id_indexed_array_sql(dist))
         reach = (
-            nbr.join(dist.withColumnRenamed("node", "b"), "b")
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("dist").alias("mind"))
-        )
-        dist = (
-            dist.join(reach, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    "dist", F.coalesce(F.col("mind") + 1, F.lit(BFS_INF))
-                ).alias("dist"),
+            nbr.select(
+                F.col("a").alias("node"),
+                F.get(arr, F.col("b").cast("int")).alias("d"),
             )
-            .localCheckpoint(eager=True)
+            .groupBy("node")
+            .agg(F.min("d").alias("mind"))
         )
-    return dist.select(
+        for r in reach.collect():
+            nd = r["mind"] + 1
+            if nd < dist[r["node"]]:
+                dist[r["node"]] = nd
+    out = F.get(
+        F.expr(_id_indexed_array_sql(dist)), F.col("node").cast("int")
+    )
+    return nodes.select(
         "node",
-        F.when(F.col("dist") >= BFS_INF, F.lit(-1))
-        .otherwise(F.col("dist"))
-        .cast("long")
-        .alias("hops"),
+        F.when(out >= BFS_INF, F.lit(-1)).otherwise(out).cast("long").alias("hops"),
     )
 
 

@@ -72,6 +72,7 @@ def cosine_topk(
     k: int = TOP_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_bound: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set against the corpus, dot/
     norm JVM-side, per-query row_number ≤ k. One corpus scan total.
@@ -79,7 +80,17 @@ def cosine_topk(
     Norms are computed ONCE PER SIDE before the pair join (n + m folds
     instead of 2·n·m) — same bitwise arithmetic as folding them per pair
     (the dot and the two norm values are unchanged doubles), at a third
-    of the lambda-aggregate work, which dominates this operator's cost."""
+    of the lambda-aggregate work, which dominates this operator's cost.
+
+    For a constant-bounded self-join slice (pagerank's PR_NODES filter:
+    bound² pairs on a single-row-group scan = ONE task), ``corpus_bound``
+    spreads the corpus side over ``pair_build_width`` tasks — measured
+    0.95 s → 0.54 s for the 200-node edge build at sf0.1, A/B'd both
+    orders. Small |corpus|·|queries| workloads (the 5-query exact tier)
+    deliberately stay unrepartitioned: the extra exchange + 32 near-
+    empty tasks measured SLOWER than the single ~0.1 s task."""
+    from pb_etl_spark.operators._width import pair_build_width
+
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
@@ -87,7 +98,10 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).cast("array<double>").alias("n_vec"),
-    ).withColumn("n_nrm", _norm(F.col("n_vec")))
+    )
+    if corpus_bound is not None:
+        c = c.repartition(pair_build_width(corpus.sparkSession, corpus_bound))
+    c = c.withColumn("n_nrm", _norm(F.col("n_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
