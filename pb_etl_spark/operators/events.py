@@ -332,7 +332,11 @@ def q_stream_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd_bucket_expr,
         dd_quantiles_from_hist,
     )
-    from pb_etl_spark.streaming.windows import read_event_stream, run_to_memory
+    from pb_etl_spark.streaming.windows import (
+        SKETCH_STATE_PARTITIONS,
+        read_event_stream,
+        run_to_memory,
+    )
 
     sdf = read_event_stream(spark, sf_dir, glob="events.parquet")
     cents = F.round(F.col("value") * 100).cast("long")
@@ -342,7 +346,10 @@ def q_stream_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     hist = run_to_memory(
-        hist_stream, "q_stream_ddsketch_hist", output_mode="complete"
+        hist_stream,
+        "q_stream_ddsketch_hist",
+        output_mode="complete",
+        state_partitions=SKETCH_STATE_PARTITIONS,
     )
     return dd_quantiles_from_hist(spark, hist)
 
@@ -601,14 +608,22 @@ def q_stream_doc_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch; after a bounded drain it equals the batch GROUP BY,
     which is the oracle. This is the live ingest dashboard behind
     source_mix_report."""
-    from pb_etl_spark.streaming.windows import run_to_memory
+    from pb_etl_spark.streaming.windows import (
+        SKETCH_STATE_PARTITIONS,
+        run_to_memory,
+    )
 
     sdf = _read_doc_stream(spark, sf_dir)
     agg = sdf.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars"),
     )
-    return run_to_memory(agg, "q_stream_doc_source_counts", output_mode="complete")
+    return run_to_memory(
+        agg,
+        "q_stream_doc_source_counts",
+        output_mode="complete",
+        state_partitions=SKETCH_STATE_PARTITIONS,
+    )
 
 
 def q_stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,7 +665,10 @@ def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg shuffles only cell deltas per micro-batch; the test itself
     always runs on the sketch-sized frame."""
     from pb_etl_spark.operators.selection import two_sample_rank_tests
-    from pb_etl_spark.streaming.windows import run_to_memory
+    from pb_etl_spark.streaming.windows import (
+        SKETCH_STATE_PARTITIONS,
+        run_to_memory,
+    )
 
     sdf = _read_doc_stream(spark, sf_dir)
     is_a = (
@@ -668,7 +686,10 @@ def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     state = run_to_memory(
-        cells, "q_stream_drift_monitor_cells", output_mode="complete"
+        cells,
+        "q_stream_drift_monitor_cells",
+        output_mode="complete",
+        state_partitions=SKETCH_STATE_PARTITIONS,
     )
     return two_sample_rank_tests(state)
 
@@ -693,7 +714,11 @@ def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         PSI_BUCKET_WIDTH,
         psi_from_cells,
     )
-    from pb_etl_spark.streaming.windows import read_event_stream, run_to_memory
+    from pb_etl_spark.streaming.windows import (
+        SKETCH_STATE_PARTITIONS,
+        read_event_stream,
+        run_to_memory,
+    )
 
     sdf = read_event_stream(spark, sf_dir, glob="events.parquet")
     cells = (
@@ -708,7 +733,10 @@ def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     state = run_to_memory(
-        cells, "q_stream_psi_monitor_cells", output_mode="complete"
+        cells,
+        "q_stream_psi_monitor_cells",
+        output_mode="complete",
+        state_partitions=SKETCH_STATE_PARTITIONS,
     )
     return psi_from_cells(state)
 
@@ -732,7 +760,10 @@ def q_stream_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on the vocab-sized frame."""
     from pb_etl_spark.operators.corpus import _tokens
     from pb_etl_spark.operators.selection import vocab_drift_from_cells
-    from pb_etl_spark.streaming.windows import run_to_memory
+    from pb_etl_spark.streaming.windows import (
+        SKETCH_STATE_PARTITIONS,
+        run_to_memory,
+    )
 
     sdf = _read_doc_stream(spark, sf_dir)
     tok = sdf.select(
@@ -744,7 +775,10 @@ def q_stream_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("k12"),
     )
     state = run_to_memory(
-        cells, "q_stream_vocab_drift_cells", output_mode="complete"
+        cells,
+        "q_stream_vocab_drift_cells",
+        output_mode="complete",
+        state_partitions=SKETCH_STATE_PARTITIONS,
     )
     return vocab_drift_from_cells(state)
 

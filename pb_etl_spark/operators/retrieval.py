@@ -865,11 +865,13 @@ def dd_bucket_expr(cents_col):
     (ln-candidate + exact ±1 integer-bound correction) — shared by the
     batch sketch and the streaming twin."""
     bounds = _dd_bounds()
-    # F.lit(list) → ONE foldable array literal; F.array(*lits) is a
-    # CreateArray expression that rebuilds the ~600-element array PER
-    # ROW (twice here, via both element_at corrections) — measured as
-    # the dominant per-row cost of the sketch pass
-    bounds_arr = F.lit(bounds)
+    # One F.expr-rendered foldable array literal: still not a per-row
+    # CreateArray (the old F.array(*lits) rebuilt the ~600-element array
+    # PER ROW), and unlike F.lit(list) — which PySpark expands into one
+    # py4j lit() call per element (~600 driver roundtrips, 0.9 s of the
+    # query's build, r14 profile) — the rendered string costs a single
+    # roundtrip
+    bounds_arr = F.expr(f"array({','.join(f'{b}L' for b in bounds)})")
     last = len(bounds) - 1
     j0 = F.greatest(
         F.lit(0).cast("long"),
@@ -915,7 +917,8 @@ def dd_quantiles_from_hist(spark, hist: DataFrame) -> DataFrame:
     """Quantile extraction over a (bucket, cnt) sketch table — shared by
     the batch and streaming paths (bounded ≤ |γ-buckets| input)."""
     ests = _dd_ests(_dd_bounds())
-    ests_arr = F.lit(ests)  # foldable array literal, not per-row CreateArray
+    # single-roundtrip foldable array literal (see dd_bucket_expr)
+    ests_arr = F.expr(f"array({','.join(f'{e}L' for e in ests)})")
     # n rides the SAME window pass as cum (full frame vs running frame,
     # one Window node): a separate hist.agg(sum) branch made Spark
     # re-run the whole upstream fact scan+groupBy — AQE did not reuse

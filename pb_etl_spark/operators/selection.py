@@ -301,13 +301,6 @@ _DSIR_ORACLE = f"""
 DRIFT_TOPK = 40
 
 
-def _xlx(c):
-    """x·ln(x) with the 0·ln(0)=0 convention — the G² building block."""
-    return F.when(c > 0, c.cast("double") * F.log(c.cast("double"))).otherwise(
-        F.lit(0.0)
-    )
-
-
 def vocab_drift_from_cells(cells: DataFrame) -> DataFrame:
     """Dunning-G² drift report from a compacted per-token cells frame
     ``(w, k11, k12)`` — k11/k12 = the token's occurrences in the "new" /
@@ -334,20 +327,31 @@ def vocab_drift_from_cells(cells: DataFrame) -> DataFrame:
         )
     n1, n2 = int(n1 or 0), int(n2 or 0)
     k11, k12 = F.col("k11"), F.col("k12")
-    k21, k22 = F.lit(int(n1)) - k11, F.lit(int(n2)) - k12
-    g2 = (
-        F.lit(2.0)
-        * (
-            _xlx(k11)
-            + _xlx(k12)
-            + _xlx(k21)
-            + _xlx(k22)
-            - _xlx(k11 + k12)
-            - _xlx(k21 + k22)
-            - _xlx(k11 + k21)
-            - _xlx(k12 + k22)
-            + _xlx(F.lit(int(n1) + int(n2)))
+
+    def _xlx_sql(e: str) -> str:
+        # x·ln(x) with the 0·ln(0)=0 convention (the G² building block),
+        # rendered as SQL text: the
+        # nine-term G² chain built from Column ops costs ~200 ms of py4j
+        # roundtrips per frame build (r14 profile); one F.expr parse is
+        # a single roundtrip and plans to the identical expressions
+        return (
+            f"(CASE WHEN ({e}) > 0 THEN CAST(({e}) AS DOUBLE) * "
+            f"LN(CAST(({e}) AS DOUBLE)) ELSE 0.0D END)"
         )
+
+    k21s, k22s = f"({n1} - k11)", f"({n2} - k12)"
+    g2 = F.expr(
+        "2.0D * ("
+        + _xlx_sql("k11")
+        + " + " + _xlx_sql("k12")
+        + " + " + _xlx_sql(k21s)
+        + " + " + _xlx_sql(k22s)
+        + " - " + _xlx_sql("k11 + k12")
+        + " - " + _xlx_sql(f"{k21s} + {k22s}")
+        + " - " + _xlx_sql("k11 + " + k21s)
+        + " - " + _xlx_sql("k12 + " + k22s)
+        + " + " + _xlx_sql(str(n1 + n2))
+        + ")"
     )
     # ONE-SIDED empty snapshot (n of one side 0, the other's tokens all
     # present): the rate over the empty side is undefined — emit NULL,

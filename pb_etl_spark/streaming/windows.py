@@ -412,7 +412,25 @@ def stream_upsert_parquet(
     )
 
 
-def run_to_memory(sdf: DataFrame, name: str, output_mode: str) -> "DataFrame":
+# State-store width for SKETCH-SIZED streaming state (the monitor
+# family: drift/PSI/G²/DDSketch cells — state is ≤ |distinct cells|
+# rows, bounded by value-domain or Heaps-law-sublinear, NEVER
+# data-proportional). Each state partition costs per-micro-batch
+# overhead that is independent of its content (a state-store instance,
+# its checkpoint delta file, a task): r14 measured the same
+# complete-mode cells drain at 1.1-1.4 s with 32 state partitions vs
+# 0.6-0.7 s with 8/2 at sf0.1. The right width scales with STATE size,
+# not cluster size, so a small constant is correct at any data volume —
+# 8 keeps a million-token vocab state at ~125k tiny rows per store.
+SKETCH_STATE_PARTITIONS = 8
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str,
+    state_partitions: int | None = None,
+) -> "DataFrame":
     """Drain all available input into an in-memory table; returns the
     result table. Test/dev helper — production sinks are parquet/kafka via
     the same writeStream call.
@@ -424,11 +442,13 @@ def run_to_memory(sdf: DataFrame, name: str, output_mode: str) -> "DataFrame":
     state stores per micro-batch — measured 39 s for the stream-stream
     join on a vanilla session vs ~4 s with a core-count-sized setting. A
     streaming job should size state partitions explicitly; pin them for
-    the drain and restore the caller's conf after."""
+    the drain and restore the caller's conf after. ``state_partitions``
+    overrides the data-proportional default for queries whose state is
+    sketch-sized (see ``SKETCH_STATE_PARTITIONS``)."""
     spark = sdf.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    target = min(32, spark.sparkContext.defaultParallelism)
+    target = state_partitions or min(32, spark.sparkContext.defaultParallelism)
     try:
         spark.conf.set(key, str(target))
         q = (
