@@ -36,9 +36,10 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
         .agg(
-            money.money_sum(money.disc_price_e4(), money.E4, "tpch_q3").alias(
-                "revenue"
-            )
+            # one-parse Spark-SQL twin (see q_tpch_q1_pricing)
+            F.expr(
+                money.spark_sql_money_sum(money.SQL_DISC_PRICE_E4, money.E4, "tpch_q3")
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -163,39 +164,42 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02"
     )
-    ext_cents = money.cents(F.col("l_extendedprice"))
-    d100 = money.pct100(F.col("l_discount"))
+    # Aggregates built from the Spark-SQL string twins (ONE F.expr parse
+    # each) rather than the Column builders: the nested Column form cost
+    # ~2200 py4j roundtrips / ~0.35 s PER FRAME BUILD (r14 profile), and
+    # the bench pays the build on every timed run. The twins are the
+    # exact-semantics mirrors the SQL-leg queries already execute
+    # (spark_sql_money_sum / spark_sql_exact_sum — split-radix TRY_SUM
+    # halves, integer half-away-from-zero cent rounding, 2^53 guards);
+    # value identity with the Column form is pinned by the oracle hash.
+    d100 = money.sql_pct100("l_discount")
     n = F.count(F.lit(1))
+
+    def _avg_cents(expr_sql: str) -> F.Column:
+        return F.expr(
+            money.spark_sql_exact_double(
+                money.spark_sql_exact_sum(expr_sql, "tpch_q1"), "tpch_q1"
+            )
+        )
+
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            money.money_sum(
-                money.cents(F.col("l_extendedprice")), money.CENTS, "tpch_q1"
+            F.expr(
+                money.spark_sql_money_sum(money.SQL_EXT_CENTS, money.CENTS, "tpch_q1")
             ).alias("sum_base_price"),
-            money.money_sum(money.disc_price_e4(), money.E4, "tpch_q1").alias(
-                "sum_disc_price"
-            ),
-            money.money_sum(money.charge_e6(), money.E6, "tpch_q1").alias(
-                "sum_charge"
-            ),
+            F.expr(
+                money.spark_sql_money_sum(money.SQL_DISC_PRICE_E4, money.E4, "tpch_q1")
+            ).alias("sum_disc_price"),
+            F.expr(
+                money.spark_sql_money_sum(money.SQL_CHARGE_E6, money.E6, "tpch_q1")
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(
-                money.exact_double(
-                    money.exact_long_sum(ext_cents, "tpch_q1"), "tpch_q1"
-                )
-                / n
-                / 100.0,
-                6,
-            ).alias("avg_price"),
-            F.round(
-                money.exact_double(
-                    money.exact_long_sum(d100, "tpch_q1"), "tpch_q1"
-                )
-                / n
-                / 100.0,
-                6,
-            ).alias("avg_disc"),
+            F.round(_avg_cents(money.SQL_EXT_CENTS) / n / 100.0, 6).alias(
+                "avg_price"
+            ),
+            F.round(_avg_cents(d100) / n / 100.0, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -219,8 +219,11 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_region(li, "l_orderkey")
         .groupBy("r_name")
         .agg(
-            money.money_sum(
-                money.disc_price_e4(), money.E4, "star_join_revenue"
+            # one-parse Spark-SQL twin (see q_tpch_q1_pricing)
+            F.expr(
+                money.spark_sql_money_sum(
+                    money.SQL_DISC_PRICE_E4, money.E4, "star_join_revenue"
+                )
             ).alias("revenue")
         )
     )
@@ -343,19 +346,26 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            money.money_sum(
-                money.cents(F.col("l_extendedprice")), money.CENTS, "groupby_agg"
+            # one-parse Spark-SQL twins (see q_tpch_q1_pricing)
+            F.expr(
+                money.spark_sql_money_sum(
+                    money.SQL_EXT_CENTS, money.CENTS, "groupby_agg"
+                )
             ).alias("sum_base_price"),
-            money.money_sum(
-                money.disc_price_e4(), money.E4, "groupby_agg"
+            F.expr(
+                money.spark_sql_money_sum(
+                    money.SQL_DISC_PRICE_E4, money.E4, "groupby_agg"
+                )
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(
-                money.exact_double(
-                    money.exact_long_sum(
-                        money.pct100(F.col("l_discount")), "groupby_agg"
-                    ),
-                    "groupby_agg",
+                F.expr(
+                    money.spark_sql_exact_double(
+                        money.spark_sql_exact_sum(
+                            money.sql_pct100("l_discount"), "groupby_agg"
+                        ),
+                        "groupby_agg",
+                    )
                 )
                 / F.count(F.lit(1))
                 / 100.0,
