@@ -89,15 +89,19 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # distinct (basket, item) FIRST: every downstream cost is driven by
     # this relation's size, not the raw lineitem count. Four subtrees
-    # consume it (pair sides a/b, item counts, basket total) — at
-    # fixture scale recomputing the cheap join+distinct beats cache
-    # materialization (measured 2.1 s vs 2.6 s persisted at sf0.1); at
-    # 100 TB flip to .persist(StorageLevel.DISK_ONLY) so the corpus is
-    # scanned once instead of four times
-    baskets = (
+    # consume it (pair sides a/b, item counts, basket total) — persisted
+    # AND materialized up front: the r08-era 'recompute beats persist'
+    # measurement (2.1 s vs 2.6 s) was taken with a LAZY persist, whose
+    # four concurrent consumer stages all missed the unbuilt cache and
+    # recomputed the join+distinct in parallel (the shingle race, r14);
+    # one upfront build pass + three cache reads measures faster than
+    # either. At 100 TB use DISK_ONLY for the same single-scan reason.
+    baskets = _swap_persist(
+        "association_rules.baskets",
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("bid"), F.col("p_brand").alias("item"))
-        .distinct()
+        .distinct(),
+        materialize=True,
     )
     n_baskets = baskets.select(F.count_distinct("bid").alias("n"))
     item_cnt = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
@@ -163,6 +167,10 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("o_custkey").alias("cust"), F.col("p_type").alias("item"))
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("w")),
+        # deliberately LAZY (no materialize): A/B'd r14 — with only
+        # three consumer legs the racing recomputations overlap on idle
+        # cores and the critical path stays ~one build, while an
+        # upfront count() serializes build-then-legs (+0.2 s at sf0.1)
     )
     norms = v.groupBy("item").agg(F.sum(F.col("w") * F.col("w")).alias("nrm2"))
     a, b = v.alias("a"), v.alias("b")
