@@ -272,7 +272,19 @@ def q_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle added beyond the final rollup's); money rides the cents
     integer grid through the XML text so re-parse is exact, and the
     aggregate shuffles only (status, partial sums)."""
-    o = read_table(spark, sf_dir, "orders")
+    o = read_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # the XML encode/decode is the heavy per-row map work and the
+    # fixture scan is a single row group = ONE task (0.9 s of this
+    # query's 1.2 s at sf0.1, r14 profile) — rebalance the three narrow
+    # columns first, guarded so a wide real-scale scan pays nothing
+    # (the ddsketch_quantiles pattern)
+    from pb_etl_spark.operators._width import core_count, fanout_width
+    from pb_etl_spark.operators.retrieval import _scan_width
+
+    if _scan_width(spark, o) < core_count(spark):
+        o = o.repartition(fanout_width(spark))
     xml = o.selectExpr(
         "to_xml(named_struct("
         "'k', o_orderkey, 's', o_orderstatus, "

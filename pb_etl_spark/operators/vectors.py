@@ -52,7 +52,12 @@ PQ_BOOKS: list[list[list[float]]] = [
 
 
 def _const_arr(vals: list[float]):
-    return F.array(*[F.lit(v) for v in vals])
+    # one F.expr parse instead of one py4j lit() roundtrip per element
+    # (64-dim centroid × 8 centroids = ~500 roundtrips per frame build,
+    # r14 profile of semantic_dedup); repr() round-trips doubles exactly
+    # and the SQL parser reads the same nearest double back, so the
+    # literal array is bit-identical to the lit()-built one
+    return F.expr(f"array({','.join(repr(float(v)) + 'D' for v in vals)})")
 
 
 def _dot_const(vec, vals: list[float]):
