@@ -107,6 +107,13 @@ SMOKE = [
     # re-measured after the CreateMap→array-literal plan change
     "deterministic_shuffle",
     "curriculum_buckets",
+    # r14 OPTIMIZATION round: queries whose plans changed (guarded
+    # repartitions, sketch-state width, one-parse literals) and were
+    # not already tracked above — exponents re-measured post-change
+    "xml_roundtrip_agg",
+    "stream_drift_monitor",
+    "stream_psi_monitor",
+    "knn_cosine",
 ]
 
 
