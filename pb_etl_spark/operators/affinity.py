@@ -89,19 +89,20 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # distinct (basket, item) FIRST: every downstream cost is driven by
     # this relation's size, not the raw lineitem count. Four subtrees
-    # consume it (pair sides a/b, item counts, basket total) — persisted
-    # AND materialized up front: the r08-era 'recompute beats persist'
-    # measurement (2.1 s vs 2.6 s) was taken with a LAZY persist, whose
-    # four concurrent consumer stages all missed the unbuilt cache and
-    # recomputed the join+distinct in parallel (the shingle race, r14);
-    # one upfront build pass + three cache reads measures faster than
-    # either. At 100 TB use DISK_ONLY for the same single-scan reason.
-    baskets = _swap_persist(
-        "association_rules.baskets",
+    # consume it (pair sides a/b, item counts, basket total) — at
+    # fixture scale recomputing the cheap join+distinct beats cache
+    # materialization (r08: 2.1 s vs 2.6 s persisted; r14 re-tested the
+    # materialize=True upfront-build variant that fixed the shingle
+    # race: one isolated A/B favored it (2.5 vs 3.1 s) but the full
+    # warm bench showed +0.9 s and repeat A/Bs under load were a wash —
+    # the racing recomputes overlap on idle cores here, so the upfront
+    # pass serializes more than it saves). At 100 TB flip to
+    # .persist(StorageLevel.DISK_ONLY) so the corpus is scanned once
+    # instead of four times.
+    baskets = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("bid"), F.col("p_brand").alias("item"))
-        .distinct(),
-        materialize=True,
+        .distinct()
     )
     n_baskets = baskets.select(F.count_distinct("bid").alias("n"))
     item_cnt = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
