@@ -692,9 +692,7 @@ def q_k_core_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shatter 200 rows into thousands of empty tasks.
     a = v.repartition(pair_build_width(spark, PR_NODES)).alias("a")
     b = v.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        _norm(F.col("a.v")) * _norm(F.col("b.v"))
-    )
+    cos = _dot("a.v", "b.v") / (_norm("a.v") * _norm("b.v"))
     # bounded 200×200 pair build; eager checkpoint keeps the BNLJ out
     # of the registered plan (the pagerank_knn/triangle pattern) and
     # materializes the ≤|slice|² edge list every round reads

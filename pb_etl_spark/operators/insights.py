@@ -313,9 +313,7 @@ def _threshold_graph(spark: SparkSession, sf_dir: str):
     # at sf0.1), width capped at the slice bound (k_core pattern)
     a = v.repartition(pair_build_width(spark, LP_NODES)).alias("a")
     b = v.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        _norm(F.col("a.v")) * _norm(F.col("b.v"))
-    )
+    cos = _dot("a.v", "b.v") / (_norm("a.v") * _norm("b.v"))
     und = (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(

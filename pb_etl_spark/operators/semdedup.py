@@ -42,7 +42,7 @@ from pb_etl_spark.operators.vectors import CENTROIDS, N_CENTROIDS, _dot_const
 def assign_cells(emb: DataFrame) -> DataFrame:
     """(vec_id, v, centroid_id): nearest-centroid by max dot product,
     ties → max k — the exact `centroid_assign` semantics."""
-    vec = F.col("embedding").cast("array<double>")
+    vec = "CAST(embedding AS ARRAY<DOUBLE>)"
     scored = F.array(
         *[
             F.struct(
@@ -53,7 +53,9 @@ def assign_cells(emb: DataFrame) -> DataFrame:
         ]
     )
     return emb.select(
-        "vec_id", vec.alias("v"), F.array_max(scored)["k"].alias("centroid_id")
+        "vec_id",
+        F.expr(vec).alias("v"),
+        F.array_max(scored)["k"].alias("centroid_id"),
     )
 
 

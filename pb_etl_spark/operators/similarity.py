@@ -33,7 +33,19 @@ TOP_K = 5
 
 
 def _dot(a, b):
-    """JVM-side dot product of two array columns."""
+    """JVM-side dot product of two array columns.
+
+    Accepts SQL text or Columns. The string form parses the whole
+    lambda-aggregate in ONE py4j roundtrip; the Column form costs ~37 ms
+    of py4j PER CALL building the lambda wrappers (r14 measurement,
+    ~2 s across the headline frame builds). Both produce the identical
+    sequential-fold expression — value equality is pinned in
+    tests/test_r14_optimizations.py and by every cosine oracle."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -42,6 +54,12 @@ def _dot(a, b):
 
 
 def _norm(a):
+    """L2 norm; same dual string/Column contract as ``_dot``."""
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate(transform({a}, x -> x * x), "
+            "0.0D, (acc, v) -> acc + v))"
+        )
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
@@ -94,21 +112,21 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).withColumn("q_nrm", _norm(F.col("q_vec")))
+    ).withColumn("q_nrm", _norm("q_vec"))
     c = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).cast("array<double>").alias("n_vec"),
     )
     if corpus_bound is not None:
         c = c.repartition(pair_build_width(corpus.sparkSession, corpus_bound))
-    c = c.withColumn("n_nrm", _norm(F.col("n_vec")))
+    c = c.withColumn("n_nrm", _norm("n_vec"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
         .select(
             "q_id",
             "n_id",
-            (_dot(F.col("q_vec"), F.col("n_vec"))
+            (_dot("q_vec", "n_vec")
              / (F.col("q_nrm") * F.col("n_nrm"))).alias("cos"),
         )
     )
@@ -149,15 +167,15 @@ def q_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_vec"),
-        _norm(F.slice(F.col("v"), 1, MAT_DIM)).alias("qt_nrm"),
+        _norm(f"slice(v, 1, {MAT_DIM})").alias("qt_nrm"),
     )
     c = emb.select(
         F.col("vec_id").alias("n_id"),
         F.col("v").alias("n_vec"),
-        _norm(F.slice(F.col("v"), 1, MAT_DIM)).alias("nt_nrm"),
+        _norm(f"slice(v, 1, {MAT_DIM})").alias("nt_nrm"),
     )
-    qt = F.slice(F.col("q_vec"), 1, MAT_DIM)
-    nt = F.slice(F.col("n_vec"), 1, MAT_DIM)
+    qt = f"slice(q_vec, 1, {MAT_DIM})"
+    nt = f"slice(n_vec, 1, {MAT_DIM})"
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
@@ -179,8 +197,8 @@ def q_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         "n_id",
         _cos_or_zero(
-            _dot(F.col("q_vec"), F.col("n_vec")),
-            _norm(F.col("q_vec")) * _norm(F.col("n_vec")),
+            _dot("q_vec", "n_vec"),
+            _norm("q_vec") * _norm("n_vec"),
         ).alias("cos"),
     )
     w2 = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
@@ -200,7 +218,7 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array math + grouped agg: per-label count and mean L2 norm."""
     emb = read_table(spark, sf_dir, "embeddings")
     return (
-        emb.select("label", _norm(F.col("embedding").cast("array<double>")).alias("nrm"))
+        emb.select("label", _norm("CAST(embedding AS ARRAY<DOUBLE>)").alias("nrm"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -253,7 +271,7 @@ def lsh_ann_topk(
         return (
             df.select(F.col(id_col).alias(f"{prefix}_id"), vec.alias(f"{prefix}_vec"))
             # norm computed once per vector, BEFORE the per-table explode
-            .withColumn(f"{prefix}_nrm", _norm(F.col(f"{prefix}_vec")))
+            .withColumn(f"{prefix}_nrm", _norm(f"{prefix}_vec"))
             .withColumn("__sigs", all_sigs(F.col(f"{prefix}_vec")))
             .select(
                 f"{prefix}_id",
@@ -274,7 +292,7 @@ def lsh_ann_topk(
     scored = cands.select(
         "q_id",
         "n_id",
-        (_dot(F.col("q_vec"), F.col("n_vec"))
+        (_dot("q_vec", "n_vec")
          / (F.col("q_nrm") * F.col("n_nrm"))).alias("cos"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
@@ -372,8 +390,8 @@ def ivf_ann_topk(
     scored = cands.select(
         "q_id",
         "n_id",
-        (_dot(F.col("q_vec"), F.col("n_vec"))
-         / (_norm(F.col("q_vec")) * _norm(F.col("n_vec")))).alias("cos"),
+        (_dot("q_vec", "n_vec")
+         / (_norm("q_vec") * _norm("n_vec"))).alias("cos"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
@@ -671,13 +689,13 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("v").alias("q_vec"),
-        _norm(F.col("v")).alias("q_nrm"),
+        _norm("v").alias("q_nrm"),
     )
     c = emb.select(
         F.col("vec_id").alias("n_id"),
         F.col("label").alias("n_label"),
         F.col("v").alias("n_vec"),
-        _norm(F.col("v")).alias("n_nrm"),
+        _norm("v").alias("n_nrm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -686,7 +704,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "n_id",
             F.col("n_label").alias("neg_label"),
-            (_dot(F.col("q_vec"), F.col("n_vec"))
+            (_dot("q_vec", "n_vec")
              / (F.col("q_nrm") * F.col("n_nrm"))).alias("cos"),
         )
     )
@@ -753,8 +771,7 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.n_id").alias("i"),
             F.col("b.n_id").alias("j"),
             F.round(
-                _dot(F.col("a.v"), F.col("b.v"))
-                / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+                _dot("a.v", "b.v") / (_norm("a.v") * _norm("b.v")),
                 9,
             ).alias("s"),
         )

@@ -51,31 +51,26 @@ PQ_BOOKS: list[list[list[float]]] = [
 ]
 
 
-def _const_arr(vals: list[float]):
+def _const_arr_sql(vals: list[float]) -> str:
     # one F.expr parse instead of one py4j lit() roundtrip per element
     # (64-dim centroid × 8 centroids = ~500 roundtrips per frame build,
     # r14 profile of semantic_dedup); repr() round-trips doubles exactly
     # and the SQL parser reads the same nearest double back, so the
     # literal array is bit-identical to the lit()-built one
-    return F.expr(f"array({','.join(repr(float(v)) + 'D' for v in vals)})")
+    return f"array({','.join(repr(float(v)) + 'D' for v in vals)})"
 
 
-def _dot_const(vec, vals: list[float]):
+
+def _dot_const(vec_sql: str, vals: list[float]):
     """Sequential fold — the same summation order DuckDB's
-    list_dot_product reproduces (validated by knn_cosine's oracle)."""
-    return F.aggregate(
-        F.zip_with(vec, _const_arr(vals), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    list_dot_product reproduces (validated by knn_cosine's oracle).
+    ``vec_sql`` is SQL text: the whole fold parses in one py4j
+    roundtrip (the Column-lambda form cost ~37 ms per call, r14)."""
+    return F.expr(
+        f"aggregate(zip_with({vec_sql}, {_const_arr_sql(vals)}, "
+        "(x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
     )
 
-
-def _sqdist_const(vec, vals: list[float]):
-    return F.aggregate(
-        F.zip_with(vec, _const_arr(vals), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
 
 
 def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,7 +103,7 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     K=8 codebook — the IVF cell-routing step as a standalone checkable
     op. argmax via lexicographic max over (dot, k) structs."""
     emb = read_table(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
+    vec = "CAST(embedding AS ARRAY<DOUBLE>)"
     scored = F.array(
         *[
             F.struct(

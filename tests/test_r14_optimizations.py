@@ -140,3 +140,21 @@ def test_run_to_memory_state_partitions_override_and_restore(spark):
     assert got == {"a": 4, "b": 2}
     # the caller's conf must be restored whatever width the drain pinned
     assert spark.conf.get(key) == prev
+
+
+# ------------------------------------------------------- dual-mode _dot/_norm
+def test_dot_norm_string_form_is_bit_identical_to_column_form(spark):
+    from pb_etl_spark.operators.similarity import _dot, _norm
+
+    df = spark.createDataFrame(
+        [([1.5, -2.25, 3.0], [0.5, 4.0, -1.125])],
+        "a array<double>, b array<double>",
+    )
+    row = df.select(
+        _dot("a", "b").alias("ds"),
+        _dot(F.col("a"), F.col("b")).alias("dc"),
+        _norm("a").alias("ns"),
+        _norm(F.col("a")).alias("nc"),
+    ).collect()[0]
+    assert row["ds"] == row["dc"]  # bit-equal doubles, same fold order
+    assert row["ns"] == row["nc"]
