@@ -1,11 +1,20 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"enc": "hl-idx", "q": {<HEADLINE index>: secs, ...}, "hl":
-<crc32 of the HEADLINE list>, "metric": ..., "value": N, "unit": "sec",
-"sf": ...}. Per-query keys are HEADLINE indexes, not names, so the whole
-record fits the driver's ~2000-byte tail-capture window at any plausible
-query count; ``tools/bench_compare.load()`` decodes them back to names
-(crc-guarded). Each run also writes a full-name mirror of the record to
+JSON line: {"queries": {<name>: secs, ...}, "qx": {<HEADLINE index>:
+secs, ...}, "hl": <crc32 of the HEADLINE list>, "metric": ...,
+"value": N, "unit": "sec", "sf": ...}. The r14 verdict (item 2) found
+the pure index-coded record of r12-r14 kept PERF's per-query and
+scaling blocks EMPTY — the driver's generic parser reads name-keyed
+"queries" and cannot import this repo's decoder — so per-query rows are
+now split: the ``NAMED`` subset (the 45 slowest per the r14 driver
+record, ~80% of total time, a FIXED list so the driver's c8-vs-c32
+scaling comparison sees identical name sets in both runs) is emitted
+name-keyed in "queries", and the rest stays index-coded in "qx" so the
+whole record still fits the driver's 2000-byte tail-capture window
+(worst-case line measured 1855 B; pinned by test). Nothing is dropped:
+every headline query is in the line (by name or index), and
+``tools/bench_compare.load()`` merges/decodes both (crc-guarded).
+Each run also writes a full-name mirror of the record to
 ``.bench/BENCH_FULL_latest.json`` (ignored scratch; override with
 $SPARK_GRAFT_BENCH_FULL_PATH) — the committed ``BENCH_FULL.json`` is the
 mirror of the DRIVER's recorded round run only, refreshed deliberately
@@ -181,6 +190,60 @@ HEADLINE = [
     "stream_vocab_drift",
 ]
 
+# The name-keyed subset of the stdout line (r14 verdict item 2): the 45
+# slowest queries of the r14 DRIVER record, in that record's time order.
+# FIXED deliberately — a per-run "slowest 45" would emit different name
+# sets at different core counts and shrink the driver's scaling
+# intersection. Append new heavyweights here only while the worst-case
+# line stays under the window (tests/test_bench_line.py pins it).
+NAMED = [
+    "mmr_diverse_topk",
+    "shingle_containment_pairs",
+    "entity_golden_record",
+    "association_rules",
+    "entity_resolution",
+    "fuzzy_match_pairs",
+    "ddsketch_quantiles",
+    "rfm_segments",
+    "item_item_cosine",
+    "stream_vocab_drift",
+    "embedding_near_dup_lsh_lowt",
+    "stream_drift_monitor",
+    "embedding_near_dup_lsh",
+    "rolling_active_users",
+    "k_core_knn",
+    "substring_dup_spans",
+    "stream_psi_monitor",
+    "pagerank_knn",
+    "ewma_user_value",
+    "tpch_q1_pricing",
+    "grouped_quantiles_exact",
+    "kmv_distinct_sketch",
+    "weighted_median_by_group",
+    "gini_by_group",
+    "star_join_revenue",
+    "semantic_dedup",
+    "scd2_merge_orders",
+    "tpch_q3_shipping",
+    "bfs_hops_knn",
+    "seq_packing",
+    "grouped_running_revenue",
+    "dsir_weights",
+    "label_propagation_knn",
+    "incremental_agg_maintenance",
+    "minhash_near_dup_pairs",
+    "snapshot_diff",
+    "matryoshka_knn",
+    "exact_stratified_split",
+    "maxabs_normalize",
+    "source_drift_matrix",
+    "dynamic_partition_pruning",
+    "tpch_q18_large_orders",
+    "shard_manifest",
+    "largest_remainder_alloc",
+    "interval_overlap_join",
+]
+
 
 def _boot_stamp() -> str:
     """``<first-8-of-boot_id>+<uptime-hours>h`` — which boot produced
@@ -354,29 +417,38 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump({"queries": timings, **summary}, f, indent=1)
     # stdout line: the driver's bench-tail capture keeps only the LAST
-    # ~2000 bytes (BENCH_r09 lost the summary keys to front-truncation;
+    # 2000 bytes (BENCH_r09 lost the summary keys to front-truncation;
     # r11's reordered record lost ~15 per-query rows instead — the full-
-    # name queries dict alone outgrew the window). Emit per-query rows
-    # index-coded against HEADLINE ("q": {"0": secs, ...}) so the whole
-    # record stays well under the window at any plausible query count;
-    # tools/bench_compare.load() decodes indexes back to names and the
-    # "hl" checksum makes a stale decode list loudly impossible.
-    # HEADLINE is therefore APPEND-ONLY: reordering or deleting entries
-    # would shift the indexes of every already-recorded round (the crc
-    # turns that mistake into a hard error, not silent mislabeling).
+    # name 80-query dict alone outgrows the window at ~2150 B). The
+    # r12-r14 pure index coding fit but left the DRIVER's generic parser
+    # with per_query/scaling EMPTY (r14 verdict item 2), so the record
+    # is now hybrid: the FIXED ``NAMED`` subset name-keyed in "queries"
+    # (driver-legible, 80% of total time), the rest index-coded in "qx"
+    # against HEADLINE (lossless; tools/bench_compare.load() merges
+    # both, crc-guarded by "hl"). HEADLINE stays APPEND-ONLY: reordering
+    # or deleting entries would shift the indexes of every already-
+    # recorded round (the crc turns that mistake into a hard error, not
+    # silent mislabeling).
+    named = set(NAMED)
     compact = {
-        "enc": "hl-idx",  # see tools/bench_compare.py load()
-        "q": {str(i): timings[n] for i, n in enumerate(HEADLINE)},
+        "queries": {n: timings[n] for n in NAMED},
+        "qx": {
+            str(i): timings[n]
+            for i, n in enumerate(HEADLINE)
+            if n not in named
+        },
         "hl": zlib.crc32(";".join(HEADLINE).encode()),
         **summary,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
-        print(
-            f"# WARNING: bench line {len(line)}B approaches the driver's "
-            "2000B tail window — shrink the encoding before it truncates",
-            file=sys.stderr,
-        )
+    while len(line) > 1900 and compact["queries"]:
+        # paranoia fallback (should never fire: worst-case 1855 B is
+        # pinned by test): demote the fastest named rows to index coding
+        # until the line fits — nothing is dropped, only re-keyed.
+        drop = min(compact["queries"], key=compact["queries"].get)
+        compact["qx"][str(HEADLINE.index(drop))] = compact["queries"].pop(drop)
+        line = json.dumps(compact, separators=(",", ":"))
+        print(f"# bench line over budget: demoted {drop} to qx", file=sys.stderr)
     print(line)
 
 

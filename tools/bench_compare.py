@@ -70,6 +70,27 @@ def _decode_hl_idx(doc: dict) -> dict:
     return doc
 
 
+def _merge_qx(doc: dict) -> dict:
+    """Merge the r15 hybrid record's index-coded remainder ("qx") into
+    the name-keyed "queries" dict. The driver reads "queries" as-is (the
+    45 slowest, name-keyed — r14 verdict item 2); this tool recovers the
+    full 80-query dict. Records without "qx" pass through unchanged."""
+    if "qx" in doc:
+        shim = dict(doc)
+        shim["q"] = shim.pop("qx")
+        named = shim.pop("queries")
+        decoded = _decode_hl_idx(shim)
+        overlap = set(named) & set(decoded["queries"])
+        if overlap:
+            raise SystemExit(
+                f"bench record has {sorted(overlap)[:3]} in BOTH queries "
+                "and qx — corrupt record or stale NAMED/HEADLINE lists"
+            )
+        decoded["queries"].update(named)
+        return decoded
+    return doc
+
+
 def load(path: str) -> dict:
     with open(path) as f:
         text = f.read()
@@ -92,19 +113,19 @@ def load(path: str) -> dict:
     if "q" in doc and "queries" not in doc:
         return _decode_hl_idx(doc)
     if "queries" in doc:
-        return doc
+        return _merge_qx(doc)
     if isinstance(doc.get("parsed"), dict):
         if "q" in doc["parsed"] and "queries" not in doc["parsed"]:
             return _decode_hl_idx(doc["parsed"])
         if "queries" in doc["parsed"]:
-            return doc["parsed"]
+            return _merge_qx(doc["parsed"])
     tail = doc.get("tail", "")
     m = re.search(r'\{"(?:metric|queries|enc)".*\}', tail)
     if m:
         inner = json.loads(m.group(0))
         if "q" in inner and "queries" not in inner:
             return _decode_hl_idx(inner)
-        return inner
+        return _merge_qx(inner)
     # front-truncated capture (BENCH_r09: the line outgrew the driver's
     # tail window and the leading keys were cut) — rebuild what survived
     # from the key/value pairs; bench.py now emits the scalar summary
