@@ -1231,7 +1231,7 @@ def q_weighted_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan."""
     from pb_etl_spark.operators.corpus import grouped_running_sum
 
-    rs, _totals = grouped_running_sum(
+    rs = grouped_running_sum(
         spark, _flag_cents_compact(spark, sf_dir), ["l_returnflag"], ["cents"], "qty"
     )
     return (
@@ -1287,7 +1287,7 @@ def q_grouped_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale discipline as the median: compact the fact per (group,
     value) first — map-side-combinable, output bounded by
     |groups|·|value grid| ≪ fact — then run ``grouped_running_sum``
-    (range partition + driver prefix-sum offsets, corpus.py) over the
+    (range partition + broadcast-back offsets, corpus.py) over the
     compacted frame so even the cumsum avoids per-group single-task
     sorts. Each quantile is then the minimal value whose inclusive
     cumulative weight satisfies the integer rule ``cum·den ≥ num·gtot``;
@@ -1295,7 +1295,7 @@ def q_grouped_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out per fraction — no extra scan, no join. All int64."""
     from pb_etl_spark.operators.corpus import grouped_running_sum
 
-    rs, _totals = grouped_running_sum(
+    rs = grouped_running_sum(
         spark, _flag_cents_compact(spark, sf_dir), ["l_returnflag"], ["cents"], "qty"
     )
     fracs = F.array(

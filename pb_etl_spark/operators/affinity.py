@@ -24,7 +24,7 @@ Scale design, per operator:
 - ``rfm_segments``: per-customer Recency/Frequency/Monetary from one
   grouped pass over orders, then three exact quintile assignments via
   ``global_positions`` (the distributed row-number primitive —
-  range-partition + per-partition row_number + driver prefix-sum; NO
+  range-partition + per-partition row_number + broadcast-back offsets; NO
   single-partition global window). Every emitted column is an integer —
   cross-engine hash parity needs no float reasoning at all.
 - ``target_encoding``: the leakage-safe categorical encoder (smoothed
@@ -65,14 +65,19 @@ def exact_quintile(
     low quintile), which is how recency scores invert."""
     from pb_etl_spark.operators.corpus import global_positions
 
-    order = [
-        F.col(value_col).asc() if asc else F.col(value_col).desc(),
-        F.col(key_col).asc(),
-    ]
-    pos_df, n = global_positions(spark, df.select(key_col, value_col), order)
+    # the helper's order columns are ascending names by contract (r15:
+    # the span guard compares range keys with plain struct ordering), so
+    # DESC is expressed by negating the integer metric — order-isomorphic
+    # for the long-typed RFM metrics, and ties still break on key ASC
+    ord_col = F.col(value_col) if asc else -F.col(value_col)
+    pos_df = global_positions(
+        spark,
+        df.select(F.col(key_col), ord_col.cast("long").alias("_q_ord")),
+        ["_q_ord", key_col],
+    )
     return pos_df.select(
         key_col,
-        F.expr(f"1L + ((pos - 1) * {RFM_BUCKETS}) div {n}").alias(out),
+        F.expr(f"1L + ((pos - 1) * {RFM_BUCKETS}) div _gp_tot").alias(out),
     )
 
 
@@ -338,7 +343,7 @@ def q_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_nationkey", "cents", F.col("o_custkey").alias("c"))
         .withColumn("one", F.lit(1).cast("long"))
     )
-    pos_df, _totals = grouped_running_sum(
+    pos_df = grouped_running_sum(
         spark, spend, ["c_nationkey"], ["cents", "c"], "one"
     )
     rep = pos_df.groupBy("c_nationkey").agg(
@@ -416,20 +421,27 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = orders.groupBy(F.col("o_custkey").alias("c")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    pos_df, n = global_positions(spark, spend, ["cents", "c"])
-    top1_k = -(-n // 100)  # ceil(n/100)
-    top10_k = -(-n // 10)
+    pos_df = global_positions(spark, spend, ["cents", "c"])
+    # ceil(n/k) folded in-plan over the helper's _gp_tot column:
+    # (n + k - 1) div k equals the old driver-side -(-n // k) for every
+    # n ≥ 0, so the selected top-k sets are identical
+    top1_k = F.expr("(_gp_tot + 99) div 100")
+    top10_k = F.expr("(_gp_tot + 9) div 10")
+    n_col = F.col("_gp_tot")
     agg = pos_df.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("total_cents"),
         F.sum(F.col("pos") * F.col("cents")).alias("pos_cents"),
-        F.sum(F.when(F.col("pos") > n - top1_k, F.col("cents")).otherwise(0)).alias(
-            "top1_cents"
-        ),
         F.sum(
-            F.when(F.col("pos") > n - top10_k, F.col("cents")).otherwise(0)
+            F.when(F.col("pos") > n_col - top1_k, F.col("cents")).otherwise(0)
+        ).alias("top1_cents"),
+        F.sum(
+            F.when(F.col("pos") > n_col - top10_k, F.col("cents")).otherwise(0)
         ).alias("top10_cents"),
     )
+    # n_customers == the helper's total by construction (count over the
+    # positioned frame), so the report arithmetic reads it post-agg
+    n = F.col("n_customers")
     gini = (
         (2.0 * F.col("pos_cents") - (n + 1) * F.col("total_cents").cast("double"))
         / (n * F.col("total_cents").cast("double"))

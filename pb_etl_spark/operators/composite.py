@@ -101,7 +101,7 @@ def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.withColumn("neg_p", -F.col("o_totalprice")).withColumn(
         "one", F.lit(1).cast("long")
     )
-    rs, _totals = grouped_running_sum(
+    rs = grouped_running_sum(
         spark, base, ["o_orderstatus"], ["neg_p", "o_orderkey"], "one"
     )
     pos, n = F.col("cum"), F.col("gtot")

@@ -36,6 +36,8 @@ Scale design, per operator:
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -73,7 +75,7 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (re-shaped r09): the per-source token cumsum rides
     ``grouped_running_sum`` — range partition on (source, doc_id) +
-    per-(pid, source) driver prefix-sum offsets — NOT a
+    per-(pid, source) broadcast-back offsets — NOT a
     ``Window.partitionBy(source)``, which would funnel each source's
     entire corpus into a single sort task (|sources| is small by
     construction; at 100 TB that is a handful of ~10 TB single-task
@@ -82,9 +84,7 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = doc.select(
         "doc_id", "source", F.size(_tokens()).cast("long").alias("n_tokens")
     )
-    rs, _totals = grouped_running_sum(
-        spark, base, ["source"], ["doc_id"], "n_tokens"
-    )
+    rs = grouped_running_sum(spark, base, ["source"], ["doc_id"], "n_tokens")
     return rs.select(
         "doc_id",
         "source",
@@ -153,7 +153,7 @@ def q_top_p_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_q",
         F.coalesce(-F.col("quality"), F.lit(float("inf"))),
     )
-    rs, _totals = grouped_running_sum(
+    rs = grouped_running_sum(
         spark, scored, ["lang"], ["neg_q", "doc_id"], "n_chars"
     )
     return rs.filter(F.col("cum") <= TOP_P * F.col("gtot")).select(
@@ -394,99 +394,163 @@ def shuffle_key(col, epoch: int = 0):
 SHUFFLE_SALT = "epoch0"  # = shuffle_key(..., epoch=0)'s salt, used in oracles
 
 
-def _require_map_hit(lookup, key_expr, label: str):
-    """A plan-literal offset/total lookup miss (cache eviction + range
-    boundary resample between the collect job and the output job) must
-    fail LOUDLY — a bare NULL pos/cum/gtot would silently corrupt
-    downstream math (ADVICE r09, applied to all three running-sum
-    primitives). Coalesce short-circuits, so raise_error only evaluates
-    on an actual miss. Since r14 the pid-keyed lookups are array
-    literals whose empty-at-count-time slots hold NULL — a row landing
-    in such a partition IS boundary drift (the counts job saw zero rows
-    there), so the NULL-means-miss contract is unchanged."""
-    return F.coalesce(
-        lookup.cast("long"),
-        F.raise_error(
-            F.concat(
-                F.lit(f"{label}-map miss (range boundary drift?) for key "),
-                key_expr.cast("string"),
+def _guard_key_struct(key_cols: list[str]):
+    """The row's range key as a comparable struct (Spark orders structs
+    field-by-field, matching the range partitioner's lexicographic
+    order). Key columns must be plain ASCENDING column names — a
+    descending sort is expressed by negating the column at the call
+    site (see affinity.exact_quintile) so the span guard can compare
+    keys with plain struct ordering."""
+    for c in key_cols:
+        if not isinstance(c, str):
+            raise TypeError(
+                "running-sum order/group columns must be ascending column "
+                f"NAMES (got {c!r}); express DESC by negating the column"
             )
-        ).cast("long"),
+    return F.struct(*[F.col(c) for c in key_cols])
+
+
+def _pid_pinned(df: DataFrame, nparts: int, key_cols: list[str]) -> DataFrame:
+    """Range-partition on ``key_cols``, LAZILY pin the result, and tag
+    each row with its partition id.
+
+    The persist is load-bearing, not a cache-for-speed: the counts leg
+    and the output leg below both branch from this frame, and WITHOUT a
+    pinned materialization they are two independent instantiations —
+    ``spark_partition_id()`` is a nondeterministic expression, so the
+    two subtrees are never ``sameResult`` and neither ReuseExchange nor
+    AQE stage reuse may legally share their range shuffles. Each leg
+    then samples its OWN range boundaries (the sampler is seeded by the
+    runtime RDD id), the partition ids disagree, and positions corrupt.
+    This is not theoretical: the r15 no-persist attempts failed the
+    span guard nondeterministically at sf0.1 (and deterministically on
+    window_ranking at 200 shuffle partitions, where column pruning
+    additionally de-identified the legs' subtrees). Against one cached
+    materialization both legs see one fixed layout: cache partitions
+    are never AQE-coalesced, racing consumers compute against the one
+    shuffle dependency (boundaries sample once per RDD instance), and
+    eviction recomputes from that same dependency. The ``_drift_raise``
+    span guard downstream stays as insurance — any inconsistency is a
+    loud error, never silent corruption.
+
+    The persist is LAZY — no job, no collect runs here (r14 verdict
+    item 1: the per-invocation counts job + driver round-trip is what
+    the r15 reformulation removed); the consumer's single action
+    materializes it. Deliberately a bare persist, not cache.swap_persist
+    (r08 adjudication, unchanged): a call-site swap key could evict a
+    sibling invocation mid-build (segment_migration builds two same-key
+    quintiles into one joined query). The leak is one bounded frame per
+    invocation, reclaimed at session end; at deployment scale flip the
+    storage level to DISK_ONLY if executor memory is contended."""
+    return (
+        df.repartitionByRange(nparts, *key_cols)
+        .persist()
+        .withColumn("_rs_pid", F.spark_partition_id())
     )
 
 
-def global_positions(
-    spark: SparkSession, df: DataFrame, order_cols: list[str]
-) -> tuple[DataFrame, int]:
+def _drift_raise(label: str, key_expr):
+    """A broadcast-back offset/total is only trusted when the row's
+    range key falls inside ITS partition's counts-leg span (r15: the
+    offsets now ride the SAME one-action plan instead of driver-side
+    literals). Both legs read the one lazily-persisted range-partitioned
+    frame (see ``_pid_pinned`` for why the pin is load-bearing), so the
+    guard never fires in a healthy plan; if the legs ever saw different
+    layouts, any row whose partition assignment differs lands outside
+    its counts-leg [min,max] span (range spans are disjoint and
+    ordered), or in a partition with no counts row at all (NULL after
+    the left join) — both reach this raise instead of silently
+    corrupting positions (ADVICE r09's loud-miss contract, carried
+    over)."""
+    return F.raise_error(
+        F.concat(
+            F.lit(f"{label}-span miss (range boundary drift?) for key "),
+            key_expr.cast("string"),
+        )
+    ).cast("long")
+
+
+def global_positions(spark: SparkSession, df: DataFrame, order_cols: list[str]) -> DataFrame:
     """Total-order positions (1-based ``pos``) over ``order_cols``
     WITHOUT a single-partition global window — the distributed
     row-number primitive behind the epoch shuffle and exact ntile.
 
-    Shape: range-partition on the order key (Spark samples boundaries),
-    count rows per range (a |partitions|-row collect), prefix-sum the
-    counts on the driver, then add each partition's offset to a
-    per-partition row_number. Every stage is cluster-parallel; the
-    keyed frame is persisted so the sampled range boundaries are
-    identical across the counts job and the position job. Returns
-    (frame + pos, total_rows). ``order_cols`` must be a total order
-    (include a tiebreak column).
+    Shape (ONE action since r15 — r14 verdict item 1): range-partition
+    on the order key (Spark samples boundaries) into a lazily-pinned
+    frame (``_pid_pinned`` — the pin is a correctness device, see its
+    docstring), aggregate per-partition (count, min-key, max-key) as a
+    ≤|partitions|-row side leg of the SAME plan, prefix-sum the counts
+    with a window over that bounded leg, broadcast-join the offsets
+    back on the partition id, and add them to a per-partition
+    row_number. The r01-r14 form instead ran an EAGER counts job at
+    frame-build time and baked the offsets as plan literals — one extra
+    Spark job, an AQE planning session and a py4j round-trip per
+    invocation (~40% of every consumer's wall time at bench scale, r15
+    profile), all gone here; the materialization cost itself is
+    unchanged (one cache write, as before). Correctness does NOT depend
+    on exchange/stage reuse firing — both legs read the one pinned
+    layout — and the span guard (``_drift_raise``) turns any residual
+    inconsistency into a loud error, never silent corruption.
 
-    DELIBERATELY NOT cache.swap_persist (r08 review adjudication): the
-    offset array is a plan LITERAL keyed to THIS persisted frame's sampled
-    boundaries — evicting the cache before the consuming action would
-    recompute the range exchange with RESAMPLED boundaries under the
-    stale literals and silently corrupt positions. A call-site swap key
-    cannot be safe: segment_migration builds TWO same-key quintiles
-    (early/late, identical order cols) into one joined query, so the
-    second construction would evict the first mid-build. The bare
-    persist is MEMORY_AND_DISK (never dropped in-session), and the
-    leak is one bounded frame per invocation, reclaimed at session end."""
+    ``order_cols`` must be ascending column NAMES forming a total order
+    (include a tiebreak column; negate numeric columns for DESC) with
+    non-null values. The output carries every input column plus ``pos``
+    and ``_gp_tot`` (the total row count as a plan column — consumers
+    that used the old driver-side scalar now fold the same integer
+    arithmetic in-plan; the values are identical)."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    keyed = df.repartitionByRange(nparts, *order_cols).persist()
-    try:
-        counts = {
-            r["pid"]: r["n"]
-            for r in keyed.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-    except Exception:
-        # success-path persistence is deliberate (offset literals tied
-        # to this frame's sampled range boundaries — see docstring);
-        # a FAILED counts job must still not leak a materialized copy
-        # per retry (r13 review finding, same discipline as
-        # grouped_running_sum)
-        keyed.unpersist()
-        raise
-    # Offsets bake as an ARRAY literal indexed by spark_partition_id —
-    # O(1) GetArrayItem per row. The previous CreateMap literal paid an
-    # O(shuffle.partitions) linear key scan per output row (GetMapValue
-    # on a literal map has no hash index): invisible at the 32-partition
-    # fixture, real at a 20k-partition deployment (r13 verdict item 1).
-    # Partitions EMPTY at count time hold NULL so a row landing there
-    # (= boundary drift) still trips _require_map_hit, exactly like the
-    # old absent-key map miss.
-    arr, acc = [], 0
-    for pid in range(nparts):
-        n = counts.get(pid)
-        arr.append(F.lit(acc if n is not None else None).cast("long"))
-        acc += n or 0
-    off_arr = F.array(*arr)
-    w = W.partitionBy("pid").orderBy(*order_cols)
-    out = (
-        keyed.withColumn("pid", F.spark_partition_id())
+    okey = _guard_key_struct(order_cols)
+    keyed = _pid_pinned(df, nparts, order_cols)
+    counts = keyed.groupBy("_rs_pid").agg(
+        F.count(F.lit(1)).alias("_rs_n"),
+        F.min(okey).alias("_rs_lo"),
+        F.max(okey).alias("_rs_hi"),
+    )
+    # prefix-sum over the ≤|partitions|-row counts leg: the
+    # SinglePartition exchange under these windows is bounded by
+    # construction (tests/test_plan_lint.py exempts _rs_pid-ordered
+    # unpartitioned windows for exactly this reason)
+    w_off = W.orderBy("_rs_pid").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("_rs_pid").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offs = counts.select(
+        "_rs_pid",
+        "_rs_lo",
+        "_rs_hi",
+        F.coalesce(F.sum("_rs_n").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_rs_off"),
+        F.sum("_rs_n").over(w_all).cast("long").alias("_gp_tot"),
+    )
+    w = W.partitionBy("_rs_pid").orderBy(*order_cols)
+    span_ok = (okey >= F.col("_rs_lo")) & (okey <= F.col("_rs_hi"))
+    return (
+        keyed.withColumn("_rs_rn", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(offs), "_rs_pid", "left")
         .withColumn(
             "pos",
-            F.row_number().over(w).cast("long")
-            + _require_map_hit(
-                F.get(off_arr, F.col("pid")),
-                F.col("pid"),
-                "global_positions offset",
+            F.when(span_ok, F.col("_rs_rn") + F.col("_rs_off")).otherwise(
+                _drift_raise("global_positions offset", okey)
             ),
         )
-        .drop("pid")
+        .select(*df.columns, "pos", "_gp_tot")
     )
-    return out, acc
+
+
+def _null_value_raise(value_col: str, label: str):
+    """The value column must be non-null (the windowed prefix sum and
+    the counts-leg subtotal must agree exactly; a leading all-NULL frame
+    would silently NULL ``cum``). r01-r14 enforced this driver-side on
+    the collected counts; the one-action form enforces it in-plan: the
+    counts leg carries count(1) vs count(value) per slice, and any row
+    of a violating slice raises at action time."""
+    return F.raise_error(
+        F.lit(
+            f"{label}: value column {value_col!r} has NULL value(s) "
+            "(non-null contract)"
+        )
+    ).cast("long")
 
 
 def global_running_sum(
@@ -494,89 +558,82 @@ def global_running_sum(
     df: DataFrame,
     order_cols: list[str],
     value_col: str,
-) -> tuple[DataFrame, int]:
+) -> DataFrame:
     """Running total of ``value_col`` over the total order ``order_cols``
     WITHOUT a single-partition global window — ``global_positions``'s
     sibling for weighted cumsums (token budgets, byte offsets).
 
-    Same shape: range-partition on the order key, total ``value_col``
-    per range (a |partitions|-row collect), prefix-sum those totals on
-    the driver, then add each partition's offset to a per-partition
-    cumulative-sum window. Every stage is cluster-parallel. The cumsum
-    is INCLUSIVE (``cum`` includes the current row). ``value_col`` must
-    be integral (the driver prefix-sum and the windowed sum must agree
-    exactly; float addition would make them order-sensitive).
-
-    Returns ``(frame, grand_total)`` like its sibling
-    ``global_positions`` — the driver prefix-sum already computed the
-    corpus total, so consumers that need it (pps step size, ABC class
-    bounds) must NOT pay a second scan/aggregate job to rederive it.
-    The bare persist (not swap_persist) is deliberate — same
-    boundary-literal coupling as ``global_positions``, see its
-    docstring."""
+    Same one-action shape as ``global_positions`` (see its docstring
+    for the r15 reformulation rationale and the drift guard): the
+    counts leg totals ``value_col`` per range partition, a bounded
+    window prefix-sums the totals, and a broadcast join attaches them
+    to the per-partition INCLUSIVE cumulative-sum window. ``value_col``
+    must be integral and non-null (enforced in-plan — the prefix sums
+    must agree exactly; float addition would be order-sensitive). The
+    output carries every input column plus ``cum`` and ``_gr_tot`` (the
+    grand total as a plan column — pps step size, ABC class bounds fold
+    their integer arithmetic over it in-plan)."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    keyed = df.repartitionByRange(nparts, *order_cols).persist()
-    try:
-        rows = (
-            keyed.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(
-                F.sum(value_col).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-                F.count(value_col).alias("nv"),
-            )
-            .collect()
-        )
-        totals = {}
-        for r in rows:
-            if r["nv"] != r["n"]:
-                # partial NULLs would silently NULL the windowed prefix
-                # sum for leading all-NULL frames; all-NULL would
-                # TypeError below — enforce the contract loudly either way
-                raise ValueError(
-                    f"global_running_sum value column {value_col!r} has "
-                    f"{r['n'] - r['nv']} NULL value(s) in partition "
-                    f"{r['pid']} (non-null contract)"
-                )
-            totals[r["pid"]] = r["s"]
-    except Exception:
-        # same discipline as grouped_running_sum: any failure past
-        # persist must not leak a fully-materialized cached copy
-        keyed.unpersist()
-        raise
-    # same array-literal shape as global_positions (O(1) GetArrayItem,
-    # NULL slot for count-time-empty pids = drift trip-wire)
-    arr, acc = [], 0
-    for pid in range(nparts):
-        t = totals.get(pid)
-        arr.append(F.lit(acc if t is not None else None).cast("long"))
-        acc += t or 0
-    off_arr = F.array(*arr)
+    okey = _guard_key_struct(order_cols)
+    keyed = _pid_pinned(df, nparts, order_cols)
+    counts = keyed.groupBy("_rs_pid").agg(
+        F.sum(value_col).alias("_rs_s"),
+        F.count(F.lit(1)).alias("_rs_n"),
+        F.count(value_col).alias("_rs_nv"),
+        F.min(okey).alias("_rs_lo"),
+        F.max(okey).alias("_rs_hi"),
+    )
+    w_off = W.orderBy("_rs_pid").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("_rs_pid").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offs = counts.select(
+        "_rs_pid",
+        "_rs_lo",
+        "_rs_hi",
+        # ANY violating partition poisons every row (the old driver-side
+        # check was likewise global) — and the raise must wrap the
+        # addition below, never be an operand of it: Add's null-safe
+        # codegen short-circuits `NULL + raise(...)` to NULL without
+        # evaluating the guard (observed r15)
+        (
+            F.max((F.col("_rs_nv") != F.col("_rs_n")).cast("int")).over(w_all)
+            == 1
+        ).alias("_rs_nullbad"),
+        F.coalesce(F.sum("_rs_s").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_rs_off"),
+        F.sum("_rs_s").over(w_all).cast("long").alias("_gr_tot"),
+    )
     w = (
-        W.partitionBy("pid")
+        W.partitionBy("_rs_pid")
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    out = (
-        keyed.withColumn("pid", F.spark_partition_id())
+    span_ok = (okey >= F.col("_rs_lo")) & (okey <= F.col("_rs_hi"))
+    return (
+        keyed.withColumn("_rs_win", F.sum(value_col).over(w).cast("long"))
+        .join(F.broadcast(offs), "_rs_pid", "left")
         .withColumn(
             "cum",
-            F.sum(value_col).over(w).cast("long")
-            + _require_map_hit(
-                F.get(off_arr, F.col("pid")),
-                F.col("pid"),
-                "global_running_sum offset",
-            ),
+            F.when(
+                F.col("_rs_nullbad"),
+                _null_value_raise(value_col, "global_running_sum"),
+            )
+            .when(span_ok, F.col("_rs_win") + F.col("_rs_off"))
+            .otherwise(_drift_raise("global_running_sum offset", okey)),
         )
-        .drop("pid")
+        .select(*df.columns, "cum", "_gr_tot")
     )
-    return out, int(acc)
 
 
-_GRS_SEP = "\x1f"  # unit separator: never appears in group-key casts
-
-# grouped_running_sum group-key types whose driver-side str() and
-# executor-side cast('string') render identically (booleans and floats
-# do not: 'True' vs 'true', repr vs Java formatting)
+# grouped_running_sum group-key types: string / integer / date. The
+# original reason was literal-map key rendering (driver str() vs
+# executor cast('string')); the r15 one-action form joins on the actual
+# columns, but the restriction is KEPT — it pins the documented
+# low-cardinality-key contract (floats/booleans as group keys are a
+# design smell this primitive should refuse) and keeps the contract
+# tests stable.
 _GRS_KEY_TYPES = (
     T.StringType,
     T.LongType,
@@ -593,7 +650,7 @@ def grouped_running_sum(
     group_cols: list[str],
     order_cols: list[str],
     value_col: str,
-) -> tuple[DataFrame, dict[tuple, int]]:
+) -> DataFrame:
     """PER-GROUP running total of ``value_col`` over ``order_cols``
     WITHOUT a per-group window shuffle — the keyed sibling of
     ``global_running_sum`` for LOW-cardinality group keys, where
@@ -601,161 +658,126 @@ def grouped_running_sum(
     into a single sort task (the scale-killer shape the r08 verdict
     flagged on ``weighted_median_by_group``).
 
-    Shape: range-partition on ``(group_cols, order_cols)`` — rows of one
-    group span a contiguous pid range and every partition holds at most
-    a few groups — total ``value_col`` per ``(pid, group)`` (a bounded
-    collect: ≤ |partitions| + |groups| rows by contiguity), prefix-sum
-    per group over pid order on the driver, then add each
-    ``(pid, group)`` offset to a per-``(pid, group)`` cumulative window.
-    Parallelism is |partitions| regardless of |groups|. The output
-    carries two new columns: ``cum`` (INCLUSIVE running sum within the
-    row's group) and ``gtot`` (the group's grand total, a plan literal —
-    consumers must not re-aggregate the fact to rederive it).
+    Shape (ONE action since r15, like the siblings): range-partition on
+    ``(group_cols, order_cols)`` — rows of one group span a contiguous
+    pid range and every partition holds at most a few groups — total
+    ``value_col`` per ``(pid, group)`` as a bounded side leg of the SAME
+    plan (≤ |partitions| + |groups| rows by contiguity), prefix-sum per
+    group over pid order with windows over that bounded leg, and
+    broadcast-join the offsets back on ``(pid, group)``. Parallelism is
+    |partitions| regardless of |groups|. The output carries three new
+    columns: ``cum`` (INCLUSIVE running sum within the row's group),
+    ``gtot`` (the group's grand total) and ``_gr_all`` (the grand total
+    over ALL groups — consumers must not re-aggregate the fact to
+    rederive either).
 
     Constraints mirror the sibling: ``value_col`` integral and non-null
-    (driver prefix-sum and windowed sum must agree exactly),
-    ``order_cols`` a total order WITHIN each group, group/order columns
-    non-null. Group columns must be string / integer / date typed — the
-    per-pid offset maps are keyed by Python ``str()`` on the driver and
-    ``cast('string')`` on executors, and only those types render
-    identically on both sides (booleans: 'True' vs 'true'; doubles:
-    repr vs Java formatting) — ENFORCED below, as are the non-null
-    contract and separator-free keys (the collect sees every distinct
-    group value, so the validation is complete, not sampled). The bare
-    persist is deliberate — the offset map is a plan literal tied to
-    THIS persisted frame's sampled range boundaries; see
-    ``global_positions``'s adjudication note.
-
-    Returns ``(frame, {group_tuple: total})`` — totals keyed by the
-    groups' ORIGINAL values.
-    """
+    (the two prefix-sum legs must agree exactly; enforced in-plan),
+    ``order_cols`` ascending column names forming a total order WITHIN
+    each group, group/order columns non-null (a NULL group key misses
+    the offsets join and raises at action time). Group columns must be
+    string / integer / date typed — ENFORCED eagerly below; the
+    restriction pins the documented low-cardinality-key contract.
+    Boundary drift between the two reads of the range exchange (only
+    possible if exchange reuse failed AND resampling moved a boundary)
+    is caught per row by the span guard — see ``_drift_raise``."""
     for c in group_cols:
         dt = df.schema[c].dataType
         if not isinstance(dt, _GRS_KEY_TYPES):
             raise TypeError(
                 f"grouped_running_sum group column {c!r} has type {dt}; "
-                "only string/integer/date keys render identically under "
-                "driver str() and executor cast('string')"
+                "only string/integer/date group keys are supported (the "
+                "documented low-cardinality-key contract)"
             )
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    keyed = df.repartitionByRange(nparts, *group_cols, *order_cols).persist()
-    by_group: dict[tuple, list] = {}
-    try:
-        # the collect is INSIDE the guard (r13 review finding): a
-        # task failure / interrupt during the counts job is exactly the
-        # retried-pipeline case where a leaked materialized copy per
-        # attempt hurts most
-        rows = (
-            keyed.groupBy(F.spark_partition_id().alias("pid"), *group_cols)
-            .agg(
-                F.sum(value_col).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-                F.count(value_col).alias("nv"),
-            )
-            .collect()
-        )
-        for r in rows:
-            raw = tuple(r[c] for c in group_cols)
-            for c, v in zip(group_cols, raw):
-                if v is None:
-                    raise ValueError(
-                        f"grouped_running_sum group column {c!r} contains "
-                        "NULL (non-null contract)"
-                    )
-                if _GRS_SEP in str(v):
-                    raise ValueError(
-                        f"grouped_running_sum group column {c!r} value {v!r} "
-                        "contains the reserved \\x1f key separator"
-                    )
-            if r["nv"] != r["n"]:
-                # a PARTIALLY-null slice would pass an is-None check on
-                # the slice total while the windowed prefix sum still
-                # emits NULL cum for leading all-NULL frames — enforce
-                # the contract on the count, not the total
-                raise ValueError(
-                    f"grouped_running_sum value column {value_col!r} has "
-                    f"{r['n'] - r['nv']} NULL value(s) in group {raw!r} "
-                    "(non-null contract)"
-                )
-            by_group.setdefault(raw, []).append((r["pid"], int(r["s"])))
-    except Exception:
-        # the cache only earns its keep on the success path (offset
-        # literals tied to these boundaries); ANY failure past persist —
-        # contract violation, unexpected type, whatever — must not leak
-        # a fully-materialized copy of the input per retry
-        keyed.unpersist()
-        raise
-    per_pid_off: dict[int, dict[str, int]] = {}
-    per_pid_tot: dict[int, dict[str, int]] = {}
-    totals: dict[tuple, int] = {}
-    for g, lst in by_group.items():
-        acc = 0
-        gs = _GRS_SEP.join(str(v) for v in g)
-        for pid, s in sorted(lst):
-            per_pid_off.setdefault(pid, {})[gs] = acc
-            acc += s
-        totals[g] = acc
-        for pid, _s in lst:
-            per_pid_tot.setdefault(pid, {})[gs] = acc
-    # Both lookups bake as an outer ARRAY literal indexed by
-    # spark_partition_id (O(1) GetArrayItem) whose elements are per-pid
-    # group maps — the probe inside is bounded by groups-per-PARTITION
-    # (small by range contiguity under the documented low-cardinality
-    # contract), never by |partitions|·|groups| as the old flat
-    # CreateMap was (O(shuffle.partitions) linear key scan per output
-    # row — r13 verdict item 1). A group's grand total repeats in every
-    # pid the group spans, so the gtot probe is per-pid too. Pids empty
-    # at count time hold NULL (boundary-drift trip-wire, same contract
-    # as global_positions); a group missing from its own pid's map is
-    # likewise drift.
-    def _pid_map_array(per_pid: dict[int, dict[str, int]]):
-        elems = []
-        for pid in range(nparts):
-            m = per_pid.get(pid)
-            if m:
-                pairs = []
-                for k, v in m.items():
-                    pairs.append(F.lit(k))
-                    pairs.append(F.lit(v).cast("long"))
-                elems.append(F.create_map(*pairs))
-            else:
-                elems.append(F.lit(None).cast("map<string,bigint>"))
-        return F.array(*elems)
-
-    off_arr = _pid_map_array(per_pid_off)
-    tot_arr = _pid_map_array(per_pid_tot)
-    gkey = F.concat_ws(
-        _GRS_SEP, *[F.col(c).cast("string") for c in group_cols]
+    gokey = _guard_key_struct([*group_cols, *order_cols])
+    keyed = _pid_pinned(df, nparts, [*group_cols, *order_cols])
+    counts = keyed.groupBy("_rs_pid", *group_cols).agg(
+        F.sum(value_col).alias("_rs_s"),
+        F.count(F.lit(1)).alias("_rs_n"),
+        F.count(value_col).alias("_rs_nv"),
+        F.min(gokey).alias("_rs_lo"),
+        F.max(gokey).alias("_rs_hi"),
     )
-
+    # all three prefix/total windows run over the bounded counts leg and
+    # order by _rs_pid (the plan-lint exemption marker): per-group
+    # offsets, per-group grand totals, and the all-groups grand total
+    w_off = (
+        W.partitionBy(*group_cols)
+        .orderBy("_rs_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_gt = (
+        W.partitionBy(*group_cols)
+        .orderBy("_rs_pid")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w_all = W.orderBy("_rs_pid").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offs = counts.select(
+        "_rs_pid",
+        *group_cols,
+        "_rs_lo",
+        "_rs_hi",
+        # global any-violation flag; see global_running_sum for why the
+        # raise must live INSIDE the when-chain, not under an Add
+        (
+            F.max((F.col("_rs_nv") != F.col("_rs_n")).cast("int")).over(w_all)
+            == 1
+        ).alias("_rs_nullbad"),
+        F.coalesce(F.sum("_rs_s").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_rs_off"),
+        F.sum("_rs_s").over(w_gt).cast("long").alias("_rs_gt"),
+        F.sum("_rs_s").over(w_all).cast("long").alias("_gr_all"),
+    )
     w = (
-        W.partitionBy("pid", *group_cols)
+        W.partitionBy("_rs_pid", *group_cols)
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    pkey = F.concat_ws(_GRS_SEP, F.col("pid").cast("string"), gkey)
-    out = (
-        keyed.withColumn("pid", F.spark_partition_id())
+    span_ok = (gokey >= F.col("_rs_lo")) & (gokey <= F.col("_rs_hi"))
+    # a NULL group key would miss the offsets equi-join and surface as a
+    # (misleading) drift error — name the actual contract violation first
+    null_key = functools.reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in group_cols]
+    )
+
+    def _guarded(col, label):
+        return (
+            F.when(
+                null_key,
+                F.raise_error(
+                    F.lit(
+                        "grouped_running_sum: group column contains NULL "
+                        "(non-null contract)"
+                    )
+                ).cast("long"),
+            )
+            .when(
+                F.col("_rs_nullbad"),
+                _null_value_raise(value_col, "grouped_running_sum"),
+            )
+            .when(span_ok, col)
+            .otherwise(_drift_raise(label, gokey))
+        )
+
+    return (
+        keyed.withColumn("_rs_win", F.sum(value_col).over(w).cast("long"))
+        .join(F.broadcast(offs), ["_rs_pid", *group_cols], "left")
         .withColumn(
             "cum",
-            F.sum(value_col).over(w).cast("long")
-            + _require_map_hit(
-                F.get(off_arr, F.col("pid"))[gkey],
-                pkey,
+            _guarded(
+                F.col("_rs_win") + F.col("_rs_off"),
                 "grouped_running_sum offset",
             ),
         )
         .withColumn(
-            "gtot",
-            _require_map_hit(
-                F.get(tot_arr, F.col("pid"))[gkey],
-                pkey,
-                "grouped_running_sum total",
-            ),
+            "gtot", _guarded(F.col("_rs_gt"), "grouped_running_sum total")
         )
-        .drop("pid")
+        .select(*df.columns, "cum", "gtot", "_gr_all")
     )
-    return out, totals
 
 
 def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,13 +792,13 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries). Writing the sorted output per epoch IS the shuffle; a
     trainer then reads sequentially. Positions come from
     ``global_positions`` — range partition + per-partition row_number +
-    driver prefix-sum offsets — so every stage stays cluster-parallel;
+    broadcast-back offsets — so every stage stays cluster-parallel;
     no single-partition global window anywhere in the plan."""
     doc = read_table(spark, sf_dir, "documents")
     keyed = doc.select(
         "doc_id", shuffle_key(F.col("doc_id"), epoch=0).alias("shuffle_key")
     )
-    pos, _n = global_positions(spark, keyed, ["shuffle_key"])
+    pos = global_positions(spark, keyed, ["shuffle_key"])
     return pos.select("doc_id", "shuffle_key", "pos")
 
 
@@ -807,22 +829,26 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = read_table(spark, sf_dir, "documents")
     n_tok = F.size(_tokens()).cast("long")
     keyed = doc.select("doc_id", n_tok.alias("n_tokens"))
-    pos, n_total = global_positions(spark, keyed, ["n_tokens", "doc_id"])
+    pos = global_positions(spark, keyed, ["n_tokens", "doc_id"])
     k = N_CURRICULUM_BINS
-    q, r = divmod(max(n_total, 1), k)
-    # rows 1..r(q+1) land in the r big buckets; the rest in q-row ones
+    # the same q/r = divmod(max(n, 1), k) arithmetic the r01-r14 form
+    # ran on the driver-side scalar, folded in-plan over the helper's
+    # _gp_tot column (identical integers, so identical bins); rows
+    # 1..r(q+1) land in the r big buckets, the rest in q-row ones
     # (q can be 0 when n < k: the first branch then covers every row,
-    # and the guarded max(q, 1) keeps the dead branch well-defined)
-    big_span = r * (q + 1)
+    # and the guarded greatest(q, 1) keeps the dead branch well-defined)
     p = F.col("pos")
+    q = F.expr(f"greatest(_gp_tot, 1L) div {k}")
+    r = F.expr(f"greatest(_gp_tot, 1L) % {k}")
+    big_span = r * (q + 1)
     binned = pos.withColumn(
         "bin",
         F.when(
-            p <= F.lit(big_span),
-            F.floor((p - 1) / F.lit(q + 1)) + 1,
+            p <= big_span,
+            F.floor((p - 1) / (q + 1)) + 1,
         )
         .otherwise(
-            F.lit(r) + F.floor((p - F.lit(big_span) - 1) / F.lit(max(q, 1))) + 1
+            r + F.floor((p - big_span - 1) / F.greatest(q, F.lit(1))) + 1
         )
         .cast("long"),
     )
@@ -1149,7 +1175,7 @@ def q_exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h", F.md5(F.col("doc_id").cast("string")))
         .withColumn("one", F.lit(1).cast("long"))
     )
-    rs, _totals = grouped_running_sum(spark, d, ["source"], ["h", "doc_id"], "one")
+    rs = grouped_running_sum(spark, d, ["source"], ["h", "doc_id"], "one")
     split_col = None
     for label, cut in _split_cuts("gtot", "DIV"):
         cond = F.col("cum") <= F.expr(cut)
@@ -1304,7 +1330,7 @@ def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is int64: the cumulative axis comes from
     ``global_running_sum`` (range partition + per-partition window +
-    driver prefix-sum — no single-partition global window), and a doc's
+    broadcast-back offsets — no single-partition global window), and a doc's
     pointer count is a difference of two CAPPED integer divisions
     ``f(x) = min(K, (x - u - 1 + step) div step)``, so the selected SET
     is engine-exact (no float anywhere; all-nonnegative args keep
@@ -1312,18 +1338,23 @@ def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ``f(W) - f(0) = K`` exactly whenever W ≥ K — WITHOUT the cap,
     W mod (K·step) > u would overcount (e.g. W=1050, K=100: pointer
     #100 at u+100·step=1005 < W). Degenerate corpora (W < K) clamp
-    step to 1 and yield W hits. The step constants come from the total
-    ``global_running_sum`` already prefix-summed on the driver — NOT a
-    second scan + 1-row crossJoin — so they are plan literals the
-    row-wise pointer arithmetic folds over."""
+    step to 1 and yield W hits. The step constants fold over the
+    helper's ``_gr_tot`` plan column (r15) — no second scan, no 1-row
+    crossJoin, no driver round-trip."""
     doc = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    cum, total = global_running_sum(spark, doc, ["doc_id"], "n_chars")
-    step = max(1, total // PPS_K)
-    u = step // 2
-    f_hi = f"least({PPS_K}L, (cum - {u}L - 1 + {step}L) div {step}L)"
-    f_lo = f"least({PPS_K}L, (cum - n_chars - {u}L - 1 + {step}L) div {step}L)"
+    cum = global_running_sum(spark, doc, ["doc_id"], "n_chars")
+    # step = max(1, W div K), u = step div 2 — the same integer
+    # arithmetic the r01-r14 form ran on the driver-side total, folded
+    # in-plan over the helper's _gr_tot column (identical integers;
+    # Python // equals Spark div on non-negative operands)
+    step = f"greatest(1L, _gr_tot div {PPS_K})"
+    u = f"(({step}) div 2)"
+    f_hi = f"least({PPS_K}L, (cum - {u} - 1 + ({step})) div ({step}))"
+    f_lo = (
+        f"least({PPS_K}L, (cum - n_chars - {u} - 1 + ({step})) div ({step}))"
+    )
     return (
         cum.withColumn("n_hits", F.expr(f"({f_hi}) - ({f_lo})"))
         .filter(F.col("n_hits") >= 1)
@@ -1367,10 +1398,10 @@ def q_grouped_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact into 5 partitions and sort each inside ONE task — at 100 TB,
     five ~20 TB single-task sorts. ``grouped_running_sum`` instead
     range-partitions on (priority, date, key), computes per-(partition,
-    group) subtotals with one bounded collect, and stitches global
-    per-group cumsums from per-partition windows + driver prefix-sum
+    group) subtotals inside the same single action, and stitches global
+    per-group cumsums from per-partition windows + broadcast-back
     offsets, so parallelism stays |partitions| no matter how few groups
-    exist. ``gtot`` rides the same plan literal — no second fact scan.
+    exist. ``gtot`` rides the same plan as a column — no second fact scan.
     All int64 on the cents grid; (date, key) is a total order within
     every group, so the cumsum is deterministic and hash-checkable."""
     o = read_table(spark, sf_dir, "orders").select(
@@ -1379,7 +1410,7 @@ def q_grouped_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    rs, _totals = grouped_running_sum(
+    rs = grouped_running_sum(
         spark, o, ["o_orderpriority"], ["o_orderdate", "o_orderkey"], "cents"
     )
     return rs.select(

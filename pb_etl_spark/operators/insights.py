@@ -550,13 +550,12 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0) — the plan shape is unchanged.
 
     Scale: the running total uses ``global_running_sum`` (range
-    partition + per-partition cumsum + driver prefix-sum offsets,
-    corpus.py:383) — NO single-partition global window, so the plan
-    holds at a 100 TB part dimension. The grand total is a single
-    scalar read back over the primitive's already-persisted keyed frame
-    and baked as a literal (the rfm/global_positions construction
-    pattern — construction runs bounded driver-side actions), keeping
-    the broadcast-nested-loop one-row cross join out of the plan."""
+    partition + per-partition cumsum + broadcast-back offsets, one
+    action since r15) — NO single-partition global window, so the plan
+    holds at a 100 TB part dimension. The grand total rides the
+    helper's ``_gr_tot`` plan column, keeping both the old per-
+    invocation collect job and the broadcast-nested-loop one-row cross
+    join out of the plan."""
     from pb_etl_spark.operators.corpus import global_running_sum
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -569,17 +568,22 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = rev.select(
         "l_partkey", "revenue_cc", (-F.col("revenue_cc")).alias("neg_rev")
     )
-    # the grand total comes back from global_running_sum's own driver
-    # prefix-sum — rederiving it with cum.agg(...).collect() paid one
-    # extra job over the persisted keyed frame per invocation (r08 review)
-    cum, tot = global_running_sum(
-        spark, ordered, ["neg_rev", "l_partkey"], "revenue_cc"
-    )
-    a_bound, b_bound = (3 * tot) // 5, (9 * tot) // 10  # exact, Python bigint
+    # the grand total rides the helper's _gr_tot plan column (r15 —
+    # previously a driver-side scalar from the collect the one-action
+    # reformulation removed). The class bounds cum <= (3·tot) div 5 and
+    # cum <= (9·tot) div 10 are folded as integer CROSS-MULTIPLICATIONS
+    # (cum·5 <= tot·3, cum·10 <= tot·9 — exactly equivalent for
+    # integers: cum <= floor(a/b) iff cum·b <= a) in decimal(38,0) so no
+    # int64 headroom is lost to the ×10 (the old Python-bigint bound had
+    # none to lose; DuckDB's oracle runs the same comparison in HUGEINT)
+    cum = global_running_sum(spark, ordered, ["neg_rev", "l_partkey"], "revenue_cc")
+    cum_d = F.col("cum").cast("decimal(38,0)")
+    tot_d = F.col("_gr_tot").cast("decimal(38,0)")
     classed = cum.select(
         "revenue_cc",
-        F.when(F.col("cum") <= F.lit(a_bound), F.lit("A"))
-        .when(F.col("cum") <= F.lit(b_bound), F.lit("B"))
+        "_gr_tot",
+        F.when(cum_d * 5 <= tot_d * 3, F.lit("A"))
+        .when(cum_d * 10 <= tot_d * 9, F.lit("B"))
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
@@ -587,7 +591,9 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("revenue_cc").alias("revenue_cc"),
         F.round(
-            F.sum("revenue_cc").cast("double") / F.lit(float(tot)), 6
+            F.sum("revenue_cc").cast("double")
+            / F.max("_gr_tot").cast("double"),
+            6,
         ).alias("revenue_share"),
     )
 

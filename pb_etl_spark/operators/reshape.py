@@ -319,25 +319,29 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    rs, _totals = grouped_running_sum(
+    rs = grouped_running_sum(
         spark,
         d.withColumn("one", F.lit(1).cast("long")),
         ["source"],
         ["n_chars", "doc_id"],
         "one",
     )
+    # the pooled corpus size N equals the helper's all-groups grand
+    # total over the constant-1 weight (_gr_all — same integer the old
+    # code read back from global_positions' driver-side collect), so
+    # the target-position arithmetic folds in-plan with no extra leg
     ranked = rs.select(
         "doc_id",
         "source",
         "n_chars",
         F.col("cum").alias("r"),
         F.col("gtot").alias("ns"),
+        "_gr_all",
     )
-    pooled, n_total = global_positions(spark, d, ["n_chars", "doc_id"])
-    pooled = pooled.select(
+    pooled = global_positions(spark, d, ["n_chars", "doc_id"]).select(
         F.col("pos"), F.col("n_chars").alias("norm_chars")
     )
-    target = F.expr(f"(r * {n_total}L + ns - 1) div ns")
+    target = F.expr("(r * _gr_all + ns - 1) div ns")
     return (
         ranked.withColumn("pos", target)
         .join(pooled, "pos")

@@ -37,7 +37,7 @@ Scale design, per operator:
 - ``shard_manifest``: token-budget shard assignment needs a GLOBAL
   running token total over the release order; that cumsum comes from
   ``global_running_sum`` (range partition + per-partition window +
-  driver prefix-sum offsets), so no single-partition window exists in
+  broadcast-back offsets, one action), so no single-partition window exists in
   the plan. Per-shard rollup is bounded (corpus_tokens/budget rows).
   The order-independent content signature (sum of per-doc 48-bit
   digests) lets a resumed/re-run release prove shard equality without
@@ -497,7 +497,7 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = (cum_before_doc) div budget over the global running token
     total, which ``global_running_sum`` computes with no
     single-partition stage (range partition + per-partition cumsum +
-    driver prefix-sum offsets). The manifest is bounded:
+    broadcast-back offsets, one action). The manifest is bounded:
     corpus_tokens / budget rows."""
     doc = read_table(spark, sf_dir, "documents")
     d = doc.select(
@@ -510,7 +510,7 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sig"),
     )
-    c, _ = global_running_sum(spark, d, ["sk", "doc_id"], "n_tok")
+    c = global_running_sum(spark, d, ["sk", "doc_id"], "n_tok")
     sharded = c.withColumn(
         "shard_id", F.expr(f"(cum - n_tok) div {SHARD_BUDGET}")
     )

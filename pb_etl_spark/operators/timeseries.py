@@ -181,8 +181,8 @@ def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
     )
     order = ["variant", "first_ts", "user_id"]
-    pos_df, _ = global_positions(spark, base, order)
-    cum_base, _ = global_running_sum(spark, base, order, "x")
+    pos_df = global_positions(spark, base, order)
+    cum_base = global_running_sum(spark, base, order, "x")
     cum_df = cum_base.select(
         F.col("variant").alias("v3"),
         F.col("first_ts").alias("ft3"),

@@ -54,44 +54,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CORRECTNESS_r*.json records and tests/test_freshness_ledger.py
 # asserts the window below against it (r12 verdict item 4) — a
 # mis-transcribed name fails pytest instead of silently burning a slot.
-# The round-14 window, per the r13 verdict's staged plan:
-#   1. slots 0-17: the 18 offset-literal conversion re-pins (r13
-#      verdict item 1). The global_positions / global_running_sum /
-#      grouped_running_sum primitives now bake their per-partition
-#      offsets as an ARRAY literal indexed by spark_partition_id
-#      (O(1) GetArrayItem; empty-at-count-time pids hold NULL so the
-#      boundary-drift miss detection survives the conversion) instead
-#      of a CreateMap literal probed per output row (GetMapValue on a
-#      literal map is a linear scan — O(shuffle.partitions) key
-#      comparisons per row, invisible at the 32-partition fixture,
-#      real at a 20k-partition deployment). The grouped variant keys
-#      an outer pid array whose elements are per-pid group maps
-#      (bounded by groups-per-partition, small by range-partition
-#      contiguity under the documented low-cardinality contract).
-#      Every registered consumer's plan changes and rides the window:
-#      sprt_decision, quantile_normalize, shard_manifest,
-#      gini_by_group, gini_concentration, segment_migration,
-#      rfm_segments, abc_classification, weighted_median_by_group,
+# The round-15 window:
+#   1. slots 0-17: the 18 one-action running-sum re-pins (r14 verdict
+#      item 1). global_positions / global_running_sum /
+#      grouped_running_sum no longer run an eager per-invocation counts
+#      job + driver collect that bakes offsets as plan literals; the
+#      offsets now ride the SAME single action as a bounded counts leg
+#      (per-partition count/min/max over the lazily-pinned
+#      range-partitioned frame), prefix-summed by windows over that
+#      ≤|partitions|(+|groups|)-row leg and broadcast-joined back on the
+#      partition id, span-guarded per row against boundary drift.
+#      Driver-side scalar totals became plan columns (_gp_tot /
+#      _gr_tot / gtot / _gr_all) with the consumers' integer arithmetic
+#      folded in-plan (identical integers). Every registered consumer's
+#      plan changes and rides the window: sprt_decision,
+#      quantile_normalize, shard_manifest, gini_by_group,
+#      gini_concentration, segment_migration, rfm_segments,
+#      abc_classification, weighted_median_by_group,
 #      grouped_quantiles_exact, window_ranking, seq_packing,
 #      top_p_quality_sample, deterministic_shuffle, curriculum_buckets,
 #      exact_stratified_split, pps_systematic_sample,
 #      grouped_running_revenue.
-#   1b. slots 18-22: the adversarial-fixture review re-pins (found by
-#      tools/adversarial_fixture.py mid-round): matryoshka_knn (zero-
-#      norm Matryoshka-prefix cosine — ANSI DIVIDE_BY_ZERO crash on
-#      Spark, silent -1.0 on DuckDB; both legs now guard cos=0.0),
-#      media_frame_sample (byte-true md5∘hex frame digest — the old
-#      raw-bytes md5 only matched while text was pure ASCII),
-#      binaryfile_ingest (empty-file exclusion documented + oracle
-#      filter; Spark binaryFile emits no row for 0-byte files), and
-#      media_decode / media_feature_summary (oracle encode(text)
-#      instead of the non-ASCII-rejecting VARCHAR->BLOB cast).
-#   2. slots 23-29: the 7 r06-stale leftovers, alphabetical (displaced
-#      from the r13 window by its review-fix re-pins; after these,
-#      nothing oracle-backed is staler than r07).
-#   3. slots 30-49: the next 20 r07-stale names, alphabetical (the r07
-#      cohort is 43, minus matryoshka_knn which rides as a re-pin; the
-#      remaining 22 carry to the r15 window head).
+#   2. slots 18-39: the 22 r07-stale leftovers, alphabetical (after
+#      these, nothing oracle-backed is staler than r08).
+#   3. slots 40-49: the first 10 r08-stale names, alphabetical.
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
 # oracle-less sketch/RNG names whose driver check can only report
@@ -107,10 +93,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ledger red until the next round's first commit). One newer record is
 # tolerated with a warning naming it; two means a round went by without
 # restaging, which fails.
-_STAGED_FOR = 14
+_STAGED_FOR = 15
 
 _PRIORITY = [
-    # -- slots 0-17: offset-literal conversion re-pins --
+    # -- slots 0-17: one-action running-sum re-pins --
     "sprt_decision",
     "quantile_normalize",
     "shard_manifest",
@@ -129,41 +115,40 @@ _PRIORITY = [
     "exact_stratified_split",
     "pps_systematic_sample",
     "grouped_running_revenue",
-    # -- slots 18-22: adversarial-fixture review re-pins --
-    "matryoshka_knn",
-    "media_frame_sample",
-    "binaryfile_ingest",
-    "media_decode",
-    "media_feature_summary",
-    # -- slots 23-29: the 7 r06-stale leftovers --
-    "sql_scripting_threshold",
-    "stream_ddsketch_quantiles",
-    "target_encoding",
-    "theil_sen_trend",
-    "time_bounded_funnel",
-    "ucb_bandit_scores",
-    "zipf_slope",
-    # -- slots 30-49: the next 20 r07-stale names, alphabetical --
-    "array_funcs",
-    "bigram_loglik",
-    "bitwise_funcs",
-    "bool_aggs",
-    "bpe_token_count",
-    "case_bucketing",
-    "centroid_assign",
-    "date_funcs",
-    "dim_stats",
-    "exists_correlated",
-    "feature_hashing",
-    "hash_funcs",
-    "in_subquery",
-    "item_item_cosine",
-    "k_anonymity_report",
-    "kmv_distinct_sketch",
-    "map_funcs",
-    "math_funcs",
-    "min_max_by",
-    "mode_per_group",
+    # -- slots 18-39: the 22 r07-stale leftovers --
+    "new_vs_returning_daily",
+    "not_exists_correlated",
+    "null_handling",
+    "null_safe_join",
+    "oov_rate",
+    "orc_roundtrip_agg",
+    "parameterized_sql_agg",
+    "partial_agg_merge",
+    "percentiles",
+    "pivot_agg",
+    "pq_codes",
+    "regex_funcs",
+    "roc_curve_points",
+    "snapshot_diff",
+    "sql_table_udf_agg",
+    "stats_aggs",
+    "string_funcs",
+    "struct_funcs",
+    "supplier_reliability",
+    "training_set_assembly",
+    "try_funcs",
+    "zorder_key",
+    # -- slots 40-49: the first 10 r08-stale names --
+    "anti_join",
+    "bitmap_distinct_counts",
+    "collect_agg",
+    "dedup_exact",
+    "distinct_agg",
+    "doc_fingerprint",
+    "event_path_topk",
+    "full_outer_join",
+    "higher_order_funcs",
+    "json_roundtrip",
 ]
 
 # Machine-readable staging annotation (consumed by
@@ -174,8 +159,8 @@ _PRIORITY = [
 # stale name anywhere in the window (not just the oldest cohort) fails
 # pytest. Reset this set each round when restaging.
 _REPINS = {
-    # r14 offset-literal conversion (corpus.global_positions /
-    # global_running_sum / grouped_running_sum — every registered
+    # r15 one-action running-sum reformulation (corpus.global_positions
+    # / global_running_sum / grouped_running_sum — every registered
     # consumer, direct or via affinity.exact_quintile):
     "sprt_decision",
     "quantile_normalize",
@@ -195,13 +180,6 @@ _REPINS = {
     "exact_stratified_split",
     "pps_systematic_sample",
     "grouped_running_revenue",
-    # r14 adversarial-fixture review fixes (tools/adversarial_fixture.py
-    # sweep findings; see the _PRIORITY staging comment, slots 18-22):
-    "matryoshka_knn",
-    "media_frame_sample",
-    "binaryfile_ingest",
-    "media_decode",
-    "media_feature_summary",
 }
 
 _MODULES = [

@@ -141,15 +141,21 @@ def test_global_positions_is_a_total_order_without_global_window(spark):
     df = spark.range(0, 1000).select(
         (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("tie")
     )
-    out, n = global_positions(spark, df, ["k", "tie"])
-    assert n == 1000
+    out = global_positions(spark, df, ["k", "tie"])
     rows = out.orderBy("pos").collect()
+    assert {r["_gp_tot"] for r in rows} == {1000}
     assert [r["pos"] for r in rows] == list(range(1, 1001))
     # pos order == (k, tie) order
     keys = [(r["k"], r["tie"]) for r in rows]
     assert keys == sorted(keys)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" in plan and "SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
+    # the only unpartitioned window allowed is the bounded
+    # ≤|partitions|-row counts-leg prefix sum (ordered by _rs_pid);
+    # the fact-sized row_number must stay keyed on the partition id
+    from tests.test_plan_lint import _unpartitioned_window_hit
+
+    assert _unpartitioned_window_hit(plan) is None, plan
 
 
 def test_curriculum_buckets_matches_exact_ntile(spark):

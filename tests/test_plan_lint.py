@@ -95,44 +95,34 @@ BNLJ_WHITELIST = {
 }
 
 
-# a single-partition exchange under a Window is fine ONLY when the
-# window's input is bounded by construction (post-aggregation frames):
+# an UNPARTITIONED window is fine ONLY when its input is bounded by
+# construction (post-aggregation frames). r15 refined the rule from the
+# old "Exchange SinglePartition + Window co-occurrence" heuristic to the
+# actual hazard — a windowspecdefinition with no partition columns and a
+# first sort column other than the running-sum primitives' internal
+# _rs_pid counts-leg marker — which removed the keyed-window false
+# positives (strict_funnel, event_pattern_match, chi2_independence,
+# rfm_segments, gini_concentration, order_cycle_time, kmv_distinct_sketch)
+# from this list and surfaced zipf_slope (real, bounded).
 GLOBAL_WINDOW_WHITELIST = {
     "source_mix_report",  # cumulative share over one row per source
     "monthly_growth",  # lag over the ~monthly revenue series
-    "kmv_distinct_sketch",  # rank over the k-row merged sketch
-    # false positives of the co-occurrence heuristic — the windows are
-    # KEYED (or bounded); the SinglePartition exchange is the final
-    # global COUNT/SUM aggregate emitting one row:
-    "strict_funnel",  # per-user windows; 1-row funnel summary agg
-    "event_pattern_match",  # false positive of the co-occurrence
-    #   heuristic (r13): the PM_JOURNEY_CAP rank window is KEYED on
-    #   user_id; the SinglePartition exchanges are the 3-row pattern
-    #   rollup's 1-row summary aggregates
-    "chi2_independence",  # row/col windows over the ≤r·c cell frame;
-    #   1-row total union leg
     "histogram_quantiles",  # cumulative window over the ≤100-bucket
     #   histogram — bounded by construction
     "topk_with_others",  # rank over the |priorities|-row aggregate
     "rolling_corr_events",  # 24h frame over the ≤|hours| hourly rollup
     "ddsketch_quantiles",  # cumulative window over the ≤|γ-buckets|
     #   (~630-row) sketch histogram — bounded by construction
-    "rfm_segments",  # false positive: all three windows are KEYED on
-    #   pid (global_positions); the SinglePartition exchanges are the
-    #   1-row max-date / offset-count aggregates
     "kaplan_meier",  # cumulative risk/survival windows over the
     #   ≤|days| (30-row) duration table — bounded by construction
-    "gini_concentration",  # false positive: the window is KEYED on pid
-    #   (global_positions); the SinglePartition exchange is the 1-row
-    #   final report aggregate
-    "order_cycle_time",  # false positive: the lag window is KEYED on
-    #   customer; the SinglePartition exchange is the 1-row summary agg
     "roc_auc",  # lead window over the 11-row threshold frame — bounded
     #   by construction
     "largest_remainder_alloc",  # remainder rank over the ≤|nations|
     #   (25-row) allocation aggregate — bounded by construction
     "ks_mann_whitney",  # cumulative window over the ≤|distinct values|
     #   (~90-row) compacted count frame — bounded by construction
+    "zipf_slope",  # rank window over the TakeOrderedAndProject
+    #   ZIPF_TOP(=200)-row head — bounded by construction
 }
 
 
@@ -174,16 +164,45 @@ LOWCARD_WINDOW_WHITELIST = {
     "source_drift_matrix",  # cumulative CDF window over the bounded
     #   |sources|·|distinct values| post-aggregation grid
 }
-import re  # noqa: E402 — used only by the lowcard-window rule below
+import re  # noqa: E402 — used only by the window rules below
 
 _LOWCARD_RE = re.compile(
     r"windowspecdefinition\((" + "|".join(LOWCARD_WINDOW_COLS) + r")#"
 )
 
+# r15: the one-action running-sum primitives prefix-sum their bounded
+# counts leg (≤ |shuffle.partitions| + |groups| rows by construction)
+# with windows ordered by the internal _rs_pid column. Those windows are
+# the sanctioned bounded class: a lowcard-partitioned window whose spec
+# orders by _rs_pid, and an UNPARTITIONED window ordered by _rs_pid, are
+# both exempt; every other unpartitioned window still needs the
+# whitelist. The spec slice up to its frame clause is what we inspect.
+_WINDOWSPEC_RE = re.compile(r"windowspecdefinition\((.*?)specifiedwindowframe")
+# an unpartitioned spec starts with a SORT expression (col#id ASC/DESC);
+# a keyed spec lists bare partition columns first
+_UNPART_RE = re.compile(r"^(\w+)#\d+L? (?:ASC|DESC)")
+
 
 def _lowcard_window_hit(plan: str) -> str | None:
-    m = _LOWCARD_RE.search(plan)
-    return m.group(1) if m else None
+    for m in _LOWCARD_RE.finditer(plan):
+        spec = plan[m.start() : plan.find("specifiedwindowframe", m.start())]
+        if "_rs_pid#" in spec:
+            continue  # bounded counts-leg prefix window (see above)
+        return m.group(1)
+    return None
+
+
+def _unpartitioned_window_hit(plan: str) -> str | None:
+    """First unpartitioned window NOT ordered by _rs_pid — the
+    all-rows-to-one-task hazard the old SinglePartition+Window
+    co-occurrence heuristic approximated (this form no longer false-
+    positives on keyed windows that merely share a plan with a 1-row
+    summary aggregate, but those whitelist entries are kept)."""
+    for m in _WINDOWSPEC_RE.finditer(plan):
+        um = _UNPART_RE.match(m.group(1))
+        if um and um.group(1) != "_rs_pid":
+            return um.group(1)
+    return None
 
 
 def _batch_queries():
@@ -205,12 +224,9 @@ def test_no_scale_antipatterns_in_any_registered_plan(spark):
             hits.append("BatchEvalPython(row-at-a-time Python)")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
             hits.append("BroadcastNestedLoopJoin(unwhitelisted)")
-        if (
-            "Exchange SinglePartition" in plan
-            and "Window" in plan
-            and name not in GLOBAL_WINDOW_WHITELIST
-        ):
-            hits.append("SinglePartitionExchange+Window(unwhitelisted)")
+        unpart = _unpartitioned_window_hit(plan)
+        if unpart and name not in GLOBAL_WINDOW_WHITELIST:
+            hits.append(f"UnpartitionedWindow({unpart}, unwhitelisted)")
         lowcard = _lowcard_window_hit(plan)
         if lowcard and name not in LOWCARD_WINDOW_WHITELIST:
             hits.append(f"LowCardinalityWindow({lowcard}, unwhitelisted)")
@@ -221,14 +237,17 @@ def test_no_scale_antipatterns_in_any_registered_plan(spark):
 
 def test_global_window_whitelist_is_not_stale(spark):
     """Whitelisted bounded-global-window queries must still exist and
-    still exercise the pattern, or the exemption silently rots."""
+    still exercise the pattern, or the exemption silently rots. (r15:
+    the pattern is now a real unpartitioned window — the old
+    SinglePartition+Window co-occurrence entries that were false
+    positives of keyed windows were pruned with the rule refinement.)"""
     queries = _batch_queries()
     for name in GLOBAL_WINDOW_WHITELIST:
         assert name in queries, f"whitelisted query {name} no longer registered"
         plan = queries[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        if not ("Exchange SinglePartition" in plan and "Window" in plan):
+        if _unpartitioned_window_hit(plan) is None:
             pytest.fail(
-                f"{name} no longer has a single-partition window — remove "
+                f"{name} no longer has an unpartitioned window — remove "
                 "it from GLOBAL_WINDOW_WHITELIST"
             )
 

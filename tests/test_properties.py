@@ -219,8 +219,13 @@ def test_grouped_running_sum_equals_python_model(spark, rows, nparts):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
-        out, totals = grouped_running_sum(spark, df, ["g"], ["o", "i"], "v")
-        got = {(r["g"], r["i"]): (r["cum"], r["gtot"]) for r in out.collect()}
+        out = grouped_running_sum(spark, df, ["g"], ["o", "i"], "v")
+        collected = out.collect()
+        got = {(r["g"], r["i"]): (r["cum"], r["gtot"]) for r in collected}
+        totals = {
+            (r["g"],): r["gtot"] for r in collected
+        }  # gtot constant per group
+        alls = {r["_gr_all"] for r in collected}
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     model: dict[str, list] = {}
@@ -236,6 +241,7 @@ def test_grouped_running_sum_equals_python_model(spark, rows, nparts):
         want_totals[(g,)] = acc
     assert {k: c for k, (c, _) in got.items()} == want
     assert totals == want_totals
+    assert alls == {sum(want_totals.values())}
     for (g, _), (_, gt) in got.items():
         assert gt == want_totals[(g,)]
 
@@ -358,11 +364,11 @@ def test_exact_long_sum_equals_python_integer_sum(spark, rows):
 def test_global_positions_and_running_sum_equal_python_model(
     spark, rows, nparts
 ):
-    """The ungrouped siblings (range partition + pid-indexed offset
-    ARRAY literals since r14): pos must be exactly 1..n in (k, i)
-    order and cum the inclusive prefix sum, for duplicate keys and ANY
-    partition count — including widths larger than the row count,
-    where most offset-array slots are the NULL drift trip-wires."""
+    """The ungrouped siblings (range partition + one-action
+    broadcast-back offsets since r15): pos must be exactly 1..n in
+    (k, i) order and cum the inclusive prefix sum, for duplicate keys
+    and ANY partition count — including widths larger than the row
+    count, where most range partitions are empty."""
     from pb_etl_spark.operators.corpus import (
         global_positions,
         global_running_sum,
@@ -373,15 +379,15 @@ def test_global_positions_and_running_sum_equal_python_model(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
-        pos_out, n = global_positions(spark, df, ["k", "i"])
-        got_pos = {r["i"]: r["pos"] for r in pos_out.collect()}
-        cum_out, total = global_running_sum(spark, df, ["k", "i"], "v")
-        got_cum = {r["i"]: r["cum"] for r in cum_out.collect()}
+        pos_rows = global_positions(spark, df, ["k", "i"]).collect()
+        got_pos = {r["i"]: r["pos"] for r in pos_rows}
+        cum_rows = global_running_sum(spark, df, ["k", "i"], "v").collect()
+        got_cum = {r["i"]: r["cum"] for r in cum_rows}
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     ordered = sorted(data)
-    assert n == len(data)
-    assert total == sum(v for _, _, v in data)
+    assert {r["_gp_tot"] for r in pos_rows} == {len(data)}
+    assert {r["_gr_tot"] for r in cum_rows} == {sum(v for _, _, v in data)}
     acc = 0
     for p, (k, i, v) in enumerate(ordered, start=1):
         acc += v

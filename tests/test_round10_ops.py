@@ -122,12 +122,14 @@ def test_ks_mann_whitney_matches_python_model(spark):
 
 
 def test_grouped_running_sum_rejects_null_values(spark):
-    """NULL values used to surface as a TypeError from int(None) that
-    BYPASSED the unpersist cleanup when the whole slice was NULL — and
-    passed SILENTLY when only part of it was (the slice total is
-    non-NULL but the windowed prefix sum still emits NULL cum for
-    leading all-NULL frames). Both shapes must now raise the contract
-    ValueError and leave no cached copy behind."""
+    """NULL values would silently NULL the windowed prefix sum for
+    leading all-NULL frames (and desync the counts-leg subtotal). The
+    r15 one-action form enforces the non-null contract IN-PLAN: any row
+    of a violating (pid, group) slice raises at action time (ANY
+    violation anywhere poisons every row, like the old global driver
+    check)."""
+    import pytest
+
     from pb_etl_spark.operators.corpus import grouped_running_sum
 
     all_null = spark.createDataFrame(
@@ -138,51 +140,54 @@ def test_grouped_running_sum_rejects_null_values(spark):
         [("a", 1, None), ("a", 2, 3), ("b", 1, 5)],
         "g string, o long, v long",
     )
-    n_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     for df in (all_null, partial_null):
-        with pytest.raises(ValueError, match="NULL value"):
-            grouped_running_sum(spark, df, ["g"], ["o"], "v")
-    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == n_before
+        with pytest.raises(Exception, match="NULL value"):
+            grouped_running_sum(spark, df, ["g"], ["o"], "v").collect()
 
 
-def test_global_running_sum_rejects_null_values_and_unpersists(spark):
+def test_global_running_sum_rejects_null_values(spark):
     """The ungrouped sibling has the same hazard: partial NULLs would
-    silently NULL the cumsum, all-NULL slices would TypeError past the
-    persist. Both must raise ValueError with the cache cleaned up."""
+    silently NULL the cumsum (and the Add short-circuit would swallow a
+    guard that lives under it — the raise must wrap the sum). The
+    in-plan contract check must raise at action time."""
+    import pytest
+
     from pb_etl_spark.operators.corpus import global_running_sum
 
     df = spark.createDataFrame(
         [(1, None), (2, 3), (3, None)], "o long, v long"
     )
-    n_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    with pytest.raises(ValueError, match="NULL value"):
-        global_running_sum(spark, df, ["o"], "v")
-    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == n_before
+    with pytest.raises(Exception, match="NULL value"):
+        global_running_sum(spark, df, ["o"], "v").collect()
 
 
-def test_grouped_running_sum_guards_map_misses_loudly(spark):
-    """A missed offset/total map lookup (boundary drift after cache
-    eviction) must raise_error, not silently NULL cum/gtot (ADVICE r09);
-    the guard must be wired into the plan yet never fire on the healthy
-    path."""
+def test_grouped_running_sum_guards_span_misses_loudly(spark):
+    """A broadcast-back offset/total whose row falls outside its
+    partition's counts-leg span (boundary drift — only possible if
+    exchange reuse failed) must raise_error, not silently NULL cum/gtot
+    (ADVICE r09's loud-miss contract, carried through the r15
+    reformulation); the guard must be wired into the plan yet never
+    fire on the healthy path."""
     from pb_etl_spark.operators.corpus import grouped_running_sum
 
     df = spark.createDataFrame(
         [("a", 1, 2), ("a", 2, 3), ("b", 1, 5)], "g string, o long, v long"
     )
-    out, totals = grouped_running_sum(spark, df, ["g"], ["o"], "v")
+    out = grouped_running_sum(spark, df, ["g"], ["o"], "v")
     plan = out._jdf.queryExecution().analyzed().toString()
     assert plan.count("raise_error") >= 2, "offset AND total lookups guarded"
     got = {(r["g"], r["o"]): (r["cum"], r["gtot"]) for r in out.collect()}
     assert got == {("a", 1): (2, 5), ("a", 2): (5, 5), ("b", 1): (5, 5)}
-    assert totals == {("a",): 5, ("b",): 5}
+    alls = {r["_gr_all"] for r in out.collect()}
+    assert alls == {10}
 
 
-def test_global_primitives_guard_map_misses_loudly(spark):
+def test_global_primitives_guard_span_misses_loudly(spark):
     """global_positions and global_running_sum share grouped_running_sum's
-    failure mode — a missed plan-literal offset lookup after boundary
-    drift silently NULLs pos/cum — so they carry the same raise_error
-    guard, wired into the plan yet never firing on the healthy path."""
+    failure mode — a broadcast-back offset attached to a drifted row
+    would silently corrupt pos/cum — so they carry the same raise_error
+    span guard, wired into the plan yet never firing on the healthy
+    path; the totals ride the output as plan columns."""
     from pb_etl_spark.operators.corpus import (
         global_positions,
         global_running_sum,
@@ -191,18 +196,20 @@ def test_global_primitives_guard_map_misses_loudly(spark):
     df = spark.createDataFrame(
         [(3, 10), (1, 20), (2, 30)], "o long, v long"
     )
-    pos, n = global_positions(spark, df, ["o"])
+    pos = global_positions(spark, df, ["o"])
     assert "raise_error" in pos._jdf.queryExecution().analyzed().toString()
-    assert n == 3
-    assert {(r["o"], r["pos"]) for r in pos.collect()} == {
+    rows = pos.collect()
+    assert {r["_gp_tot"] for r in rows} == {3}
+    assert {(r["o"], r["pos"]) for r in rows} == {
         (1, 1),
         (2, 2),
         (3, 3),
     }
-    cum, tot = global_running_sum(spark, df, ["o"], "v")
+    cum = global_running_sum(spark, df, ["o"], "v")
     assert "raise_error" in cum._jdf.queryExecution().analyzed().toString()
-    assert tot == 60
-    assert {(r["o"], r["cum"]) for r in cum.collect()} == {
+    crows = cum.collect()
+    assert {r["_gr_tot"] for r in crows} == {60}
+    assert {(r["o"], r["cum"]) for r in crows} == {
         (1, 20),
         (2, 50),
         (3, 60),

@@ -39,22 +39,29 @@ def test_grouped_running_sum_matches_keyed_window(spark):
         "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    got, totals = grouped_running_sum(
+    got = grouped_running_sum(
         spark, o, ["o_orderpriority"], ["o_orderdate", "o_orderkey"], "cents"
     )
     want = _plain_window_cumsum(
         o, ["o_orderpriority"], ["o_orderdate", "o_orderkey"], "cents"
     )
-    assert got.exceptAll(want).count() == 0
-    assert want.exceptAll(got).count() == 0
-    # the returned totals dict is the same grand total per group
+    assert got.drop("_gr_all").exceptAll(want).count() == 0
+    assert want.exceptAll(got.drop("_gr_all")).count() == 0
+    # the emitted gtot column is the same grand total per group, and
+    # _gr_all the grand total over everything
     exact = {
         (r["o_orderpriority"],): r["t"]
         for r in o.groupBy("o_orderpriority")
         .agg(F.sum("cents").alias("t"))
         .collect()
     }
+    totals = {
+        (r["o_orderpriority"],): r["gtot"]
+        for r in got.select("o_orderpriority", "gtot").distinct().collect()
+    }
     assert totals == exact
+    alls = got.select("_gr_all").distinct().collect()
+    assert len(alls) == 1 and alls[0][0] == sum(exact.values())
 
 
 def test_grouped_running_sum_is_partition_count_invariant(spark):
@@ -71,13 +78,13 @@ def test_grouped_running_sum_is_partition_count_invariant(spark):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
-        narrow, _ = grouped_running_sum(
+        narrow = grouped_running_sum(
             spark, o, ["o_orderpriority"], ["o_orderkey"], "cents"
         )
         narrow_rows = narrow.collect()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    wide, _ = grouped_running_sum(
+    wide = grouped_running_sum(
         spark, o, ["o_orderpriority"], ["o_orderkey"], "cents"
     )
     assert sorted(map(tuple, narrow_rows)) == sorted(map(tuple, wide.collect()))
@@ -96,13 +103,21 @@ def test_grouped_running_sum_parallelism_is_not_group_bound(spark):
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    got, _ = grouped_running_sum(
+    got = grouped_running_sum(
         spark, o, ["o_orderpriority"], ["o_orderkey"], "cents"
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning(o_orderpriority" in plan, plan
-    for line in plan.splitlines():
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
         if "hashpartitioning(o_orderpriority" in line and "pid" not in line:
+            # the bounded counts-leg offsets window legitimately
+            # re-clusters its ≤|partitions|+|groups|-row aggregate by
+            # group (r15 one-action form) — recognizable by the
+            # _rs_-prefixed aggregate feeding the exchange
+            child = "\n".join(lines[i + 1 : i + 3])
+            if "_rs_" in child:
+                continue
             pytest.fail(f"group-keyed hash exchange in plan: {line.strip()}")
 
 
@@ -182,10 +197,10 @@ def test_grouped_quantiles_are_monotone_and_minimal(spark):
 
 
 def test_grouped_running_sum_multi_column_groups(spark):
-    """The offset/total map keys are composite (string-cast, \\x1f-joined):
-    a two-column group key must stitch exactly like the single-column
-    case — frame-equal to the plain keyed window, totals keyed by the
-    full tuple."""
+    """A two-column group key must stitch exactly like the
+    single-column case (the offsets broadcast-join is keyed on the full
+    (pid, group...) tuple since r15) — frame-equal to the plain keyed
+    window, gtot keyed by the full tuple."""
     from pb_etl_spark.catalog import read_table
     from pb_etl_spark.operators.corpus import grouped_running_sum
 
@@ -195,7 +210,7 @@ def test_grouped_running_sum_multi_column_groups(spark):
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    got, totals = grouped_running_sum(
+    got = grouped_running_sum(
         spark,
         o,
         ["o_orderpriority", "o_orderstatus"],
@@ -205,22 +220,32 @@ def test_grouped_running_sum_multi_column_groups(spark):
     want = _plain_window_cumsum(
         o, ["o_orderpriority", "o_orderstatus"], ["o_orderkey"], "cents"
     )
-    assert got.exceptAll(want).count() == 0
-    assert want.exceptAll(got).count() == 0
+    assert got.drop("_gr_all").exceptAll(want).count() == 0
+    assert want.exceptAll(got.drop("_gr_all")).count() == 0
     exact = {
         (r["o_orderpriority"], r["o_orderstatus"]): r["t"]
         for r in o.groupBy("o_orderpriority", "o_orderstatus")
         .agg(F.sum("cents").alias("t"))
         .collect()
     }
+    totals = {
+        (r["o_orderpriority"], r["o_orderstatus"]): r["gtot"]
+        for r in got.select("o_orderpriority", "o_orderstatus", "gtot")
+        .distinct()
+        .collect()
+    }
     assert totals == exact
 
 
 def test_grouped_running_sum_rejects_unsafe_group_keys(spark):
-    """The offset map is keyed by driver str() vs executor
-    cast('string'); types where those disagree (doubles, booleans),
-    NULL group values, and values containing the reserved separator
-    must be rejected loudly instead of silently nulling cum/gtot."""
+    """Unsafe group-key TYPES (doubles, booleans — the documented
+    low-cardinality-key contract) are rejected eagerly at build time;
+    NULL group values raise the contract error at ACTION time (r15: the
+    validation moved in-plan with the one-action reformulation — a bare
+    NULL would otherwise miss the offsets join and corrupt cum/gtot).
+    Keys containing \\x1f now WORK — the old reserved-separator
+    restriction existed only for the retired string-encoded literal
+    maps; the broadcast join keys on the actual columns."""
     from pb_etl_spark.operators.corpus import grouped_running_sum
 
     bad_type = spark.createDataFrame([(1.5, 1, 1)], "g double, o long, v long")
@@ -229,20 +254,13 @@ def test_grouped_running_sum_rejects_unsafe_group_keys(spark):
     null_key = spark.createDataFrame(
         [(None, 1, 1)], "g string, o long, v long"
     )
-    with pytest.raises(ValueError, match="NULL"):
-        grouped_running_sum(spark, null_key, ["g"], ["o"], "v")
+    with pytest.raises(Exception, match="NULL"):
+        grouped_running_sum(spark, null_key, ["g"], ["o"], "v").collect()
     sep_key = spark.createDataFrame(
         [("a\x1fb", 1, 1)], "g string, o long, v long"
     )
-    n_cached_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    with pytest.raises(ValueError, match="separator"):
-        grouped_running_sum(spark, sep_key, ["g"], ["o"], "v")
-    with pytest.raises(ValueError, match="NULL"):
-        grouped_running_sum(spark, null_key, ["g"], ["o"], "v")
-    # the rejecting paths must unpersist the materialized range-partition
-    # cache — a leak would cost one fully-cached input copy per retry
-    n_cached_after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    assert n_cached_after == n_cached_before
+    out = grouped_running_sum(spark, sep_key, ["g"], ["o"], "v").collect()
+    assert [(r["cum"], r["gtot"]) for r in out] == [(1, 1)]
 
 
 def test_exact_stratified_split_hits_quotas_exactly(spark):
