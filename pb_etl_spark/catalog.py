@@ -238,14 +238,19 @@ from weakref import WeakKeyDictionary
 _SCAN_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
 
-def _path_stamp(path: str) -> tuple:
+def _path_stamp(path: str) -> tuple | None:
     try:
         st = os.stat(path)
         return (st.st_mtime_ns, st.st_size)
     except OSError:
-        # non-posix path (s3a) or missing file: uncacheable, let the
-        # Spark reader produce its own (loud) result every call
-        return ("nostat", id(object()))
+        # non-posix path (s3a) or missing file: no freshness signal, so
+        # the path is UNCACHEABLE — None makes read_table bypass the
+        # cache entirely (ADVICE r14: the old ("nostat", id(object()))
+        # sentinel freed the temp object immediately, CPython reuses the
+        # address, and consecutive calls could collide on an "unique"
+        # key and serve a stale file listing — the exact staleness the
+        # sentinel existed to prevent)
+        return None
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -260,17 +265,32 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The returned frame is a cached lazy plan (see ``_SCAN_CACHE``):
     callers only ever derive new frames from it, and re-reading the same
     immutable file re-lists and re-parses the same footer for nothing.
+    NOTE the shared-instance contract (ADVICE r14): repeated reads of a
+    table in one session return the IDENTICAL DataFrame instance, so a
+    composite query joining two sub-plans built from the same table
+    should alias the frames first to stay clear of ambiguous-self-join
+    resolution (no current operator self-joins a raw table read, but new
+    composites must not assume distinct plan instances).
     """
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    key = (path, _path_stamp(path))
-    per_session = _SCAN_CACHE.setdefault(spark, {})
-    df = per_session.get(key)
-    if df is None:
+    stamp = _path_stamp(path)
+
+    def _build() -> DataFrame:
         if name == "events":
-            df = read_events_parquet(spark, path)
-        else:
-            df = spark.read.parquet(path)
-        per_session[key] = df
+            return read_events_parquet(spark, path)
+        return spark.read.parquet(path)
+
+    if stamp is None:
+        return _build()  # no freshness signal — never cache (see above)
+    per_session = _SCAN_CACHE.setdefault(spark, {})
+    hit = per_session.get(path)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    # keyed BY PATH with the stamp stored alongside (ADVICE r14): a
+    # regenerated fixture replaces the entry instead of accumulating a
+    # dead plan per (path, old_stamp) in a long-lived session
+    df = _build()
+    per_session[path] = (stamp, df)
     return df
 
 

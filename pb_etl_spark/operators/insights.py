@@ -284,10 +284,14 @@ def _id_indexed_array_sql(values: dict[int, int]) -> str:
     element array costs one roundtrip each (~0.25 s per round at 200
     entries, measured r14). Ids absent from ``values`` hold NULL; reads
     go through ``F.get`` (OOB/NULL-safe under ANSI, unlike ``arr[i]``)."""
-    size = (max(values) + 1) if values else 0
+    if not values:
+        # ADVICE r14: bare array() types as ARRAY<VOID>; pin the element
+        # type so an empty bounded slice cannot silently change the
+        # lookup column's type
+        return "CAST(array() AS ARRAY<BIGINT>)"
     items = ",".join(
         f"{values[i]}L" if i in values else "CAST(NULL AS BIGINT)"
-        for i in range(size)
+        for i in range(max(values) + 1)
     )
     return f"array({items})"
 

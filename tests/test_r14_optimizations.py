@@ -55,7 +55,26 @@ def test_read_table_cache_is_per_session_key(spark):
 
     read_table(spark, SF_DIR, "nation")
     assert spark in _SCAN_CACHE
-    assert any(k[0].endswith("nation.parquet") for k in _SCAN_CACHE[spark])
+    # r15 (ADVICE r14): entries are keyed by PATH with the freshness
+    # stamp stored alongside, so a regenerated fixture REPLACES its
+    # entry instead of accumulating dead plans
+    assert any(p.endswith("nation.parquet") for p in _SCAN_CACHE[spark])
+    for stamp, df in _SCAN_CACHE[spark].values():
+        assert isinstance(stamp, tuple) and df is not None
+
+
+def test_read_table_bypasses_cache_without_freshness_signal(spark, monkeypatch):
+    """ADVICE r14: when os.stat fails (remote path), read_table must not
+    touch the cache at all — the old id(object()) sentinel could collide
+    on a reused address and serve a stale file listing."""
+    import pb_etl_spark.catalog as cat
+
+    monkeypatch.setattr(cat, "_path_stamp", lambda path: None)
+    before = dict(cat._SCAN_CACHE.get(spark, {}))
+    a = cat.read_table(spark, SF_DIR, "region")
+    b = cat.read_table(spark, SF_DIR, "region")
+    assert a is not b, "uncacheable reads must build fresh plans"
+    assert dict(cat._SCAN_CACHE.get(spark, {})) == before, "cache untouched"
 
 
 # ---------------------------------------------------------------- widths
@@ -95,7 +114,13 @@ def test_id_indexed_array_sql_gaps_and_lookup(spark):
     )
     # gap id → NULL, out-of-bounds id → NULL (F.get, not ANSI arr[i])
     assert [r["v"] for r in rows] == [7, None, 9, None]
-    assert _id_indexed_array_sql({}) == "array()"
+    # ADVICE r14: the empty slice pins the element type (bare array()
+    # would type as ARRAY<VOID> and silently change the lookup column)
+    assert _id_indexed_array_sql({}) == "CAST(array() AS ARRAY<BIGINT>)"
+    empty = spark.range(1).select(
+        F.get(F.expr(_id_indexed_array_sql({})), F.lit(0)).alias("v")
+    )
+    assert dict(empty.dtypes)["v"] == "bigint"
 
 
 # ---------------------------------------------------------------- cache.py
