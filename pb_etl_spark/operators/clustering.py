@@ -738,6 +738,9 @@ def q_k_core_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return und.filter(F.expr(f"lo IN ({in_list}) AND hi IN ({in_list})"))
 
     ids = sorted(r[0] for r in nodes.collect())
+    from pb_etl_spark.operators.insights import _assert_literal_state_bound
+
+    _assert_literal_state_bound(len(ids), PR_NODES, "k_core_knn")
     prev_n = len(ids)
     for _ in range(KC_ROUNDS):
         deg = (

@@ -277,6 +277,23 @@ BFS_SEED_MOD = 40  # seeds: vec_id % 40 == 0 (5 seeds in the slice)
 BFS_INF = 1_000_000  # unreached sentinel inside the relaxation
 
 
+def _assert_literal_state_bound(n: int, bound: int, site: str) -> None:
+    """Refuse driver-bounded literal-state mode when the slice outgrows
+    its compile-time bound (r14 verdict item 4): the per-round collect +
+    id-indexed-literal pattern is only correct/cheap because the id
+    count is a small constant. Someone raising the bound 100× without
+    revisiting would silently turn each round into a multi-MB plan
+    literal and a driver-memory hazard — fail loudly and point at the
+    documented distributed formulation instead."""
+    if n > 4 * bound:
+        raise ValueError(
+            f"{site}: {n} ids exceed 4x the compile-time literal-state "
+            f"bound ({bound}); the driver-bounded formulation only holds "
+            "for constant-bounded slices — switch to the distributed "
+            "join+checkpoint formulation documented at this call site"
+        )
+
+
 def _id_indexed_array_sql(values: dict[int, int]) -> str:
     """SQL text of a BIGINT array literal indexed by node id (the
     bounded slices' vec_ids are 0-based), rendered as ONE string so the
@@ -363,6 +380,7 @@ def q_label_propagation_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1, half of it driver-side gaps). On an UNBOUNDED graph the
     # label join + checkpoint formulation remains the right algorithm.
     labels = {r[0]: r[0] for r in nodes.collect()}
+    _assert_literal_state_bound(len(labels), LP_NODES, "label_propagation_knn")
     for _ in range(LP_ROUNDS):
         arr = F.expr(_id_indexed_array_sql(labels))
         neigh = nbr.select(
@@ -407,6 +425,7 @@ def q_bfs_hops_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         r[0]: (0 if r[0] % BFS_SEED_MOD == 0 else BFS_INF)
         for r in nodes.collect()
     }
+    _assert_literal_state_bound(len(dist), LP_NODES, "bfs_hops_knn")
     for _ in range(BFS_ROUNDS):
         arr = F.expr(_id_indexed_array_sql(dist))
         reach = (
