@@ -114,6 +114,16 @@ SMOKE = [
     "stream_drift_monitor",
     "stream_psi_monitor",
     "knn_cosine",
+    # r15 OPTIMIZATION round: the remaining one-action running-sum
+    # consumers not already tracked above, the minhash expr-scaffold
+    # twin, and the r14-touched money twin not already listed —
+    # exponents re-measured after the plan changes
+    "shard_manifest",
+    "sprt_decision",
+    "segment_migration",
+    "gini_concentration",
+    "minhash_signatures",
+    "tpch_q3_shipping",
 ]
 
 
