@@ -75,9 +75,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      top_p_quality_sample, deterministic_shuffle, curriculum_buckets,
 #      exact_stratified_split, pps_systematic_sample,
 #      grouped_running_revenue.
-#   2. slots 18-39: the 22 r07-stale leftovers, alphabetical (after
+#   1b. slots 18-19: the minhash expr-scaffold re-pins (r15): the 16
+#      signature aggregates now parse from one F.expr each (analysis-
+#      identical, pinned by test) and the band digest concat is
+#      flattened (value-identical by associativity) — the band plan
+#      changes, so both registered faces ride the window.
+#   2. slots 20-41: the 22 r07-stale leftovers, alphabetical (after
 #      these, nothing oracle-backed is staler than r08).
-#   3. slots 40-49: the first 10 r08-stale names, alphabetical.
+#   3. slots 42-49: the first 8 r08-stale names, alphabetical.
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
 # oracle-less sketch/RNG names whose driver check can only report
@@ -115,7 +120,10 @@ _PRIORITY = [
     "exact_stratified_split",
     "pps_systematic_sample",
     "grouped_running_revenue",
-    # -- slots 18-39: the 22 r07-stale leftovers --
+    # -- slots 18-19: minhash expr-scaffold re-pins --
+    "minhash_signatures",
+    "minhash_near_dup_pairs",
+    # -- slots 20-41: the 22 r07-stale leftovers --
     "new_vs_returning_daily",
     "not_exists_correlated",
     "null_handling",
@@ -138,7 +146,7 @@ _PRIORITY = [
     "training_set_assembly",
     "try_funcs",
     "zorder_key",
-    # -- slots 40-49: the first 10 r08-stale names --
+    # -- slots 42-49: the first 8 r08-stale names --
     "anti_join",
     "bitmap_distinct_counts",
     "collect_agg",
@@ -147,8 +155,6 @@ _PRIORITY = [
     "doc_fingerprint",
     "event_path_topk",
     "full_outer_join",
-    "higher_order_funcs",
-    "json_roundtrip",
 ]
 
 # Machine-readable staging annotation (consumed by
@@ -180,6 +186,11 @@ _REPINS = {
     "exact_stratified_split",
     "pps_systematic_sample",
     "grouped_running_revenue",
+    # r15 minhash expr-scaffold (band-digest concat flattening — the
+    # aggregate expressions are analysis-identical, but the band plan
+    # changes):
+    "minhash_signatures",
+    "minhash_near_dup_pairs",
 }
 
 _MODULES = [
