@@ -284,7 +284,7 @@ def q_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pb_etl_spark.operators.retrieval import _scan_width
 
     if _scan_width(spark, o) < core_count(spark):
-        o = o.repartition(fanout_width(spark))
+        o = o.repartition(fanout_width(spark), "o_orderkey")
     xml = o.selectExpr(
         "to_xml(named_struct("
         "'k', o_orderkey, 's', o_orderstatus, "

@@ -999,7 +999,7 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session), exactly the full-fact shuffle this branch exists to
     # avoid (r13 review finding).
     if _scan_width(spark, li) < core_count(spark):
-        li = li.repartition(fanout_width(spark))
+        li = li.repartition(fanout_width(spark), F.col("cents"))
     hist = li.groupBy(dd_bucket_expr(F.col("cents")).alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -75,14 +75,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      top_p_quality_sample, deterministic_shuffle, curriculum_buckets,
 #      exact_stratified_split, pps_systematic_sample,
 #      grouped_running_revenue.
-#   1b. slots 18-19: the minhash expr-scaffold re-pins (r15): the 16
+#   1b. slots 18-24: the keyed-repartition re-pins (r15): the guarded
+#      pre-explode/pre-codec rebalances in ddsketch_quantiles,
+#      q_fuzzy_match_pairs (feeding entity_resolution and
+#      entity_golden_record) and xml_roundtrip_agg now hash-partition
+#      on a deterministic unique key instead of round-robin — a
+#      keyless repartition(n) pays a local sort of its whole input for
+#      retry determinism (SPARK-23207); hashing a unique key needs no
+#      sort and stays deterministic under retries. Plus the minhash
+#      expr-scaffold re-pins: the 16
 #      signature aggregates now parse from one F.expr each (analysis-
 #      identical, pinned by test) and the band digest concat is
 #      flattened (value-identical by associativity) — the band plan
 #      changes, so both registered faces ride the window.
-#   2. slots 20-41: the 22 r07-stale leftovers, alphabetical (after
+#   2. slots 25-46: the 22 r07-stale leftovers, alphabetical (after
 #      these, nothing oracle-backed is staler than r08).
-#   3. slots 42-49: the first 8 r08-stale names, alphabetical.
+#   3. slots 47-49: the first 3 r08-stale names, alphabetical.
 # Deliberately NOT staged, ever (r08 verdict item 3): approx_distinct,
 # approx_percentiles, hll_mergeable_counts, stratified_sample — the 4
 # oracle-less sketch/RNG names whose driver check can only report
@@ -120,10 +128,15 @@ _PRIORITY = [
     "exact_stratified_split",
     "pps_systematic_sample",
     "grouped_running_revenue",
-    # -- slots 18-19: minhash expr-scaffold re-pins --
+    # -- slots 18-24: keyed-repartition + minhash re-pins --
+    "ddsketch_quantiles",
+    "fuzzy_match_pairs",
+    "entity_resolution",
+    "entity_golden_record",
+    "xml_roundtrip_agg",
     "minhash_signatures",
     "minhash_near_dup_pairs",
-    # -- slots 20-41: the 22 r07-stale leftovers --
+    # -- slots 25-46: the 22 r07-stale leftovers --
     "new_vs_returning_daily",
     "not_exists_correlated",
     "null_handling",
@@ -146,15 +159,10 @@ _PRIORITY = [
     "training_set_assembly",
     "try_funcs",
     "zorder_key",
-    # -- slots 42-49: the first 8 r08-stale names --
+    # -- slots 47-49: the first 3 r08-stale names --
     "anti_join",
     "bitmap_distinct_counts",
     "collect_agg",
-    "dedup_exact",
-    "distinct_agg",
-    "doc_fingerprint",
-    "event_path_topk",
-    "full_outer_join",
 ]
 
 # Machine-readable staging annotation (consumed by
@@ -191,6 +199,12 @@ _REPINS = {
     # changes):
     "minhash_signatures",
     "minhash_near_dup_pairs",
+    # r15 keyed repartitions (round-robin -> deterministic-key hash):
+    "ddsketch_quantiles",
+    "fuzzy_match_pairs",
+    "entity_resolution",
+    "entity_golden_record",
+    "xml_roundtrip_agg",
 }
 
 _MODULES = [
